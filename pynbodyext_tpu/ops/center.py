@@ -1,0 +1,113 @@
+"""Centering primitives: center-of-mass, shrinking-sphere, potential minimum.
+
+The reference outsources these to ``pynbody.analysis.halo``
+(``shrink_sphere_center``/``hybrid_center``, used by ``CenPos`` at
+``properties/generic.py:49-57``).  Here they are implemented natively as
+bounded ``lax.while_loop`` masked reductions (SURVEY.md §7 "Hard parts:
+shrinking-sphere center").
+
+Numerical note: sums run in the input dtype; to keep f32 COM accurate over
+~1e7 particles at large coordinate offsets, reductions are performed on
+positions relative to the running center (conditioning trick), which keeps
+the summands small.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["center_of_mass", "shrink_sphere_center", "potential_center",
+           "hybrid_center"]
+
+
+def center_of_mass(pos, weights=None, mask=None, ref=None):
+    """Weighted mean position.  ``ref`` recenters summands for conditioning."""
+    n = pos.shape[0]
+    w = jnp.ones(n, dtype=pos.dtype) if weights is None else weights
+    if mask is not None:
+        w = jnp.where(mask, w, 0.0)
+    if ref is None:
+        ref = jnp.zeros(pos.shape[-1], dtype=pos.dtype)
+    wsum = jnp.sum(w)
+    rel = pos - ref
+    com_rel = jnp.sum(rel * w[:, None], axis=0) / jnp.where(wsum == 0, 1.0, wsum)
+    return ref + com_rel
+
+
+@partial(jax.jit, static_argnames=("min_particles", "max_iter"))
+def shrink_sphere_center(pos, weights=None, mask=None,
+                         shrink_factor: float = 0.7,
+                         min_particles: int = 100,
+                         max_iter: int = 200):
+    """Shrinking-sphere center (Power et al. 2003), pynbody-compatible loop.
+
+    Start from the (masked) COM with the bounding-sphere radius, then
+    repeatedly: recenter on the COM of particles inside the sphere, shrink
+    the radius by ``shrink_factor``, stop when fewer than ``min_particles``
+    remain inside.  Runs as a single jitted ``while_loop`` of masked
+    reductions — O(iters · N) with everything fused on-device.
+    """
+    n = pos.shape[0]
+    w = jnp.ones(n, dtype=pos.dtype) if weights is None else weights
+    if mask is not None:
+        w = jnp.where(mask, w, 0.0)
+    active = w > 0
+
+    com0 = center_of_mass(pos, w)
+    d2 = jnp.sum((pos - com0) ** 2, axis=-1)
+    r0 = jnp.sqrt(jnp.max(jnp.where(active, d2, 0.0)))
+
+    def n_inside(center, r):
+        d2 = jnp.sum((pos - center) ** 2, axis=-1)
+        inside = jnp.logical_and(active, d2 < r * r)
+        return inside
+
+    def cond(state):
+        center, r, n_in, it = state
+        return jnp.logical_and(n_in > min_particles, it < max_iter)
+
+    def body(state):
+        center, r, n_in, it = state
+        inside = n_inside(center, r)
+        w_in = jnp.where(inside, w, 0.0)
+        new_center = center_of_mass(pos, w_in, ref=center)
+        r_new = r * shrink_factor
+        n_new = jnp.sum(n_inside(new_center, r_new))
+        return (new_center, r_new, n_new, it + 1)
+
+    n_init = jnp.sum(active)
+    center, r, n_in, _ = jax.lax.while_loop(
+        cond, body, (com0, r0, n_init, jnp.int32(0)))
+    return center
+
+
+def potential_center(pos, phi, mask=None):
+    """Position of the (masked) potential minimum (CenPos mode 'pot')."""
+    if mask is not None:
+        phi = jnp.where(mask, phi, jnp.inf)
+    i = jnp.argmin(phi)
+    return pos[i]
+
+
+@partial(jax.jit, static_argnames=("min_particles", "max_iter"))
+def hybrid_center(pos, phi, weights=None, mask=None, r: float = 5.0,
+                  shrink_factor: float = 0.7, min_particles: int = 100,
+                  max_iter: int = 200):
+    """Potential-minimum seed + shrinking sphere restricted to radius ``r``.
+
+    Mirrors ``pynbody.analysis.halo.hybrid_center(sim, r="5 kpc")`` used by
+    CenPos mode 'hyb' (`properties/generic.py:57`).  ``r`` must already be in
+    position units.
+    """
+    seed = potential_center(pos, phi, mask)
+    d2 = jnp.sum((pos - seed) ** 2, axis=-1)
+    near = d2 < (r * r)
+    m = near if mask is None else jnp.logical_and(mask, near)
+    return shrink_sphere_center(pos, weights=weights, mask=m,
+                                shrink_factor=shrink_factor,
+                                min_particles=min_particles,
+                                max_iter=max_iter)

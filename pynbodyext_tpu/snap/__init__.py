@@ -1,0 +1,19 @@
+"""Snapshot data model: immutable HBM-resident structure-of-arrays.
+
+TPU-native replacement for the reference's pynbody ``SimSnap`` substrate
+(reference layer 0, SURVEY.md §1).
+"""
+
+from .snapshot import Snapshot, ParticleView, SnapLike, derived_field
+from . import derived as _derived  # noqa: F401  (registers built-in derived fields)
+from .loaders import load_gadget_hdf5, make_test_galaxy, save_gadget_hdf5
+
+__all__ = [
+    "Snapshot",
+    "ParticleView",
+    "SnapLike",
+    "derived_field",
+    "load_gadget_hdf5",
+    "save_gadget_hdf5",
+    "make_test_galaxy",
+]
