@@ -27,10 +27,28 @@ from .snap import (ParticleView, Snapshot, load_gadget_hdf5,
                    make_test_galaxy, save_gadget_hdf5)
 from .units import G, Unit, parse_unit
 
+from . import calculate
+from .filters import (Annulus, BandPass, Cuboid, Disc, FamilyFilter,
+                      HighPass, LowPass, SolarNeighborhood, Sphere)
+from .properties import (AngMomVec, CenPos, CenVel, KappaRot, KappaRotMean,
+                         ParamContain, ParamSum, PatternSpeed,
+                         RadiusAtSurfaceDensity, SpinParam, SurfaceDensity,
+                         VirialRadius, VolumeDensity)
+from .transforms import AlignAngMomVec, AlignVec, ShiftPosTo, ShiftVelTo, WrapBox
+
 __all__ = [
     "__version__",
     "QArray", "qarray", "Unit", "parse_unit", "G", "units",
     "Snapshot", "ParticleView",
     "load_gadget_hdf5", "save_gadget_hdf5", "make_test_galaxy",
-    "ops", "log",
+    "ops", "log", "calculate",
+    # filters
+    "Sphere", "FamilyFilter", "Cuboid", "Disc", "Annulus", "BandPass",
+    "HighPass", "LowPass", "SolarNeighborhood",
+    # properties
+    "ParamSum", "ParamContain", "VolumeDensity", "SurfaceDensity",
+    "RadiusAtSurfaceDensity", "CenPos", "CenVel", "AngMomVec", "KappaRot",
+    "KappaRotMean", "VirialRadius", "SpinParam", "PatternSpeed",
+    # transforms
+    "ShiftPosTo", "ShiftVelTo", "AlignVec", "AlignAngMomVec", "WrapBox",
 ]

@@ -13,6 +13,8 @@ from .masked import (
     mmin,
     msum,
     containment_radius,
+    radius_at_surface_density,
+    virial_radius,
     weighted_quantile,
 )
 from .center import center_of_mass, potential_center, shrink_sphere_center
@@ -22,6 +24,7 @@ from .segment import assign_bins, segment_stat, segment_weighted_quantile
 __all__ = [
     "msum", "mmean", "mmin", "mmax", "mcount",
     "weighted_quantile", "containment_radius",
+    "radius_at_surface_density", "virial_radius",
     "center_of_mass", "shrink_sphere_center", "potential_center",
     "faceon_matrix", "apply_rotation",
     "assign_bins", "segment_stat", "segment_weighted_quantile",

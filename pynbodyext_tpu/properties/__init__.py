@@ -1,0 +1,16 @@
+"""Concrete property calculators.
+
+Reference counterpart: ``pynbodyext/properties``.
+"""
+
+from .base import (ParamContain, ParamSum, RadiusAtSurfaceDensity,
+                   SurfaceDensity, VolumeDensity)
+from .generic import (AngMomVec, CenPos, CenVel, KappaRot, KappaRotMean,
+                      PatternSpeed, SpinParam, VirialRadius)
+
+__all__ = [
+    "ParamSum", "ParamContain", "VolumeDensity", "SurfaceDensity",
+    "RadiusAtSurfaceDensity",
+    "CenPos", "CenVel", "AngMomVec", "KappaRot", "KappaRotMean",
+    "VirialRadius", "SpinParam", "PatternSpeed",
+]

@@ -190,7 +190,8 @@ def make_test_galaxy(n_star: int = 20_000, n_gas: int = 30_000,
 
     def halo(n, a_scale):
         # Hernquist radius sampling via inverse CDF: M(r)/M = r²/(r+a)²
-        u = rng.uniform(0.001, 0.95, n)
+        # (u capped so r stays within ~half the box: √u/(1−√u) ≤ 10)
+        u = rng.uniform(0.001, 0.82, n)
         r = a_scale * np.sqrt(u) / (1 - np.sqrt(u))
         vec = rng.normal(size=(n, 3))
         vec /= np.linalg.norm(vec, axis=1, keepdims=True)
