@@ -21,7 +21,7 @@ from typing import Any, Dict, Generic, List, Optional, Tuple, TypeVar
 
 from .display import compact_repr
 from .enums import BuiltinKinds, CachePolicy, EffectPolicy, RecordPolicy
-from .exceptions import CalculatorError
+from .exceptions import CalculatorError, CycleError
 from .fields import ParamView, collect_param_specs
 from .params import (RuntimeValueResolver, extract_dependencies,
                      resolve_value_for, value_signature)
@@ -107,8 +107,20 @@ class CalculatorBase(Generic[TRaw, TPublic]):
         return tuple(sorted((k, value_signature(v))
                             for k, v in self.param_values().items()))
 
+    _sig_in_progress: set = set()  # class-level re-entrancy guard
+
     def signature(self) -> tuple:
-        return ("node", type(self).__qualname__, self.instance_signature())
+        key = id(self)
+        if key in CalculatorBase._sig_in_progress:
+            raise CycleError(
+                f"dependency cycle through {type(self).__qualname__} "
+                "(self-referential parameter structure)")
+        CalculatorBase._sig_in_progress.add(key)
+        try:
+            return ("node", type(self).__qualname__,
+                    self.instance_signature())
+        finally:
+            CalculatorBase._sig_in_progress.discard(key)
 
     def signature_hash(self) -> str:
         return hashlib.sha1(repr(self.signature()).encode()).hexdigest()[:16]

@@ -180,8 +180,11 @@ class EvalEngine:
                     and rec.status == NodeStatus.ERROR:
                 continue
             # NONE / SUMMARY / ERROR_ONLY-on-success: drop heavy payloads,
-            # keep the summary (NONE drops that too)
-            if rec.node is not None and getattr(rec.node, "_keep", False):
+            # keep the summary (NONE drops that too).  Explicitly named or
+            # kept nodes retain their values — naming implies the user reads
+            # them from Result.named.
+            if rec.node is not None and (getattr(rec.node, "_keep", False)
+                                         or getattr(rec.node, "name", None)):
                 continue
             rec.raw = None
             rec.public = None
