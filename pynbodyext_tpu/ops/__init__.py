@@ -19,7 +19,8 @@ from .masked import (
 )
 from .center import center_of_mass, potential_center, shrink_sphere_center
 from .geometry import faceon_matrix, apply_rotation
-from .segment import assign_bins, segment_stat, segment_weighted_quantile
+from .segment import (assign_bins, segment_counts, segment_stat, segment_sum,
+                      segment_weighted_quantile)
 
 __all__ = [
     "msum", "mmean", "mmin", "mmax", "mcount",
@@ -27,5 +28,6 @@ __all__ = [
     "radius_at_surface_density", "virial_radius",
     "center_of_mass", "shrink_sphere_center", "potential_center",
     "faceon_matrix", "apply_rotation",
-    "assign_bins", "segment_stat", "segment_weighted_quantile",
+    "assign_bins", "segment_stat", "segment_sum", "segment_counts",
+    "segment_weighted_quantile",
 ]

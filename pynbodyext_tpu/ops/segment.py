@@ -96,14 +96,17 @@ def segment_stat(values, seg_ids, num_segments: int, stat: str = "mean",
     raise ValueError(f"unknown segment stat {stat!r}")
 
 
-@partial(jax.jit, static_argnames=("num_segments",))
+@partial(jax.jit, static_argnames=("num_segments", "shift_first"))
 def segment_weighted_quantile(values, seg_ids, num_segments: int, fracs,
-                              weights=None, mask=None):
+                              weights=None, mask=None,
+                              shift_first: bool = False):
     """Weighted quantile(s) per segment — one sort, no per-bin loop.
 
     Semantics per segment match :func:`..masked.weighted_quantile` (and thus
     the reference ``Percentile`` statistic, ``proarray.py:689-740``):
-    normalized inclusive cumulative weights as x-coordinates, linear interp.
+    cumulative weights as x-coordinates, linear interp.  ``shift_first=True``
+    uses the reference's ``(cum − cum[0])/(cum[-1] − cum[0])`` normalization
+    (per segment); ``False`` uses the plain inclusive ``cum/total``.
 
     Returns shape ``(num_segments,)`` for scalar ``fracs`` else
     ``(len(fracs), num_segments)``.
@@ -141,9 +144,18 @@ def segment_weighted_quantile(values, seg_ids, num_segments: int, fracs,
         jnp.where(finite, v_s, -jnp.inf), g_s, num_segments=num_segments)
     v_s = jnp.where(finite, v_s, v_max_per_seg[g_s])
 
+    if shift_first:
+        # per-segment first/last inclusive cumulative values
+        c_first = c[start_idx]
+        c_last = c[jnp.maximum(end_idx - 1, start_idx)]
+        span = jnp.where(c_last == c_first, 1.0, c_last - c_first)
+
     def one_frac(f):
         # target global cumulative weight per segment
-        t = offsets + f * totals
+        if shift_first:
+            t = c_first + f * span
+        else:
+            t = offsets + f * totals
         i = jnp.searchsorted(c, t, side="left")
         i = jnp.clip(i, start_idx, jnp.maximum(end_idx - 1, start_idx))
         i_prev = jnp.maximum(i - 1, start_idx)

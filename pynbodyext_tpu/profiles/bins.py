@@ -1,0 +1,248 @@
+"""Binning: pluggable data/edge/area registries + device-side assignment.
+
+Reference counterpart: ``pynbodyext/profiles/bins.py`` — ``BinsSet`` with
+three registries (``bins_by`` data extraction, ``bins_type`` edge
+algorithms, ``bins_area`` geometric measures) and decorator registration.
+
+TPU-native divergence: particle assignment is ``searchsorted`` → segment ids
+(+ validity mask) instead of per-bin index lists built by a stable argsort
+(``bins.py:346-395``) — per-bin statistics then run as segment reductions
+with no gathers; ``equaln`` edges are masked quantiles from one device sort
+(``bins.py:720-746``'s full sort, but mask-aware).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, Optional, Union
+
+import jax.numpy as jnp
+import numpy as np
+
+from .. import ops
+from ..quantity import QArray, strip_units
+from ..units import Unit, dimensionless
+
+__all__ = ["BinsSet", "MaterializedBins", "register_bins_by",
+           "register_bins_type", "register_bins_area"]
+
+# ---------------------------------------------------------------------------
+# Registries (reference ``bins.py:521-685``)
+# ---------------------------------------------------------------------------
+
+_BINS_BY: Dict[str, Callable] = {}
+_BINS_TYPE: Dict[str, Callable] = {}
+_BINS_AREA: Dict[str, Callable] = {}
+
+
+def register_bins_by(name: str):
+    def deco(fn):
+        _BINS_BY[name] = fn
+        return fn
+    return deco
+
+
+def register_bins_type(name: str):
+    def deco(fn):
+        _BINS_TYPE[name] = fn
+        return fn
+    return deco
+
+
+def register_bins_area(name: str):
+    def deco(fn):
+        _BINS_AREA[name] = fn
+        return fn
+    return deco
+
+
+# -- built-in edge algorithms (reference ``bins.py:689-746``) ----------------
+
+@register_bins_type("lin")
+def _edges_lin(x, mask, nbins, bin_min, bin_max):
+    lo = ops.mmin(x, mask) if bin_min is None else bin_min
+    hi = ops.mmax(x, mask) if bin_max is None else bin_max
+    return jnp.linspace(lo, hi, nbins + 1)
+
+
+@register_bins_type("log")
+def _edges_log(x, mask, nbins, bin_min, bin_max):
+    xpos = jnp.where(x > 0, x, jnp.inf)
+    m = mask if mask is None else jnp.logical_and(mask, x > 0)
+    lo = ops.mmin(xpos, m) if bin_min is None else bin_min
+    hi = ops.mmax(jnp.where(x > 0, x, -jnp.inf), m) \
+        if bin_max is None else bin_max
+    return jnp.logspace(jnp.log10(lo), jnp.log10(hi), nbins + 1)
+
+
+@register_bins_type("equaln")
+def _edges_equaln(x, mask, nbins, bin_min, bin_max):
+    """Equal-count quantile edges from one masked device sort."""
+    if bin_min is not None or bin_max is not None:
+        rng_mask = jnp.ones_like(x, dtype=bool)
+        if bin_min is not None:
+            rng_mask = jnp.logical_and(rng_mask, x >= bin_min)
+        if bin_max is not None:
+            rng_mask = jnp.logical_and(rng_mask, x <= bin_max)
+        mask = rng_mask if mask is None else jnp.logical_and(mask, rng_mask)
+    fracs = jnp.linspace(0.0, 1.0, nbins + 1)
+    edges = ops.weighted_quantile(x, fracs, mask=mask)
+    # force exact extrema so boundary particles stay in range
+    lo = ops.mmin(x, mask) if bin_min is None else bin_min
+    hi = ops.mmax(x, mask) if bin_max is None else bin_max
+    edges = edges.at[0].set(lo).at[-1].set(hi)
+    return edges
+
+
+# -- built-in area/volume measures (reference ``bins.py:750-789``) ------------
+
+@register_bins_area("length")
+def _area_length(edges, x_units):
+    return QArray(jnp.diff(edges), x_units)
+
+
+@register_bins_area("annulus")
+def _area_annulus(edges, x_units):
+    return QArray(jnp.pi * (edges[1:] ** 2 - edges[:-1] ** 2), x_units ** 2)
+
+
+@register_bins_area("spherical_shell")
+def _area_spherical_shell(edges, x_units):
+    return QArray(4.0 / 3.0 * jnp.pi * (edges[1:] ** 3 - edges[:-1] ** 3),
+                  x_units ** 3)
+
+
+@register_bins_area("cylindrical_shell")
+def _area_cylindrical_shell(edges, x_units):
+    # per unit height, matching the reference convention
+    return QArray(jnp.pi * (edges[1:] ** 2 - edges[:-1] ** 2), x_units ** 2)
+
+
+# ---------------------------------------------------------------------------
+# Materialized bins
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class MaterializedBins:
+    """Device-resident binning state for one view."""
+    nbins: int
+    edges: jnp.ndarray           # (nbins+1,)
+    x: jnp.ndarray               # (N,) bin coordinate per particle
+    x_units: Unit
+    seg_ids: jnp.ndarray         # (N,) int32 bin index (clamped)
+    valid: jnp.ndarray           # (N,) bool: in view AND in range
+    binsize: QArray              # (nbins,) geometric measure
+    bins_by: str = ""
+
+    @property
+    def rbins(self) -> QArray:
+        """Bin centers."""
+        return QArray(0.5 * (self.edges[1:] + self.edges[:-1]), self.x_units)
+
+    @property
+    def bin_edges(self) -> QArray:
+        return QArray(self.edges, self.x_units)
+
+    @property
+    def dr(self) -> QArray:
+        """Half-widths via gradient of centers (reference convention)."""
+        centers = 0.5 * (self.edges[1:] + self.edges[:-1])
+        return QArray(jnp.gradient(centers) * 0.5, self.x_units)
+
+    @property
+    def npart_bins(self) -> np.ndarray:
+        return np.asarray(ops.segment_counts(self.seg_ids, self.nbins,
+                                             mask=self.valid))
+
+    def bin_mask(self, index) -> jnp.ndarray:
+        """Boolean particle mask for bin(s) ``index`` (int/slice/seq/bool)."""
+        nb = self.nbins
+        if isinstance(index, (int, np.integer)):
+            sel = self.seg_ids == int(index)
+        elif isinstance(index, slice):
+            want = np.zeros(nb, dtype=bool)
+            want[index] = True
+            sel = jnp.asarray(want)[self.seg_ids]
+        else:
+            arr = np.asarray(index)
+            if arr.dtype == bool:
+                sel = jnp.asarray(arr)[self.seg_ids]
+            else:
+                want = np.zeros(nb, dtype=bool)
+                want[arr] = True
+                sel = jnp.asarray(want)[self.seg_ids]
+        return jnp.logical_and(sel, self.valid)
+
+
+class BinsSet:
+    """Binning specification: resolve x → edges → assignment → measure
+    (reference ``bins.py:68``, materialization ``bins.py:397-457``)."""
+
+    def __init__(self, bins_by: Union[str, Callable] = "r",
+                 bins_type: Union[str, Callable] = "lin",
+                 nbins: int = 100,
+                 bin_min: Optional[float] = None,
+                 bin_max: Optional[float] = None,
+                 bins_area: Union[str, Callable] = "spherical_shell"):
+        self.bins_by = bins_by
+        self.bins_type = bins_type
+        self.nbins = int(nbins)
+        self.bin_min = bin_min
+        self.bin_max = bin_max
+        self.bins_area = bins_area
+
+    # -- resolution helpers ---------------------------------------------------
+    def _resolve_x(self, view) -> QArray:
+        by = self.bins_by
+        if callable(by):
+            out = by(view)
+            return out if isinstance(out, QArray) else QArray(out)
+        if by in _BINS_BY:
+            out = _BINS_BY[by](view)
+            return out if isinstance(out, QArray) else QArray(out)
+        return view[by]  # any snapshot field (incl. derived)
+
+    def _edges_fn(self):
+        if callable(self.bins_type):
+            return self.bins_type
+        try:
+            return _BINS_TYPE[self.bins_type]
+        except KeyError:
+            raise ValueError(f"unknown bins_type {self.bins_type!r}; "
+                             f"registered: {sorted(_BINS_TYPE)}") from None
+
+    def _area_fn(self):
+        if callable(self.bins_area):
+            return self.bins_area
+        try:
+            return _BINS_AREA[self.bins_area]
+        except KeyError:
+            raise ValueError(f"unknown bins_area {self.bins_area!r}; "
+                             f"registered: {sorted(_BINS_AREA)}") from None
+
+    # -- materialization --------------------------------------------------------
+    def __call__(self, view) -> MaterializedBins:
+        xq = self._resolve_x(view)
+        x = xq.value
+        mask = getattr(view, "mask", None)
+        edges = jnp.asarray(self._edges_fn()(x, mask, self.nbins,
+                                             self.bin_min, self.bin_max),
+                            dtype=x.dtype)
+        return self._assign(view, xq, edges)
+
+    def spawn_with_same_edges(self, view,
+                              parent: MaterializedBins) -> MaterializedBins:
+        """Re-assign a (sub)view onto existing edges (reference ``bins.py:460``)."""
+        xq = self._resolve_x(view)
+        return self._assign(view, xq, parent.edges)
+
+    def _assign(self, view, xq: QArray, edges) -> MaterializedBins:
+        x = xq.value
+        mask = getattr(view, "mask", None)
+        seg, in_range = ops.assign_bins(x, edges)
+        valid = in_range if mask is None else jnp.logical_and(mask, in_range)
+        binsize = self._area_fn()(edges, xq.units)
+        return MaterializedBins(
+            nbins=self.nbins, edges=edges, x=x, x_units=xq.units,
+            seg_ids=seg.astype(jnp.int32), valid=valid, binsize=binsize,
+            bins_by=self.bins_by if isinstance(self.bins_by, str) else "<fn>")

@@ -108,6 +108,18 @@ def _vt(snap) -> QArray:
     return QArray(jnp.sqrt(jnp.maximum(v2 - vr * vr, 0.0)), vel.units)
 
 
+@derived_field("vtheta")
+def _vtheta(snap) -> QArray:
+    """Polar velocity component v·θ̂ (spherical coordinates)."""
+    pos, vel = snap["pos"], snap["vel"]
+    p, v = pos.value, vel.value
+    rxy = jnp.sqrt(p[..., 0] ** 2 + p[..., 1] ** 2)
+    r = jnp.linalg.norm(p, axis=-1)
+    num = (p[..., 2] * (p[..., 0] * v[..., 0] + p[..., 1] * v[..., 1])
+           / jnp.maximum(rxy, _EPS) - rxy * v[..., 2])
+    return QArray(num / jnp.maximum(r, _EPS), vel.units)
+
+
 @derived_field("age")
 def _age(snap) -> QArray:
     """Stellar age = snapshot time − formation time (valid on star family)."""

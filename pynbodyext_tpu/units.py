@@ -248,27 +248,37 @@ _DISPLAY_CANDIDATES = {
 
 
 def _format_unit(u: Unit) -> str:
+    import itertools
+
+    active = [(dim, exp) for dim, exp in zip(_DIMS, u.dims) if exp != 0]
+    if not active:
+        if math.isclose(u.scale, 1.0, rel_tol=1e-10):
+            return "1"
+        return f"{u.scale:.6g}"
+    # brute-force the (small) candidate product; pick the combination whose
+    # residual scale is closest to 1 (earlier candidates win ties, so the
+    # astronomy-friendly kpc/Msol/Gyr defaults are preferred)
+    pools = [_DISPLAY_CANDIDATES[dim] for dim, _ in active]
+    best_combo, best_err = None, None
+    for combo in itertools.product(*pools):
+        r = u.scale
+        for (dim, exp), cand in zip(active, combo):
+            r /= _REGISTRY[cand].scale ** float(exp)
+        err = abs(math.log10(abs(r))) if r != 0 else float("inf")
+        if best_combo is None or err < best_err - 1e-12:
+            best_combo, best_err = combo, err
     parts = []
     residual = u.scale
-    for dim, exp in zip(_DIMS, u.dims):
-        if exp == 0:
-            continue
-        # greedy: pick the named unit that leaves residual closest to 1
-        best, best_err = None, None
-        for cand in _DISPLAY_CANDIDATES[dim]:
-            r = residual / _REGISTRY[cand].scale ** float(exp)
-            err = abs(math.log10(abs(r))) if r != 0 else float("inf")
-            if best is None or err < best_err - 1e-12:
-                best, best_err = cand, err
-        residual /= _REGISTRY[best].scale ** float(exp)
+    for (dim, exp), cand in zip(active, best_combo):
+        residual /= _REGISTRY[cand].scale ** float(exp)
         if exp == 1:
-            parts.append(best)
+            parts.append(cand)
         else:
             e = int(exp) if exp.denominator == 1 else float(exp)
-            parts.append(f"{best}**{e}")
+            parts.append(f"{cand}**{e}")
     if not math.isclose(residual, 1.0, rel_tol=1e-10):
         parts.insert(0, f"{residual:.6g}")
-    return " ".join(parts) if parts else "1"
+    return " ".join(parts)
 
 
 class _UnitNamespace:
