@@ -1,0 +1,96 @@
+"""Benchmark driver: prints ONE JSON line with the headline metric.
+
+Headline metric (BASELINE.json): gravity potential throughput
+(particles/sec via pair-rate at the largest N that fits a time budget) plus
+the KappaRot pipeline latency, on whatever accelerator is attached.
+
+vs_baseline: the reference publishes no numbers (BASELINE.md); its Rust
+direct-sum on a typical CPU sustains ~1e8–2e8 pair-interactions/s.  We
+report vs_baseline = measured pair rate / 2e8 (a generous estimate of the
+reference's rayon direct path on a modern multi-core CPU — documented,
+fixed denominator so rounds are comparable).
+"""
+
+import json
+import time
+
+import numpy as np
+
+REFERENCE_PAIR_RATE = 2.0e8  # est. reference Rust direct-sum pairs/s (CPU)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    dev = jax.devices()[0]
+    on_tpu = dev.platform not in ("cpu",)
+
+    from pynbodyext_tpu.compiled import kappa_rot_pipeline
+    from pynbodyext_tpu.gravity import (direct_potentials,
+                                        direct_potentials_ref)
+
+    rng = np.random.default_rng(0)
+
+    # -- gravity throughput ------------------------------------------------
+    n_grav = 262_144 if on_tpu else 8_192
+    pos = jnp.asarray(rng.normal(0, 10, (n_grav, 3)), jnp.float32)
+    mass = jnp.asarray(rng.uniform(1e6, 2e6, n_grav), jnp.float32)
+    soft = jnp.float32(0.05)
+    solver = direct_potentials if on_tpu else direct_potentials_ref
+
+    def solve():
+        return solver(pos, mass, jnp.broadcast_to(soft, (n_grav,)),
+                      kernel="plummer")
+
+    def sync(x):
+        # host readback is the only reliable sync under remote relays
+        # (block_until_ready can return early there)
+        return float(np.asarray(x.reshape(-1)[0]))
+
+    sync(solve())  # compile + warm
+    reps = 3 if on_tpu else 1
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        sync(solve())
+        times.append(time.perf_counter() - t0)
+    dt = sorted(times)[len(times) // 2]
+    pair_rate = n_grav * n_grav / dt
+
+    # -- KappaRot pipeline latency ------------------------------------------
+    n_pipe = 10_000_000 if on_tpu else 200_000
+    pos_p = jnp.asarray(rng.normal(250.0, 8.0, (n_pipe, 3)), jnp.float32)
+    vel_p = jnp.asarray(rng.normal(0.0, 100.0, (n_pipe, 3)), jnp.float32)
+    mass_p = jnp.asarray(rng.uniform(1e6, 2e6, n_pipe), jnp.float32)
+    star_p = jnp.asarray(rng.uniform(size=n_pipe) < 0.3)
+    box = jnp.float32(500.0)
+
+    k = kappa_rot_pipeline(pos_p, vel_p, mass_p, star_p, box)
+    float(k)  # compile + warm
+    ptimes = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        k = kappa_rot_pipeline(pos_p, vel_p, mass_p, star_p, box)
+        float(k)
+        ptimes.append(time.perf_counter() - t0)
+    pipe_ms = sorted(ptimes)[len(ptimes) // 2] * 1e3
+
+    print(json.dumps({
+        "metric": "gravity_pair_interactions_per_sec",
+        "value": round(pair_rate / 1e9, 3),
+        "unit": "Gpairs/s",
+        "vs_baseline": round(pair_rate / REFERENCE_PAIR_RATE, 2),
+        "detail": {
+            "device": str(dev),
+            "gravity_N": n_grav,
+            "gravity_ms": round(dt * 1e3, 2),
+            "kappa_pipeline_N": n_pipe,
+            "kappa_pipeline_ms": round(pipe_ms, 2),
+            "kappa_value": round(float(k), 5),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -66,8 +66,14 @@ def pack_particles(pos, mass=None, soft=None, n_pad: Optional[int] = None,
     return pack, n
 
 
-def _pairwise(tgt_ref, src_ref, i, j, tm, ts, kernel: str, self_set: bool):
-    """Shared tile math: returns (r, h, m_j, dx, dy, dz, self_mask)."""
+def _pairwise(off_ref, tgt_ref, src_ref, i, j, tm, ts, kernel: str,
+              self_set: bool):
+    """Shared tile math: returns (r, h, m_j, dx, dy, dz, self_mask).
+
+    ``off_ref`` holds [target_offset, source_offset] global indices (SMEM) so
+    self-exclusion stays index-exact under ring sharding (shards see rotated
+    source blocks whose global offsets differ per step).
+    """
     tx = tgt_ref[0, :].reshape(tm, 1)
     ty = tgt_ref[1, :].reshape(tm, 1)
     tz = tgt_ref[2, :].reshape(tm, 1)
@@ -83,8 +89,10 @@ def _pairwise(tgt_ref, src_ref, i, j, tm, ts, kernel: str, self_set: bool):
     r = jnp.sqrt(dx * dx + dy * dy + dz * dz + _TINY2)
     if self_set:
         h = jnp.maximum(th, sh)
-        trow = i * tm + jax.lax.broadcasted_iota(jnp.int32, (tm, ts), 0)
-        scol = j * ts + jax.lax.broadcasted_iota(jnp.int32, (tm, ts), 1)
+        trow = (off_ref[0] + i * tm
+                + jax.lax.broadcasted_iota(jnp.int32, (tm, ts), 0))
+        scol = (off_ref[1] + j * ts
+                + jax.lax.broadcasted_iota(jnp.int32, (tm, ts), 1))
         same = trow == scol
     else:
         h = jnp.broadcast_to(sh, (tm, ts))
@@ -92,11 +100,12 @@ def _pairwise(tgt_ref, src_ref, i, j, tm, ts, kernel: str, self_set: bool):
     return r, h, sm, dx, dy, dz, same
 
 
-def _potential_kernel(tgt_ref, src_ref, out_ref, *, tm, ts, kernel, self_set):
+def _potential_kernel(off_ref, tgt_ref, src_ref, out_ref, *, tm, ts, kernel,
+                      self_set):
     i = pl.program_id(0)
     j = pl.program_id(1)
-    r, h, sm, _, _, _, same = _pairwise(tgt_ref, src_ref, i, j, tm, ts,
-                                        kernel, self_set)
+    r, h, sm, _, _, _, same = _pairwise(off_ref, tgt_ref, src_ref, i, j,
+                                        tm, ts, kernel, self_set)
     phi = kernel_potential_per_unit_mass(kernel, r, h)
     if same is not None:
         phi = jnp.where(same, 0.0, phi)
@@ -111,12 +120,12 @@ def _potential_kernel(tgt_ref, src_ref, out_ref, *, tm, ts, kernel, self_set):
         out_ref[0, :] = out_ref[0, :] + pot
 
 
-def _acceleration_kernel(tgt_ref, src_ref, out_ref, *, tm, ts, kernel,
-                         self_set):
+def _acceleration_kernel(off_ref, tgt_ref, src_ref, out_ref, *, tm, ts,
+                         kernel, self_set):
     i = pl.program_id(0)
     j = pl.program_id(1)
-    r, h, sm, dx, dy, dz, same = _pairwise(tgt_ref, src_ref, i, j, tm, ts,
-                                           kernel, self_set)
+    r, h, sm, dx, dy, dz, same = _pairwise(off_ref, tgt_ref, src_ref, i, j,
+                                           tm, ts, kernel, self_set)
     g = kernel_accel_factor(kernel, r, h)
     if same is not None:
         g = jnp.where(same, 0.0, g)
@@ -146,7 +155,8 @@ def _acceleration_kernel(tgt_ref, src_ref, out_ref, *, tm, ts, kernel,
 @functools.partial(jax.jit, static_argnames=("kernel", "self_set", "tm", "ts",
                                              "accel", "interpret"))
 def _direct_call(src_pack, tgt_pack, kernel: str, self_set: bool,
-                 tm: int, ts: int, accel: bool, interpret: bool = False):
+                 tm: int, ts: int, accel: bool, interpret: bool = False,
+                 tgt_offset=0, src_offset=0):
     n_pad = src_pack.shape[1]
     m_pad = tgt_pack.shape[1]
     grid = (m_pad // tm, n_pad // ts)
@@ -155,10 +165,12 @@ def _direct_call(src_pack, tgt_pack, kernel: str, self_set: bool,
     kern = functools.partial(body, tm=tm, ts=ts, kernel=kernel,
                              self_set=self_set)
     flops_per_pair = 18 if accel else 12
+    offsets = jnp.asarray([tgt_offset, src_offset], dtype=jnp.int32)
     return pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((8, tm), lambda i, j: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8, ts), lambda i, j: (0, j),
@@ -176,7 +188,7 @@ def _direct_call(src_pack, tgt_pack, kernel: str, self_set: bool,
             transcendentals=m_pad * n_pad,
         ),
         interpret=interpret,
-    )(tgt_pack, src_pack)
+    )(offsets, tgt_pack, src_pack)
 
 
 def _prepare(pos, masses, softenings, targets, target_softenings,

@@ -1,0 +1,84 @@
+"""Multi-chip tests on the 8-virtual-device CPU mesh (SURVEY.md §4:
+"mesh tests run on CPU via virtual-device meshes")."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import pynbodyext_tpu as px
+from pynbodyext_tpu.gravity import (direct_accelerations_ref,
+                                    direct_potentials_ref)
+from pynbodyext_tpu.parallel import (make_mesh, pad_to_devices,
+                                     ring_direct_accelerations,
+                                     ring_direct_potentials, shard_snapshot)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8, "conftest must set 8 virtual devices"
+    return make_mesh()
+
+
+@pytest.fixture(scope="module")
+def cloud():
+    rng = np.random.default_rng(3)
+    n = 1000  # deliberately not divisible by 8
+    return (rng.normal(0, 1, (n, 3)).astype(np.float32),
+            rng.uniform(0.5, 2, n).astype(np.float32),
+            rng.uniform(0.02, 0.1, n).astype(np.float32))
+
+
+def test_mesh_shape(mesh):
+    assert mesh.shape == {"p": 8}
+
+
+def test_pad_to_devices(mesh):
+    x = jnp.ones((13, 3))
+    padded = pad_to_devices(x, mesh)
+    assert padded.shape == (16, 3)
+
+
+@pytest.mark.parametrize("kernel", ["none", "plummer", "spline"])
+def test_ring_potentials_match_reference(mesh, cloud, kernel):
+    pos, m, h = cloud
+    hh = None if kernel == "none" else h
+    ref = np.asarray(direct_potentials_ref(pos, m, hh, kernel=kernel))
+    got = np.asarray(ring_direct_potentials(pos, m, hh, mesh=mesh,
+                                            kernel=kernel, interpret=True))
+    np.testing.assert_allclose(got, ref, rtol=1e-4)
+
+
+def test_ring_accelerations_match_reference(mesh, cloud):
+    pos, m, h = cloud
+    ref = np.asarray(direct_accelerations_ref(pos, m, h, kernel="plummer"))
+    got = np.asarray(ring_direct_accelerations(pos, m, h, mesh=mesh,
+                                               kernel="plummer",
+                                               interpret=True))
+    np.testing.assert_allclose(got, ref, rtol=1e-3,
+                               atol=np.abs(ref).max() * 1e-5)
+
+
+def test_sharded_snapshot_reductions_match(mesh, snap):
+    """GSPMD path: the calculator engine on a sharded snapshot gives
+    identical results to the single-device run."""
+    ssnap = shard_snapshot(snap, mesh)
+    a = float(px.ParamSum("mass")(snap).value)
+    b = float(px.ParamSum("mass")(ssnap).value)
+    assert a == pytest.approx(b, rel=1e-6)
+    ra = float(px.ParamContain("r", 0.5, "mass")(snap).value)
+    rb = float(px.ParamContain("r", 0.5, "mass")(ssnap).value)
+    assert ra == pytest.approx(rb, rel=1e-5)
+
+
+def test_sharded_full_pipeline(mesh, snap):
+    """The whole KappaRot pipeline runs unchanged on a sharded snapshot."""
+    ssnap = shard_snapshot(snap, mesh)
+    sel = px.Sphere("30 kpc") & px.FamilyFilter("star")
+    chain = (px.WrapBox(convention="minirange")
+             .then(px.ShiftPosTo("ssc"))
+             .then(px.ShiftVelTo("com").measure_with(sel))
+             .then(px.AlignVec(px.AngMomVec()).measure_with(sel)))
+    k_sharded = float(px.KappaRot().transform(chain).filter(sel)(ssnap))
+    k_single = float(px.KappaRot().transform(chain).filter(sel)(snap))
+    assert k_sharded == pytest.approx(k_single, rel=1e-4)
