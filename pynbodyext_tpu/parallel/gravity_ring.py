@@ -89,10 +89,16 @@ def _ring(pos, masses, softenings, mesh: Mesh, kernel: str, accel: bool,
         return acc[0, :L]
 
     out_spec = P(axis_name, None) if accel else P(axis_name)
-    fn = shard_map(local_fn, mesh=mesh,
-                   in_specs=(P(axis_name, None), P(axis_name),
-                             P(axis_name)),
-                   out_specs=out_spec)
+    try:
+        fn = shard_map(local_fn, mesh=mesh,
+                       in_specs=(P(axis_name, None), P(axis_name),
+                                 P(axis_name)),
+                       out_specs=out_spec, check_vma=False)
+    except TypeError:  # older jax: check_rep instead of check_vma
+        fn = shard_map(local_fn, mesh=mesh,
+                       in_specs=(P(axis_name, None), P(axis_name),
+                                 P(axis_name)),
+                       out_specs=out_spec, check_rep=False)
     out = fn(pos, m_arr, h_arr)
     return out[:n]
 
