@@ -1,0 +1,695 @@
+// Native Barnes–Hut octree gravity solver (CPU runtime component).
+//
+// TPU-native re-design of the reference Rust crates
+// (`crates/gravity/src/tree.rs`, `multipole.rs`, `direct.rs` — studied for
+// behaviour, written from scratch in C++):
+//
+//   * octree build with particle reordering (leaves own contiguous ranges),
+//   * stack-free DFS traversal links (first_child / next_branch),
+//   * bottom-up payloads: mass, COM, hmax, factorial-normalized Cartesian
+//     multipole moments to order 5 with exact M2M translation,
+//   * far-field evaluation via machine-generated exact derivative tables of
+//     1/r (csrc/multipole_tables.h, see tools/gen_multipole.py),
+//   * Plummer / cubic-spline-W2 softening kernels with the admissibility
+//     rule r > c·hmax (c = 2.8 Plummer, 1.0 spline),
+//   * std::thread parallelism over targets (the `threads` knob).
+//
+// Semantics match the reference: opening criterion size² < θ²·|t−com|²;
+// leaf pair softening h = max(h_target, h_source); self-interaction skipped
+// by original particle index.  The TPU compute path remains the Pallas
+// dense kernel (pallas_direct.py) — this solver covers the O(N log N)
+// regime and CPU deployments.
+//
+// Build: g++ -O3 -fPIC -shared -std=c++17 -o libpnx_octree.so octree.cpp -lpthread
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <functional>
+#include <thread>
+#include <vector>
+
+#include "multipole_tables.h"
+
+namespace {
+
+constexpr double R2_TINY = 1e-300;
+
+// ---------------------------------------------------------------------------
+// Softening kernels (Springel 2005 eq. 71 piecewise quintic + Plummer)
+// ---------------------------------------------------------------------------
+
+enum Kernel { KERNEL_NONE = 0, KERNEL_PLUMMER = 1, KERNEL_SPLINE = 2 };
+
+inline double w2(double u) {
+  if (u < 0.5) {
+    double u2 = u * u, u4 = u2 * u2, u5 = u4 * u;
+    return (16.0 / 3.0) * u2 - (48.0 / 5.0) * u4 + (32.0 / 5.0) * u5 -
+           14.0 / 5.0;
+  } else if (u < 1.0) {
+    double u2 = u * u, u3 = u2 * u, u4 = u2 * u2, u5 = u4 * u;
+    return (1.0 / 15.0) / u + (32.0 / 3.0) * u2 - 16.0 * u3 +
+           (48.0 / 5.0) * u4 - (32.0 / 15.0) * u5 - 16.0 / 5.0;
+  }
+  return -1.0 / u;
+}
+
+inline double w2_prime(double u) {
+  if (u < 0.5) {
+    double u2 = u * u, u3 = u2 * u, u4 = u2 * u2;
+    return (32.0 / 3.0) * u - (192.0 / 5.0) * u3 + 32.0 * u4;
+  } else if (u < 1.0) {
+    double u2 = u * u, u3 = u2 * u, u4 = u2 * u2;
+    return -(1.0 / 15.0) / u2 + (64.0 / 3.0) * u - 48.0 * u2 +
+           (192.0 / 5.0) * u3 - (32.0 / 3.0) * u4;
+  }
+  return 1.0 / (u * u);
+}
+
+inline double kernel_phi(int kind, double r, double h) {
+  if (r == 0.0) return 0.0;
+  switch (kind) {
+    case KERNEL_PLUMMER:
+      return -1.0 / std::sqrt(r * r + h * h);
+    case KERNEL_SPLINE:
+      if (h <= 0.0) return -1.0 / r;
+      return w2(r / h) / h;
+    default:
+      return -1.0 / r;
+  }
+}
+
+// accel factor g with a = m * (src - tgt) * g
+inline double kernel_g(int kind, double r, double h) {
+  if (r == 0.0) return 0.0;
+  switch (kind) {
+    case KERNEL_PLUMMER: {
+      double s2 = r * r + h * h;
+      return 1.0 / (std::sqrt(s2) * s2);
+    }
+    case KERNEL_SPLINE:
+      if (h <= 0.0) return 1.0 / (r * r * r);
+      return w2_prime(r / h) / (h * h * r);
+    default:
+      return 1.0 / (r * r * r);
+  }
+}
+
+inline double soft_sep_factor(int kind) {
+  switch (kind) {
+    case KERNEL_PLUMMER:
+      return 2.8;
+    case KERNEL_SPLINE:
+      return 1.0;
+    default:
+      return 0.0;
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Multipole helpers (generated tables)
+// ---------------------------------------------------------------------------
+
+// number of multi-indices with total order <= L
+inline int n_indices(int L) { return (L + 1) * (L + 2) * (L + 3) / 6; }
+
+// position of multi-index (i,j,k) in the canonical generated ordering
+static int INDEX_POS[PNX_MAX_ORDER + 1][PNX_MAX_ORDER + 1]
+                    [PNX_MAX_ORDER + 1];
+static bool index_pos_ready = false;
+
+void init_index_pos() {
+  if (index_pos_ready) return;
+  for (int p = 0; p < PNX_N_INDICES; ++p) {
+    const pnx_index_entry &e = PNX_INDEX[p];
+    INDEX_POS[e.i][e.j][e.k] = p;
+  }
+  index_pos_ready = true;
+}
+
+// evaluate D_n for all |n| <= L at displacement (x,y,z); out has n_indices(L)
+inline void eval_derivs(double x, double y, double z, int L, double *out) {
+  double xp[PNX_MAX_ORDER + 1], yp[PNX_MAX_ORDER + 1],
+      zp[PNX_MAX_ORDER + 1];
+  xp[0] = yp[0] = zp[0] = 1.0;
+  for (int i = 1; i <= PNX_MAX_ORDER; ++i) {
+    xp[i] = xp[i - 1] * x;
+    yp[i] = yp[i - 1] * y;
+    zp[i] = zp[i - 1] * z;
+  }
+  double r2 = x * x + y * y + z * z;
+  double rinv = 1.0 / std::sqrt(r2);
+  double rinv_pow[2 * PNX_MAX_ORDER + 2];
+  rinv_pow[0] = 1.0;
+  for (int i = 1; i <= 2 * PNX_MAX_ORDER + 1; ++i)
+    rinv_pow[i] = rinv_pow[i - 1] * rinv;
+  int np = n_indices(L);
+  for (int p = 0; p < np; ++p) {
+    const pnx_index_entry &e = PNX_INDEX[p];
+    double acc = 0.0;
+    for (int t = 0; t < e.count; ++t) {
+      const pnx_term &tm = PNX_TERMS[e.offset + t];
+      acc += tm.coef * xp[tm.a] * yp[tm.b] * zp[tm.c] * rinv_pow[tm.m];
+    }
+    out[p] = acc;
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Octree
+// ---------------------------------------------------------------------------
+
+struct Node {
+  double center[3];
+  double half;     // half side length
+  double size2;    // (2*half)^2
+  double com[3];
+  double mass;
+  double hmax;
+  int32_t first_child;   // -1 for leaf
+  int32_t next_branch;   // next node in DFS skipping this subtree (-1 end)
+  int32_t pstart, pcount;  // contiguous particle range (leaves)
+};
+
+struct Tree {
+  std::vector<Node> nodes;
+  // particle data reordered in tree order
+  std::vector<double> px, py, pz, pm, ph;
+  std::vector<int64_t> orig_index;
+  int order = 0;       // multipole order (0 => monopole only)
+  int kernel = KERNEL_NONE;
+  bool has_soft = false;
+  long n = 0;
+  // multipole moments per node: n_indices(order) doubles each (about COM)
+  std::vector<double> moments;
+  int nmom = 0;
+
+  // signs (-1)^{|n|} per index position, cached
+  std::vector<double> sign;
+};
+
+// recursive builder: subdivide [start,end) of the reorder buffer
+void build_rec(Tree &t, std::vector<int64_t> &idx,
+               const double *pos,  // original positions (n,3)
+               long start, long end, double cx, double cy, double cz,
+               double half, int leaf_capacity, int depth) {
+  int32_t me = (int32_t)t.nodes.size();
+  t.nodes.push_back(Node());
+  Node &node = t.nodes[me];
+  node.center[0] = cx;
+  node.center[1] = cy;
+  node.center[2] = cz;
+  node.half = half;
+  node.size2 = 4.0 * half * half;
+  node.first_child = -1;
+  node.next_branch = -1;
+  node.pstart = (int32_t)start;
+  node.pcount = (int32_t)(end - start);
+
+  if (end - start <= leaf_capacity || depth > 60) return;  // leaf
+
+  // partition the index range into 8 octants (counting sort)
+  long counts[8] = {0};
+  std::vector<uint8_t> oct(end - start);
+  for (long i = start; i < end; ++i) {
+    const double *p = pos + 3 * idx[i];
+    int o = (p[0] >= cx ? 1 : 0) | (p[1] >= cy ? 2 : 0) | (p[2] >= cz ? 4 : 0);
+    oct[i - start] = (uint8_t)o;
+    counts[o]++;
+  }
+  long offs[9];
+  offs[0] = 0;
+  for (int o = 0; o < 8; ++o) offs[o + 1] = offs[o] + counts[o];
+  std::vector<int64_t> tmp(end - start);
+  long cursor[8];
+  for (int o = 0; o < 8; ++o) cursor[o] = offs[o];
+  for (long i = start; i < end; ++i) tmp[cursor[oct[i - start]]++] = idx[i];
+  std::copy(tmp.begin(), tmp.end(), idx.begin() + start);
+
+  double q = half * 0.5;
+  bool made_child = false;
+  for (int o = 0; o < 8; ++o) {
+    long a = start + offs[o], b = start + offs[o + 1];
+    if (a == b) continue;
+    double ncx = cx + ((o & 1) ? q : -q);
+    double ncy = cy + ((o & 2) ? q : -q);
+    double ncz = cz + ((o & 4) ? q : -q);
+    int32_t child = (int32_t)t.nodes.size();
+    if (!made_child) {
+      t.nodes[me].first_child = child;
+      made_child = true;
+    }
+    build_rec(t, idx, pos, a, b, ncx, ncy, ncz, q, leaf_capacity, depth + 1);
+  }
+}
+
+// set next_branch links.  DFS construction emits every subtree contiguously
+// and particle ranges nest, so the subtree of node i ends at the first node
+// k > i whose particle range lies outside i's — a single stack pass.
+void set_links(Tree &t) {
+  int32_t nn = (int32_t)t.nodes.size();
+  std::vector<int32_t> stack;
+  for (int32_t i = 0; i < nn; ++i) {
+    Node &node = t.nodes[i];
+    while (!stack.empty()) {
+      Node &top = t.nodes[stack.back()];
+      if (node.pstart >= top.pstart + top.pcount) {
+        t.nodes[stack.back()].next_branch = i;
+        stack.pop_back();
+      } else {
+        break;
+      }
+    }
+    stack.push_back(i);
+  }
+  while (!stack.empty()) {
+    t.nodes[stack.back()].next_branch = -1;
+    stack.pop_back();
+  }
+}
+
+// bottom-up payloads: mass/COM/hmax/moments.  Children of a node are the
+// consecutive subtrees starting at first_child; iterate nodes in reverse
+// construction order so children are done before parents.
+void build_payloads(Tree &t) {
+  init_index_pos();
+  int nm = n_indices(t.order);
+  t.nmom = nm;
+  t.moments.assign(t.nodes.size() * nm, 0.0);
+  t.sign.resize(nm);
+  for (int p = 0; p < nm; ++p) {
+    const pnx_index_entry &e = PNX_INDEX[p];
+    t.sign[p] = ((e.i + e.j + e.k) % 2 == 0) ? 1.0 : -1.0;
+  }
+  // factorials
+  double fact[PNX_MAX_ORDER + 1];
+  fact[0] = 1.0;
+  for (int i = 1; i <= PNX_MAX_ORDER; ++i) fact[i] = fact[i - 1] * i;
+
+  for (int32_t i = (int32_t)t.nodes.size() - 1; i >= 0; --i) {
+    Node &node = t.nodes[i];
+    if (node.first_child < 0) {
+      // leaf: P2M
+      double m = 0, cx = 0, cy = 0, cz = 0, hm = 0;
+      for (int32_t k = node.pstart; k < node.pstart + node.pcount; ++k) {
+        m += t.pm[k];
+        cx += t.pm[k] * t.px[k];
+        cy += t.pm[k] * t.py[k];
+        cz += t.pm[k] * t.pz[k];
+        if (t.has_soft) hm = std::max(hm, t.ph[k]);
+      }
+      node.mass = m;
+      double inv = m > 0 ? 1.0 / m : 0.0;
+      node.com[0] = m > 0 ? cx * inv : node.center[0];
+      node.com[1] = m > 0 ? cy * inv : node.center[1];
+      node.com[2] = m > 0 ? cz * inv : node.center[2];
+      node.hmax = hm;
+      if (t.order > 0) {
+        double *M = &t.moments[(size_t)i * nm];
+        for (int32_t k = node.pstart; k < node.pstart + node.pcount; ++k) {
+          double dx = t.px[k] - node.com[0];
+          double dy = t.py[k] - node.com[1];
+          double dz = t.pz[k] - node.com[2];
+          double xp[PNX_MAX_ORDER + 1], yp[PNX_MAX_ORDER + 1],
+              zp[PNX_MAX_ORDER + 1];
+          xp[0] = yp[0] = zp[0] = 1.0;
+          for (int q = 1; q <= t.order; ++q) {
+            xp[q] = xp[q - 1] * dx;
+            yp[q] = yp[q - 1] * dy;
+            zp[q] = zp[q - 1] * dz;
+          }
+          for (int p = 0; p < nm; ++p) {
+            const pnx_index_entry &e = PNX_INDEX[p];
+            M[p] += t.pm[k] * xp[e.i] * yp[e.j] * zp[e.k] /
+                    (fact[e.i] * fact[e.j] * fact[e.k]);
+          }
+        }
+      }
+    } else {
+      // internal: combine children (consecutive subtrees from first_child)
+      double m = 0, cx = 0, cy = 0, cz = 0, hm = 0;
+      int32_t c = node.first_child;
+      while (c >= 0 && t.nodes[c].pstart < node.pstart + node.pcount &&
+             t.nodes[c].pstart >= node.pstart) {
+        Node &ch = t.nodes[c];
+        m += ch.mass;
+        cx += ch.mass * ch.com[0];
+        cy += ch.mass * ch.com[1];
+        cz += ch.mass * ch.com[2];
+        hm = std::max(hm, ch.hmax);
+        c = ch.next_branch;
+        if (c < 0) break;
+      }
+      node.mass = m;
+      double inv = m > 0 ? 1.0 / m : 0.0;
+      node.com[0] = m > 0 ? cx * inv : node.center[0];
+      node.com[1] = m > 0 ? cy * inv : node.center[1];
+      node.com[2] = m > 0 ? cz * inv : node.center[2];
+      node.hmax = hm;
+      if (t.order > 0) {
+        // M2M: child moments about child COM -> parent COM
+        double *M = &t.moments[(size_t)i * nm];
+        c = node.first_child;
+        while (c >= 0 && t.nodes[c].pstart >= node.pstart &&
+               t.nodes[c].pstart < node.pstart + node.pcount) {
+          Node &ch = t.nodes[c];
+          const double *MB = &t.moments[(size_t)c * nm];
+          double d[3] = {ch.com[0] - node.com[0], ch.com[1] - node.com[1],
+                         ch.com[2] - node.com[2]};
+          double xp[PNX_MAX_ORDER + 1], yp[PNX_MAX_ORDER + 1],
+              zp[PNX_MAX_ORDER + 1];
+          xp[0] = yp[0] = zp[0] = 1.0;
+          for (int q = 1; q <= t.order; ++q) {
+            xp[q] = xp[q - 1] * d[0];
+            yp[q] = yp[q - 1] * d[1];
+            zp[q] = zp[q - 1] * d[2];
+          }
+          for (int p = 0; p < nm; ++p) {
+            const pnx_index_entry &e = PNX_INDEX[p];
+            double tot = 0.0;
+            for (int a = 0; a <= e.i; ++a)
+              for (int b = 0; b <= e.j; ++b)
+                for (int g = 0; g <= e.k; ++g) {
+                  int src = INDEX_POS[a][b][g];
+                  tot += MB[src] * xp[e.i - a] * yp[e.j - b] * zp[e.k - g] /
+                         (fact[e.i - a] * fact[e.j - b] * fact[e.k - g]);
+                }
+            M[p] += tot;
+          }
+          c = ch.next_branch;
+          if (c < 0) break;
+        }
+      }
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Traversal
+// ---------------------------------------------------------------------------
+
+struct TraversalCtx {
+  double theta2;
+  double soft_factor;  // admissibility c (0 => no softening restriction)
+  int64_t skip;        // original index to skip (-1: none)
+  double target_h;     // softening of the target (self-set); 0 at-points
+};
+
+inline bool soft_ok(double r2, double h, double c) {
+  if (h <= 0.0 || c <= 0.0) return true;
+  double ch = c * h;
+  return r2 > ch * ch;
+}
+
+double potential_at(const Tree &t, double tx, double ty, double tz,
+                    const TraversalCtx &ctx) {
+  double phi = 0.0;
+  double derivs[PNX_N_INDICES];
+  int32_t nodei = 0;
+  while (nodei >= 0) {
+    const Node &node = t.nodes[nodei];
+    double dx = tx - node.com[0];
+    double dy = ty - node.com[1];
+    double dz = tz - node.com[2];
+    double dist2 = dx * dx + dy * dy + dz * dz + R2_TINY;
+    bool ok = soft_ok(dist2, node.hmax, ctx.soft_factor) &&
+              node.size2 < ctx.theta2 * dist2;
+    if (ok) {
+      if (t.order == 0) {
+        phi -= node.mass / std::sqrt(dist2);
+      } else {
+        eval_derivs(dx, dy, dz, t.order, derivs);
+        const double *M = &t.moments[(size_t)nodei * t.nmom];
+        double acc = 0.0;
+        for (int p = 0; p < t.nmom; ++p)
+          acc += M[p] * t.sign[p] * derivs[p];
+        phi -= acc;
+      }
+      nodei = node.next_branch;
+    } else if (node.first_child < 0) {
+      // leaf: direct sum
+      for (int32_t k = node.pstart; k < node.pstart + node.pcount; ++k) {
+        if (t.orig_index[k] == ctx.skip) continue;
+        double ddx = t.px[k] - tx;
+        double ddy = t.py[k] - ty;
+        double ddz = t.pz[k] - tz;
+        double r2 = ddx * ddx + ddy * ddy + ddz * ddz;
+        double r = std::sqrt(r2 + R2_TINY);
+        double h = t.has_soft ? std::max(ctx.target_h, t.ph[k])
+                              : ctx.target_h;
+        phi += t.pm[k] * kernel_phi(h > 0 ? t.kernel : KERNEL_NONE, r, h);
+      }
+      nodei = node.next_branch;
+    } else {
+      nodei = node.first_child;
+    }
+  }
+  return phi;
+}
+
+void acceleration_at(const Tree &t, double tx, double ty, double tz,
+                     const TraversalCtx &ctx, double *out) {
+  double ax = 0, ay = 0, az = 0;
+  double derivs[PNX_N_INDICES];
+  int32_t nodei = 0;
+  init_index_pos();
+  while (nodei >= 0) {
+    const Node &node = t.nodes[nodei];
+    double dx = tx - node.com[0];
+    double dy = ty - node.com[1];
+    double dz = tz - node.com[2];
+    double dist2 = dx * dx + dy * dy + dz * dz + R2_TINY;
+    bool ok = soft_ok(dist2, node.hmax, ctx.soft_factor) &&
+              node.size2 < ctx.theta2 * dist2;
+    if (ok) {
+      if (t.order == 0) {
+        double r = std::sqrt(dist2);
+        double g = node.mass / (r * dist2);
+        ax -= dx * g;
+        ay -= dy * g;
+        az -= dz * g;
+      } else {
+        // a_i = +sum_n M_n (-1)^{|n|} D_{n+e_i}(d)
+        eval_derivs(dx, dy, dz, t.order + 1, derivs);
+        const double *M = &t.moments[(size_t)nodei * t.nmom];
+        double sx = 0, sy = 0, sz = 0;
+        for (int p = 0; p < t.nmom; ++p) {
+          const pnx_index_entry &e = PNX_INDEX[p];
+          double c = M[p] * t.sign[p];
+          sx += c * derivs[INDEX_POS[e.i + 1][e.j][e.k]];
+          sy += c * derivs[INDEX_POS[e.i][e.j + 1][e.k]];
+          sz += c * derivs[INDEX_POS[e.i][e.j][e.k + 1]];
+        }
+        ax += sx;
+        ay += sy;
+        az += sz;
+      }
+      nodei = node.next_branch;
+    } else if (node.first_child < 0) {
+      for (int32_t k = node.pstart; k < node.pstart + node.pcount; ++k) {
+        if (t.orig_index[k] == ctx.skip) continue;
+        double ddx = t.px[k] - tx;
+        double ddy = t.py[k] - ty;
+        double ddz = t.pz[k] - tz;
+        double r2 = ddx * ddx + ddy * ddy + ddz * ddz;
+        double r = std::sqrt(r2 + R2_TINY);
+        double h = t.has_soft ? std::max(ctx.target_h, t.ph[k])
+                              : ctx.target_h;
+        double g =
+            t.pm[k] * kernel_g(h > 0 ? t.kernel : KERNEL_NONE, r, h);
+        ax += ddx * g;
+        ay += ddy * g;
+        az += ddz * g;
+      }
+      nodei = node.next_branch;
+    } else {
+      nodei = node.first_child;
+    }
+  }
+  out[0] = ax;
+  out[1] = ay;
+  out[2] = az;
+}
+
+void parallel_for_impl(long n, int threads,
+                       const std::function<void(long, long)> &body) {
+  if (threads <= 0)
+    threads = (int)std::max(1u, std::thread::hardware_concurrency());
+  threads = (int)std::min<long>(threads, std::max<long>(1, n));
+  if (threads == 1 || n < 1024) {
+    body(0, n);
+    return;
+  }
+  std::vector<std::thread> pool;
+  long chunk = (n + threads - 1) / threads;
+  for (int ti = 0; ti < threads; ++ti) {
+    long a = ti * chunk, b = std::min(n, a + chunk);
+    if (a >= b) break;
+    pool.emplace_back([&body, a, b]() { body(a, b); });
+  }
+  for (auto &th : pool) th.join();
+}
+}  // namespace
+
+// ---------------------------------------------------------------------------
+// C API
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+void *pnx_tree_build(const double *pos, long n, const double *mass,
+                     long leaf_capacity, int order, const double *soft,
+                     int kernel) {
+  if (n <= 0 || order < 0 || order > 5) return nullptr;
+  init_index_pos();
+  Tree *t = new Tree();
+  t->n = n;
+  t->order = order;
+  t->kernel = kernel;
+  t->has_soft = soft != nullptr;
+
+  // bounding cube
+  double lo[3] = {pos[0], pos[1], pos[2]};
+  double hi[3] = {pos[0], pos[1], pos[2]};
+  for (long i = 1; i < n; ++i)
+    for (int d = 0; d < 3; ++d) {
+      lo[d] = std::min(lo[d], pos[3 * i + d]);
+      hi[d] = std::max(hi[d], pos[3 * i + d]);
+    }
+  double cx = 0.5 * (lo[0] + hi[0]);
+  double cy = 0.5 * (lo[1] + hi[1]);
+  double cz = 0.5 * (lo[2] + hi[2]);
+  double half = 0.0;
+  for (int d = 0; d < 3; ++d) half = std::max(half, 0.5 * (hi[d] - lo[d]));
+  half = std::max(half * 1.0000001, 1e-12);
+
+  std::vector<int64_t> idx(n);
+  for (long i = 0; i < n; ++i) idx[i] = i;
+  t->nodes.reserve((size_t)(2.5 * n / std::max<long>(1, leaf_capacity)) + 64);
+  build_rec(*t, idx, pos, 0, n, cx, cy, cz, half, (int)leaf_capacity, 0);
+  set_links(*t);
+
+  // reorder particle data
+  t->px.resize(n);
+  t->py.resize(n);
+  t->pz.resize(n);
+  t->pm.resize(n);
+  t->ph.assign(n, 0.0);
+  t->orig_index.resize(n);
+  for (long i = 0; i < n; ++i) {
+    int64_t j = idx[i];
+    t->px[i] = pos[3 * j + 0];
+    t->py[i] = pos[3 * j + 1];
+    t->pz[i] = pos[3 * j + 2];
+    t->pm[i] = mass ? mass[j] : 1.0;
+    if (soft) t->ph[i] = soft[j];
+    t->orig_index[i] = j;
+  }
+  build_payloads(*t);
+  return t;
+}
+
+void pnx_tree_free(void *h) { delete (Tree *)h; }
+
+long pnx_tree_n_nodes(void *h) { return (long)((Tree *)h)->nodes.size(); }
+
+// targets: (m,3).  self_mode: 1 => targets are the tree particles in ORIGINAL
+// order (skip self, use own softening); 0 => arbitrary points (no skip,
+// target softening = target_soft[i] or 0).
+void pnx_tree_potentials(void *h, const double *targets, long m,
+                         int self_mode, const double *target_soft,
+                         double theta, int threads, double *out) {
+  Tree *t = (Tree *)h;
+  double c = t->has_soft ? soft_sep_factor(t->kernel) : 0.0;
+  // map original index -> softening for self mode
+  parallel_for_impl(m, threads, [&](long a, long b) {
+    for (long i = a; i < b; ++i) {
+      TraversalCtx ctx;
+      ctx.theta2 = theta * theta;
+      ctx.soft_factor = c;
+      ctx.skip = self_mode ? i : -1;
+      ctx.target_h = target_soft ? target_soft[i] : 0.0;
+      out[i] = potential_at(*t, targets[3 * i], targets[3 * i + 1],
+                            targets[3 * i + 2], ctx);
+    }
+  });
+}
+
+void pnx_tree_accelerations(void *h, const double *targets, long m,
+                            int self_mode, const double *target_soft,
+                            double theta, int threads, double *out) {
+  Tree *t = (Tree *)h;
+  double c = t->has_soft ? soft_sep_factor(t->kernel) : 0.0;
+  parallel_for_impl(m, threads, [&](long a, long b) {
+    for (long i = a; i < b; ++i) {
+      TraversalCtx ctx;
+      ctx.theta2 = theta * theta;
+      ctx.soft_factor = c;
+      ctx.skip = self_mode ? i : -1;
+      ctx.target_h = target_soft ? target_soft[i] : 0.0;
+      acceleration_at(*t, targets[3 * i], targets[3 * i + 1],
+                      targets[3 * i + 2], ctx, out + 3 * i);
+    }
+  });
+}
+
+// direct sums (CPU fallback parity with the reference's direct.rs)
+void pnx_direct_potentials(const double *pos, long n, const double *mass,
+                           const double *soft, int kernel,
+                           const double *targets, long m, int self_mode,
+                           const double *target_soft, int threads,
+                           double *out) {
+  parallel_for_impl(m, threads, [&](long a, long b) {
+    for (long i = a; i < b; ++i) {
+      double tx = targets[3 * i], ty = targets[3 * i + 1],
+             tz = targets[3 * i + 2];
+      double th = target_soft ? target_soft[i] : 0.0;
+      double phi = 0.0;
+      for (long j = 0; j < n; ++j) {
+        if (self_mode && j == i) continue;
+        double dx = pos[3 * j] - tx;
+        double dy = pos[3 * j + 1] - ty;
+        double dz = pos[3 * j + 2] - tz;
+        double r = std::sqrt(dx * dx + dy * dy + dz * dz + R2_TINY);
+        double h = soft ? (self_mode ? std::max(th, soft[j]) : soft[j]) : th;
+        phi += (mass ? mass[j] : 1.0) *
+               kernel_phi(h > 0 ? kernel : KERNEL_NONE, r, h);
+      }
+      out[i] = phi;
+    }
+  });
+}
+
+void pnx_direct_accelerations(const double *pos, long n, const double *mass,
+                              const double *soft, int kernel,
+                              const double *targets, long m, int self_mode,
+                              const double *target_soft, int threads,
+                              double *out) {
+  parallel_for_impl(m, threads, [&](long a, long b) {
+    for (long i = a; i < b; ++i) {
+      double tx = targets[3 * i], ty = targets[3 * i + 1],
+             tz = targets[3 * i + 2];
+      double th = target_soft ? target_soft[i] : 0.0;
+      double ax = 0, ay = 0, az = 0;
+      for (long j = 0; j < n; ++j) {
+        if (self_mode && j == i) continue;
+        double dx = pos[3 * j] - tx;
+        double dy = pos[3 * j + 1] - ty;
+        double dz = pos[3 * j + 2] - tz;
+        double r = std::sqrt(dx * dx + dy * dy + dz * dz + R2_TINY);
+        double h = soft ? (self_mode ? std::max(th, soft[j]) : soft[j]) : th;
+        double g = (mass ? mass[j] : 1.0) *
+                   kernel_g(h > 0 ? kernel : KERNEL_NONE, r, h);
+        ax += dx * g;
+        ay += dy * g;
+        az += dz * g;
+      }
+      out[3 * i] = ax;
+      out[3 * i + 1] = ay;
+      out[3 * i + 2] = az;
+    }
+  });
+}
+
+}  // extern "C"

@@ -1,0 +1,173 @@
+"""Barnes–Hut octree solver: Python API over the native library.
+
+Reference counterpart: the ``#[pyclass] Octree``
+(``crates/pynbodyext-rust/src/gravity.rs:121-447``):
+``Octree(positions, masses=None, leaf_capacity=32, multipole_order=0,
+softenings=None, kernel=None)`` with ``compute_potentials`` /
+``compute_accelerations`` / ``*_at_points(theta, threads=0)``.
+
+The tree path targets the O(N log N) regime and CPU deployments; on TPU the
+dense Pallas pipe (:mod:`.pallas_direct`) is the intended fast path for
+N ≲ 10⁷ (SURVEY.md §2.5 note).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from .kernels import KERNEL_NONE, KERNEL_PLUMMER, KERNEL_SPLINE
+
+__all__ = ["Octree"]
+
+_KERNEL_CODE = {KERNEL_NONE: 0, KERNEL_PLUMMER: 1, KERNEL_SPLINE: 2,
+                None: 0}
+
+
+def _require_native():
+    from . import _native
+    if _native.lib is None:
+        raise RuntimeError(
+            "native octree library unavailable (g++ build failed); "
+            "use the direct-sum solvers instead")
+    return _native
+
+
+class Octree:
+    """Native Barnes–Hut octree with multipoles to order 5."""
+
+    def __init__(self, positions, masses=None, leaf_capacity: int = 32,
+                 multipole_order: int = 0, softenings=None,
+                 kernel: Optional[str] = None):
+        nat = _require_native()
+        self._nat = nat
+        pos = nat.as_f64(np.asarray(positions))
+        if pos.ndim != 2 or pos.shape[1] != 3:
+            raise ValueError(f"positions must be (N, 3), got {pos.shape}")
+        n = pos.shape[0]
+        if not 0 <= multipole_order <= 5:
+            raise ValueError("multipole_order must be in [0, 5]")
+        m = None if masses is None else nat.as_f64(
+            np.broadcast_to(np.asarray(masses), (n,)))
+        h = None if softenings is None else nat.as_f64(
+            np.broadcast_to(np.asarray(softenings), (n,)))
+        self._pos = pos
+        self._mass = m
+        self._soft = h
+        self.n = n
+        self.leaf_capacity = int(leaf_capacity)
+        self.multipole_order = int(multipole_order)
+        self.kernel = kernel
+        code = _KERNEL_CODE[kernel]
+        self._handle = nat.lib.pnx_tree_build(
+            nat.dptr(pos), n, nat.dptr(m), self.leaf_capacity,
+            self.multipole_order, nat.dptr(h), code)
+        if not self._handle:
+            raise RuntimeError("octree build failed")
+
+    def __del__(self):
+        handle = getattr(self, "_handle", None)
+        if handle:
+            try:
+                self._nat.lib.pnx_tree_free(handle)
+            except Exception:
+                pass
+            self._handle = None
+
+    @property
+    def n_nodes(self) -> int:
+        return int(self._nat.lib.pnx_tree_n_nodes(self._handle))
+
+    # -- solves ------------------------------------------------------------
+    def _run(self, fn, targets, theta: float, threads: int, ncols: int):
+        nat = self._nat
+        if targets is None:
+            tgt = self._pos
+            self_mode = 1
+            tsoft = self._soft
+        else:
+            tgt = nat.as_f64(np.asarray(targets))
+            if tgt.ndim != 2 or tgt.shape[1] != 3:
+                raise ValueError("targets must be (M, 3)")
+            self_mode = 0
+            tsoft = None
+        m = tgt.shape[0]
+        out = np.zeros(m * ncols, dtype=np.float64)
+        fn(self._handle, nat.dptr(tgt), m, self_mode, nat.dptr(tsoft),
+           float(theta), int(threads), nat.dptr(out))
+        return out if ncols == 1 else out.reshape(m, 3)
+
+    def compute_potentials(self, theta: float = 0.7, threads: int = 0,
+                           targets=None) -> np.ndarray:
+        return self._run(self._nat.lib.pnx_tree_potentials, targets,
+                         theta, threads, 1)
+
+    def compute_accelerations(self, theta: float = 0.7, threads: int = 0,
+                              targets=None) -> np.ndarray:
+        return self._run(self._nat.lib.pnx_tree_accelerations, targets,
+                         theta, threads, 3)
+
+    # reference API aliases (gravity.rs:321,381)
+    def potentials_at_points(self, points, theta: float = 0.7,
+                             threads: int = 0) -> np.ndarray:
+        return self.compute_potentials(theta=theta, threads=threads,
+                                       targets=points)
+
+    def accelerations_at_points(self, points, theta: float = 0.7,
+                                threads: int = 0) -> np.ndarray:
+        return self.compute_accelerations(theta=theta, threads=threads,
+                                          targets=points)
+
+
+def native_direct_potentials(pos, masses=None, softenings=None, targets=None,
+                             target_softenings=None,
+                             kernel: Optional[str] = None,
+                             threads: int = 0) -> np.ndarray:
+    """Native O(N²) direct sum (CPU fallback parity with ``direct.rs``)."""
+    nat = _require_native()
+    pos = nat.as_f64(np.asarray(pos))
+    n = pos.shape[0]
+    m = None if masses is None else nat.as_f64(
+        np.broadcast_to(np.asarray(masses), (n,)))
+    h = None if softenings is None else nat.as_f64(
+        np.broadcast_to(np.asarray(softenings), (n,)))
+    if targets is None:
+        tgt, self_mode, tsoft = pos, 1, h
+    else:
+        tgt = nat.as_f64(np.asarray(targets))
+        self_mode = 0
+        tsoft = None if target_softenings is None else nat.as_f64(
+            np.broadcast_to(np.asarray(target_softenings), (tgt.shape[0],)))
+    out = np.zeros(tgt.shape[0], dtype=np.float64)
+    nat.lib.pnx_direct_potentials(
+        nat.dptr(pos), n, nat.dptr(m), nat.dptr(h),
+        _KERNEL_CODE[kernel], nat.dptr(tgt), tgt.shape[0], self_mode,
+        nat.dptr(tsoft), int(threads), nat.dptr(out))
+    return out
+
+
+def native_direct_accelerations(pos, masses=None, softenings=None,
+                                targets=None, target_softenings=None,
+                                kernel: Optional[str] = None,
+                                threads: int = 0) -> np.ndarray:
+    nat = _require_native()
+    pos = nat.as_f64(np.asarray(pos))
+    n = pos.shape[0]
+    m = None if masses is None else nat.as_f64(
+        np.broadcast_to(np.asarray(masses), (n,)))
+    h = None if softenings is None else nat.as_f64(
+        np.broadcast_to(np.asarray(softenings), (n,)))
+    if targets is None:
+        tgt, self_mode, tsoft = pos, 1, h
+    else:
+        tgt = nat.as_f64(np.asarray(targets))
+        self_mode = 0
+        tsoft = None if target_softenings is None else nat.as_f64(
+            np.broadcast_to(np.asarray(target_softenings), (tgt.shape[0],)))
+    out = np.zeros((tgt.shape[0], 3), dtype=np.float64)
+    nat.lib.pnx_direct_accelerations(
+        nat.dptr(pos), n, nat.dptr(m), nat.dptr(h),
+        _KERNEL_CODE[kernel], nat.dptr(tgt), tgt.shape[0], self_mode,
+        nat.dptr(tsoft), int(threads), nat.dptr(out))
+    return out
