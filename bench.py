@@ -40,8 +40,7 @@ def main():
     solver = direct_potentials if on_tpu else direct_potentials_ref
 
     def solve():
-        return solver(pos, mass, jnp.broadcast_to(soft, (n_grav,)),
-                      kernel="plummer")
+        return solver(pos, mass, soft, kernel="plummer")
 
     def sync(x):
         # host readback is the only reliable sync under remote relays

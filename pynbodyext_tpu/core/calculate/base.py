@@ -270,6 +270,12 @@ class CalculatorBase(Generic[TRaw, TPublic]):
     def __repr__(self):
         return f"<{type(self).__qualname__}({self.describe_params()})>"
 
+    def _repr_html_(self):  # notebook rendering (reference display.py:78-160)
+        from .display import html_pre
+        head = (f"<b>{type(self).__qualname__}</b> "
+                f"<span style='color:#888'>&lt;{self.node_kind}&gt;</span>")
+        return head + html_pre(self.format_tree())
+
 
 class CombinedCalculator(CalculatorBase):
     """Tuple-of-values node: ``calc_a & calc_b`` (reference ``base.py:1060``)."""

@@ -103,6 +103,7 @@ class RunOptions:
     default_record_policy: Union[RecordPolicy, str] = RecordPolicy.SUMMARY
     cache_small_value_bytes: int = 1 << 20   # 1 MB auto-admission bound
     backend: str = "jax"
+    disk_cache: Optional[str] = None         # persistent cross-run memo dir
 
     def __post_init__(self):
         self.errors = ErrorPolicy(self.errors)
@@ -267,6 +268,11 @@ class ExecutionContext:
         self.options = options
         self.engine = engine
         self.cache = RuntimeCache()
+        if options.disk_cache:
+            from .diskcache import DiskResultCache
+            self.disk_cache = DiskResultCache(options.disk_cache)
+        else:
+            self.disk_cache = None
         self.trace = TraceCollector(enabled=options.trace)
         self.perf = PerfCollector(time_enabled=True,
                                   memory_enabled=options.perf_memory)

@@ -69,6 +69,28 @@ class EvalEngine:
                 return rec
             ctx.trace.cache_event("miss", node.label)
 
+        # persistent cross-run memo (signature-stable nodes only)
+        disk_path = None
+        if cache_on and ctx.disk_cache is not None:
+            disk_path = ctx.disk_cache.lookup_key(ctx.sim, input.cache_token,
+                                                  node)
+            if disk_path is not None:
+                got = ctx.disk_cache.get(disk_path)
+                if got is not None:
+                    raw, public = got
+                    rec = ResultNode(node, node.label, node.node_kind)
+                    rec.raw, rec.public = raw, public
+                    rec.status = NodeStatus.CACHED
+                    rec.cached = True
+                    rec.signature_hash = node.signature_hash()
+                    ctx.attach_child(rec)
+                    ctx.register(rec)
+                    ctx.cache.put(key, ExecutionValue(raw, public,
+                                                      node.label, 0))
+                    ctx.trace.cache_event("disk-hit", node.label)
+                    ctx.progress.on_node_end(node.label, ctx.depth, 0.0, True)
+                    return rec
+
         rec = ResultNode(node, node.label, node.node_kind)
         rec.signature_hash = node.signature_hash()
         ctx.attach_child(rec)
@@ -100,6 +122,9 @@ class EvalEngine:
             ctx.cache.put(key, ExecutionValue(raw, public, node.label,
                                               rec.summary.get("bytes", 0)))
             ctx.trace.cache_event("store", node.label)
+        if disk_path is not None:
+            if ctx.disk_cache.put(disk_path, raw, public):
+                ctx.trace.cache_event("disk-store", node.label)
         ctx.register(rec)
         ctx.progress.on_node_end(node.label, ctx.depth, rec.wall, False)
         return rec
@@ -152,6 +177,8 @@ class EvalEngine:
             "n_errors": len(ctx.errors),
             "named": {k: (v.summary or {}) for k, v in ctx.named.items()},
         }
+        if ctx.disk_cache is not None:
+            diagnostics["disk_cache"] = ctx.disk_cache.summary()
         if self.options.perf_time:
             diagnostics["perf"] = ctx.perf.summary().as_dict()
         prov = ProvenanceInfo(

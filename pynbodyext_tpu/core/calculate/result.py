@@ -171,3 +171,8 @@ class Result:
     def __repr__(self):
         return (f"<Result value={compact_repr(self.value, 40)} "
                 f"nodes={len(self.nodes)} errors={len(self.errors)}>")
+
+    def _repr_html_(self):
+        from .display import html_pre
+        return ("<b>Result</b>" + html_pre(self.summary())
+                + html_pre(self.node_tree()))

@@ -108,9 +108,9 @@ class Gravity:
         self.mass = mass
         if softening is not None:
             softening = jnp.asarray(strip_units(softening), jnp.float32)
-            if softening.ndim == 0:
-                softening = jnp.broadcast_to(softening, (n,))
-            elif softening.shape != (n,):
+            # keep scalars 0-d: the Pallas path has a uniform-softening fast
+            # path; solvers broadcast internally where needed
+            if softening.ndim != 0 and softening.shape != (n,):
                 raise ValueError("softening must be scalar or (N,)")
         self.softening = softening
         self.kernel = KernelKind.coerce(kernel)

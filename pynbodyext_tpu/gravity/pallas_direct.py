@@ -7,9 +7,22 @@ where target tiles stay resident in VMEM while source tiles stream through,
 accumulating φ / a⃗ on-chip (SURVEY.md §7 design translation).
 
 Data layout: particles are packed into an (8, N) f32 array — rows
-x, y, z, mass, softening — so every block is exactly the f32 (8, 128)
-hardware tile and coordinate broadcasts are lane-aligned.  Padded source
-columns carry mass 0 and position +1e30 so they contribute nothing.
+x, y, z, mass, softening, (spare), ones — so every block is exactly the f32
+(8, 128) hardware tile and coordinate broadcasts are lane-aligned.  Padded
+source columns carry mass 0 and position +1e15 so they contribute nothing.
+
+Performance notes (v5e ~1024-lane VPU):
+* pairwise distances use difference form (dx² + dy² + dz²), NOT the
+  ‖t‖²+‖s‖²−2t·s matmul trick — the latter catastrophically cancels for
+  close pairs at global coordinates, which gravity (unlike attention)
+  cannot tolerate;
+* everything downstream works on r² with one ``lax.rsqrt`` per pair
+  (no sqrt-then-square round trips);
+* the potential reduction Σφ·m runs as an MXU matvec (φ·m terms are
+  physically bounded, so the matvec is well-conditioned); accelerations
+  stay in the difference form Σw·d⃗ on the VPU for the same accuracy reason;
+* self-exclusion masks are built only on tile pairs whose global index
+  ranges can actually overlap (``lax.cond`` on scalar offsets).
 
 Conventions match ``direct.rs``: self-set pair softening h = max(hᵢ, hⱼ)
 with index-based self-exclusion; at-points uses source softening only;
@@ -26,8 +39,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .kernels import (KERNEL_NONE, kernel_accel_factor,
-                      kernel_potential_per_unit_mass)
+from .kernels import KERNEL_NONE, KERNEL_PLUMMER, KERNEL_SPLINE, w2, w2_prime
 
 __all__ = ["direct_potentials", "direct_accelerations", "pack_particles"]
 
@@ -37,8 +49,9 @@ _TINY2 = 1e-38
 _PAD_POS = 1e15
 
 # default tile sizes: targets resident (rows), sources streamed (lanes)
-_TM = 256
-_TS = 1024
+# (empirically best on v5e from the tile sweep in benchmarks)
+_TM = 512
+_TS = 2048
 
 
 def _round_up(n: int, m: int) -> int:
@@ -50,66 +63,111 @@ def pack_particles(pos, mass=None, soft=None, n_pad: Optional[int] = None,
     """Pack (N,3) positions (+mass/softening) into the (8, Npad) layout."""
     pos = jnp.asarray(pos, dtype=jnp.float32)
     n = pos.shape[0]
-    n_pad = _round_up(n if n_pad is None else n_pad, tile)
+    n_pad = _round_up(max(n if n_pad is None else n_pad, 1), tile)
     m = jnp.ones(n, jnp.float32) if mass is None else jnp.asarray(
         mass, jnp.float32)
     h = jnp.zeros(n, jnp.float32) if soft is None else jnp.broadcast_to(
         jnp.asarray(soft, jnp.float32), (n,))
     pack = jnp.zeros((8, n_pad), jnp.float32)
-    pack = pack.at[3, :].set(0.0)  # padded mass = 0
     pack = pack.at[0:3, :].set(_PAD_POS)
     pack = pack.at[0, :n].set(pos[:, 0])
     pack = pack.at[1, :n].set(pos[:, 1])
     pack = pack.at[2, :n].set(pos[:, 2])
     pack = pack.at[3, :n].set(m)
     pack = pack.at[4, :n].set(h)
+    pack = pack.at[6, :].set(1.0)  # ones row for MXU Σw reductions
     return pack, n
 
 
-def _pairwise(off_ref, tgt_ref, src_ref, i, j, tm, ts, kernel: str,
-              self_set: bool):
-    """Shared tile math: returns (r, h, m_j, dx, dy, dz, self_mask).
+def _r2_and_h(tgt_ref, src_ref, tm, ts, self_set: bool, uniform_soft: bool):
+    """Pairwise squared distances (+ pair softening when self_set).
 
-    ``off_ref`` holds [target_offset, source_offset] global indices (SMEM) so
-    self-exclusion stays index-exact under ring sharding (shards see rotated
-    source blocks whose global offsets differ per step).
+    ``uniform_soft``: every particle shares one softening value — the pair
+    max collapses to a scalar read (common Gravity(pos, mass, softening=ε)
+    usage, same fast path the reference special-cases in its leaf loops).
     """
     tx = tgt_ref[0, :].reshape(tm, 1)
     ty = tgt_ref[1, :].reshape(tm, 1)
     tz = tgt_ref[2, :].reshape(tm, 1)
-    th = tgt_ref[4, :].reshape(tm, 1)
     sx = src_ref[0, :].reshape(1, ts)
     sy = src_ref[1, :].reshape(1, ts)
     sz = src_ref[2, :].reshape(1, ts)
-    sm = src_ref[3, :].reshape(1, ts)
-    sh = src_ref[4, :].reshape(1, ts)
     dx = sx - tx
     dy = sy - ty
     dz = sz - tz
-    r = jnp.sqrt(dx * dx + dy * dy + dz * dz + _TINY2)
-    if self_set:
+    r2 = dx * dx + dy * dy + dz * dz
+    if uniform_soft:
+        h = src_ref[4, 0]  # scalar, broadcasts for free
+    elif self_set:
+        th = tgt_ref[4, :].reshape(tm, 1)
+        sh = src_ref[4, :].reshape(1, ts)
         h = jnp.maximum(th, sh)
-        trow = (off_ref[0] + i * tm
-                + jax.lax.broadcasted_iota(jnp.int32, (tm, ts), 0))
-        scol = (off_ref[1] + j * ts
-                + jax.lax.broadcasted_iota(jnp.int32, (tm, ts), 1))
-        same = trow == scol
     else:
+        sh = src_ref[4, :].reshape(1, ts)
         h = jnp.broadcast_to(sh, (tm, ts))
-        same = None
-    return r, h, sm, dx, dy, dz, same
+    return r2, h, (dx, dy, dz)
+
+
+def _self_mask(off_ref, i, j, tm, ts, r2):
+    """+inf into r² on the diagonal, only when tile ranges overlap."""
+    t_lo = off_ref[0] + i * tm
+    s_lo = off_ref[1] + j * ts
+
+    def masked(r2):
+        trow = t_lo + jax.lax.broadcasted_iota(jnp.int32, (tm, ts), 0)
+        scol = s_lo + jax.lax.broadcasted_iota(jnp.int32, (tm, ts), 1)
+        return jnp.where(trow == scol, jnp.inf, r2)
+
+    overlap = jnp.logical_and(t_lo < s_lo + ts, s_lo < t_lo + tm)
+    return jax.lax.cond(overlap, masked, lambda x: x, r2)
+
+
+def _phi_pairs(kernel: str, r2, h):
+    """−φ per unit mass from r² (diagonal entries carry r²=+inf → 0)."""
+    if kernel == KERNEL_NONE:
+        return -jax.lax.rsqrt(r2 + _TINY2)
+    if kernel == KERNEL_PLUMMER:
+        return -jax.lax.rsqrt(r2 + h * h + _TINY2)
+    if kernel == KERNEL_SPLINE:
+        r = jnp.sqrt(r2 + _TINY2)
+        h_safe = jnp.maximum(h, 1e-30)
+        phi = jnp.where(h > 0, w2(r / h_safe) / h_safe,
+                        -1.0 / jnp.maximum(r, 1e-30))
+        return jnp.where(jnp.isfinite(r2), phi, 0.0)
+    raise ValueError(kernel)
+
+
+def _g_pairs(kernel: str, r2, h):
+    """g(r;h) with a⃗ = m·r⃗·g, from r²."""
+    if kernel == KERNEL_NONE:
+        invr = jax.lax.rsqrt(r2 + _TINY2)
+        return invr * invr * invr
+    if kernel == KERNEL_PLUMMER:
+        invr = jax.lax.rsqrt(r2 + h * h + _TINY2)
+        return invr * invr * invr
+    if kernel == KERNEL_SPLINE:
+        r = jnp.sqrt(r2 + _TINY2)
+        h_safe = jnp.maximum(h, 1e-30)
+        r_safe = jnp.maximum(r, 1e-30)
+        g = jnp.where(h > 0, w2_prime(r / h_safe) / (h_safe * h_safe * r_safe),
+                      1.0 / (r_safe * r_safe * r_safe))
+        return jnp.where(jnp.isfinite(r2), g, 0.0)
+    raise ValueError(kernel)
 
 
 def _potential_kernel(off_ref, tgt_ref, src_ref, out_ref, *, tm, ts, kernel,
-                      self_set):
+                      self_set, uniform_soft):
     i = pl.program_id(0)
     j = pl.program_id(1)
-    r, h, sm, _, _, _, same = _pairwise(off_ref, tgt_ref, src_ref, i, j,
-                                        tm, ts, kernel, self_set)
-    phi = kernel_potential_per_unit_mass(kernel, r, h)
-    if same is not None:
-        phi = jnp.where(same, 0.0, phi)
-    pot = jnp.sum(phi * sm, axis=1)  # (tm,)
+    r2, h, _ = _r2_and_h(tgt_ref, src_ref, tm, ts, self_set, uniform_soft)
+    if self_set:
+        r2 = _self_mask(off_ref, i, j, tm, ts, r2)
+    neg_phi = _phi_pairs(kernel, r2, h)  # (tm, ts), zeros where r²=inf…
+    if kernel in (KERNEL_NONE, KERNEL_PLUMMER):
+        # rsqrt(inf)=0 naturally; nothing else needed
+        pass
+    sm = src_ref[3, :]
+    pot = jnp.dot(neg_phi, sm, preferred_element_type=jnp.float32)  # MXU
 
     @pl.when(j == 0)
     def _():
@@ -121,15 +179,18 @@ def _potential_kernel(off_ref, tgt_ref, src_ref, out_ref, *, tm, ts, kernel,
 
 
 def _acceleration_kernel(off_ref, tgt_ref, src_ref, out_ref, *, tm, ts,
-                         kernel, self_set):
+                         kernel, self_set, uniform_soft):
     i = pl.program_id(0)
     j = pl.program_id(1)
-    r, h, sm, dx, dy, dz, same = _pairwise(off_ref, tgt_ref, src_ref, i, j,
-                                           tm, ts, kernel, self_set)
-    g = kernel_accel_factor(kernel, r, h)
-    if same is not None:
-        g = jnp.where(same, 0.0, g)
-    w = g * sm
+    r2, h, (dx, dy, dz) = _r2_and_h(tgt_ref, src_ref, tm, ts, self_set,
+                                    uniform_soft)
+    if self_set:
+        r2 = _self_mask(off_ref, i, j, tm, ts, r2)
+    g = _g_pairs(kernel, r2, h)
+    w = g * src_ref[3, :].reshape(1, ts)  # fold mass in (rsqrt(inf)=0 on diag)
+    # accumulate in the physical (difference) form w·dᵢ — every summand is a
+    # bounded force term, so no catastrophic cancellation at global
+    # coordinates (an MXU Σw·s − t·Σw bundle would cancel badly)
     ax = jnp.sum(w * dx, axis=1)
     ay = jnp.sum(w * dy, axis=1)
     az = jnp.sum(w * dz, axis=1)
@@ -153,17 +214,18 @@ def _acceleration_kernel(off_ref, tgt_ref, src_ref, out_ref, *, tm, ts,
 
 
 @functools.partial(jax.jit, static_argnames=("kernel", "self_set", "tm", "ts",
-                                             "accel", "interpret"))
+                                             "accel", "interpret",
+                                             "uniform_soft"))
 def _direct_call(src_pack, tgt_pack, kernel: str, self_set: bool,
                  tm: int, ts: int, accel: bool, interpret: bool = False,
-                 tgt_offset=0, src_offset=0):
+                 tgt_offset=0, src_offset=0, uniform_soft: bool = False):
     n_pad = src_pack.shape[1]
     m_pad = tgt_pack.shape[1]
     grid = (m_pad // tm, n_pad // ts)
     body = _acceleration_kernel if accel else _potential_kernel
     out_rows = 8 if accel else 1
     kern = functools.partial(body, tm=tm, ts=ts, kernel=kernel,
-                             self_set=self_set)
+                             self_set=self_set, uniform_soft=uniform_soft)
     flops_per_pair = 18 if accel else 12
     offsets = jnp.asarray([tgt_offset, src_offset], dtype=jnp.int32)
     return pl.pallas_call(
@@ -191,9 +253,23 @@ def _direct_call(src_pack, tgt_pack, kernel: str, self_set: bool,
     )(offsets, tgt_pack, src_pack)
 
 
+def _is_uniform_soft(soft) -> bool:
+    """Host-static check: one shared softening value (or none at all)."""
+    if soft is None:
+        return True
+    if isinstance(soft, (int, float)):
+        return True
+    import numpy as np
+    if isinstance(soft, np.ndarray):
+        return soft.ndim == 0 or (soft.size > 0
+                                  and bool((soft == soft.flat[0]).all()))
+    return jnp.ndim(soft) == 0  # traced arrays: only 0-d counts as uniform
+
+
 def _prepare(pos, masses, softenings, targets, target_softenings,
              tm: int, ts: int):
     src_pack, n = pack_particles(pos, masses, softenings, tile=ts)
+    uniform = _is_uniform_soft(softenings)
     if targets is None:
         # self-set: targets are the same pack, re-padded to the target tile
         tgt_pack, m = pack_particles(pos, masses, softenings, tile=tm)
@@ -202,27 +278,28 @@ def _prepare(pos, masses, softenings, targets, target_softenings,
         tgt_pack, m = pack_particles(targets, None, target_softenings,
                                      tile=tm)
         self_set = False
-    return src_pack, tgt_pack, n, m, self_set
+    return src_pack, tgt_pack, n, m, self_set, uniform
 
 
 def direct_potentials(pos, masses=None, softenings=None, targets=None,
                       target_softenings=None, kernel: str = KERNEL_NONE,
                       tm: int = _TM, ts: int = _TS, interpret: bool = False):
     """Pallas O(N·M) potentials (self-set when ``targets`` is None)."""
-    src, tgt, n, m, self_set = _prepare(pos, masses, softenings, targets,
-                                        target_softenings, tm, ts)
+    src, tgt, n, m, self_set, uniform = _prepare(
+        pos, masses, softenings, targets, target_softenings, tm, ts)
     out = _direct_call(src, tgt, kernel, self_set, tm, ts, accel=False,
-                       interpret=interpret)
+                       interpret=interpret, uniform_soft=uniform)
     return out[0, :m]
 
 
 def direct_accelerations(pos, masses=None, softenings=None, targets=None,
-                         target_softenings=None, kernel: str = KERNEL_NONE,
+                         target_softenings=None,
+                         kernel: str = KERNEL_NONE,
                          tm: int = _TM, ts: int = _TS,
                          interpret: bool = False):
     """Pallas O(N·M) accelerations (self-set when ``targets`` is None)."""
-    src, tgt, n, m, self_set = _prepare(pos, masses, softenings, targets,
-                                        target_softenings, tm, ts)
+    src, tgt, n, m, self_set, uniform = _prepare(
+        pos, masses, softenings, targets, target_softenings, tm, ts)
     out = _direct_call(src, tgt, kernel, self_set, tm, ts, accel=True,
-                       interpret=interpret)
+                       interpret=interpret, uniform_soft=uniform)
     return out[0:3, :m].T

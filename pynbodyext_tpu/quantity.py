@@ -48,6 +48,10 @@ class QArray:
     def __setattr__(self, *_):  # pragma: no cover
         raise AttributeError("QArray is immutable")
 
+    def __reduce__(self):  # picklable despite the immutability guard
+        import numpy as _np
+        return (QArray, (_np.asarray(self.value), self.units))
+
     # -- conversions --------------------------------------------------------
     def in_units(self, target: UnitLike, **context: float) -> "QArray":
         factor = self.units.ratio(target, **context)

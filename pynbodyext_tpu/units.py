@@ -63,6 +63,9 @@ class Unit:
     def __setattr__(self, *_):  # pragma: no cover - immutability guard
         raise AttributeError("Unit is immutable")
 
+    def __reduce__(self):  # picklable despite the immutability guard
+        return (Unit, (self.scale, self.dims))
+
     # -- algebra ----------------------------------------------------------
     def __mul__(self, other: "UnitLike") -> "Unit":
         if isinstance(other, (int, float)):
