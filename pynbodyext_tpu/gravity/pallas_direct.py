@@ -49,9 +49,13 @@ _TINY2 = 1e-38
 _PAD_POS = 1e15
 
 # default tile sizes: targets resident (rows), sources streamed (lanes)
-# (empirically best on v5e from the tile sweep in benchmarks)
+# (empirically best on v5e from the tile sweep in benchmarks); the
+# acceleration kernel keeps dx/dy/dz live so it needs smaller tiles to fit
+# the 16 MB scoped-VMEM budget
 _TM = 512
 _TS = 2048
+_TM_ACC = 256
+_TS_ACC = 2048
 
 
 def _round_up(n: int, m: int) -> int:
@@ -295,7 +299,7 @@ def direct_potentials(pos, masses=None, softenings=None, targets=None,
 def direct_accelerations(pos, masses=None, softenings=None, targets=None,
                          target_softenings=None,
                          kernel: str = KERNEL_NONE,
-                         tm: int = _TM, ts: int = _TS,
+                         tm: int = _TM_ACC, ts: int = _TS_ACC,
                          interpret: bool = False):
     """Pallas O(N·M) accelerations (self-set when ``targets`` is None)."""
     src, tgt, n, m, self_set, uniform = _prepare(

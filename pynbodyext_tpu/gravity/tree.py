@@ -13,6 +13,8 @@ N ≲ 10⁷ (SURVEY.md §2.5 note).
 
 from __future__ import annotations
 
+import os
+import time
 from typing import Optional
 
 import numpy as np
@@ -20,6 +22,18 @@ import numpy as np
 from .kernels import KERNEL_NONE, KERNEL_PLUMMER, KERNEL_SPLINE
 
 __all__ = ["Octree"]
+
+#: env-var stage timing (reference parity: ``GRAVITY_TIMING``,
+#: ``pynbodyext-rust/src/gravity.rs:13-31``)
+_TIMING = bool(os.environ.get("PNX_GRAVITY_TIMING")
+               or os.environ.get("GRAVITY_TIMING"))
+
+
+def _stage(label: str, t0: float) -> None:
+    if _TIMING:
+        import sys
+        print(f"[pnx-gravity] {label}: {(time.perf_counter() - t0) * 1e3:.2f} ms",
+              file=sys.stderr)
 
 _KERNEL_CODE = {KERNEL_NONE: 0, KERNEL_PLUMMER: 1, KERNEL_SPLINE: 2,
                 None: 0}
@@ -60,9 +74,11 @@ class Octree:
         self.multipole_order = int(multipole_order)
         self.kernel = kernel
         code = _KERNEL_CODE[kernel]
+        t0 = time.perf_counter()
         self._handle = nat.lib.pnx_tree_build(
             nat.dptr(pos), n, nat.dptr(m), self.leaf_capacity,
             self.multipole_order, nat.dptr(h), code)
+        _stage(f"tree.build (N={n}, order={multipole_order})", t0)
         if not self._handle:
             raise RuntimeError("octree build failed")
 
@@ -94,8 +110,10 @@ class Octree:
             tsoft = None
         m = tgt.shape[0]
         out = np.zeros(m * ncols, dtype=np.float64)
+        t0 = time.perf_counter()
         fn(self._handle, nat.dptr(tgt), m, self_mode, nat.dptr(tsoft),
            float(theta), int(threads), nat.dptr(out))
+        _stage(f"tree.compute (M={m}, theta={theta})", t0)
         return out if ncols == 1 else out.reshape(m, 3)
 
     def compute_potentials(self, theta: float = 0.7, threads: int = 0,
