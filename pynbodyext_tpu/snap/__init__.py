@@ -6,6 +6,7 @@ TPU-native replacement for the reference's pynbody ``SimSnap`` substrate
 
 from .snapshot import Snapshot, ParticleView, SnapLike, derived_field
 from . import derived as _derived  # noqa: F401  (registers built-in derived fields)
+from .halos import HaloCatalog
 from .loaders import load_gadget_hdf5, make_test_galaxy, save_gadget_hdf5
 
 __all__ = [
@@ -13,6 +14,7 @@ __all__ = [
     "ParticleView",
     "SnapLike",
     "derived_field",
+    "HaloCatalog",
     "load_gadget_hdf5",
     "save_gadget_hdf5",
     "make_test_galaxy",
