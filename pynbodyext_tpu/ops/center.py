@@ -48,8 +48,12 @@ def shrink_sphere_center(pos, weights=None, mask=None,
     Start from the (masked) COM with the bounding-sphere radius, then
     repeatedly: recenter on the COM of particles inside the sphere, shrink
     the radius by ``shrink_factor``, stop when fewer than ``min_particles``
-    remain inside.  Runs as a single jitted ``while_loop`` of masked
-    reductions — O(iters · N) with everything fused on-device.
+    remain inside.
+
+    Performance: each ``while_loop`` iteration is ONE fused pass over the
+    positions — the inside-mask, its count, and the masked COM come out of
+    the same read.  The loop is HBM-bandwidth bound, so at 10⁷ particles one
+    pass per iteration (vs a naive two) halves the runtime.
     """
     n = pos.shape[0]
     w = jnp.ones(n, dtype=pos.dtype) if weights is None else weights
@@ -61,23 +65,26 @@ def shrink_sphere_center(pos, weights=None, mask=None,
     d2 = jnp.sum((pos - com0) ** 2, axis=-1)
     r0 = jnp.sqrt(jnp.max(jnp.where(active, d2, 0.0)))
 
-    def n_inside(center, r):
-        d2 = jnp.sum((pos - center) ** 2, axis=-1)
-        inside = jnp.logical_and(active, d2 < r * r)
-        return inside
-
     def cond(state):
         center, r, n_in, it = state
         return jnp.logical_and(n_in > min_particles, it < max_iter)
 
     def body(state):
         center, r, n_in, it = state
-        inside = n_inside(center, r)
+        rel = pos - center
+        d2 = jnp.sum(rel * rel, axis=-1)
+        inside = jnp.logical_and(active, d2 < r * r)
         w_in = jnp.where(inside, w, 0.0)
-        new_center = center_of_mass(pos, w_in, ref=center)
-        r_new = r * shrink_factor
-        n_new = jnp.sum(n_inside(new_center, r_new))
-        return (new_center, r_new, n_new, it + 1)
+        wsum = jnp.sum(w_in)
+        # COM of the sphere, conditioned on the running center
+        com = center + jnp.sum(rel * w_in[:, None], axis=0) \
+            / jnp.where(wsum == 0, 1.0, wsum)
+        n_new = jnp.sum(inside)
+        # if the current sphere already dropped below the floor, keep the
+        # previous center (pynbody: the last COM computed with > min inside)
+        ok = n_new > min_particles
+        new_center = jnp.where(ok, com, center)
+        return (new_center, r * shrink_factor, n_new, it + 1)
 
     n_init = jnp.sum(active)
     center, r, n_in, _ = jax.lax.while_loop(
