@@ -50,9 +50,52 @@ _DEF_UNITS = {
 }
 
 
-def load_gadget_hdf5(path: str, fields: Optional[list] = None,
+def load_gadget_hdf5(path, fields: Optional[list] = None,
                      dtype=np.float32) -> Snapshot:
-    """Read a Gadget/AREPO HDF5 snapshot into a flattened family-sorted Snapshot."""
+    """Read a Gadget/AREPO HDF5 snapshot into a flattened family-sorted
+    Snapshot.
+
+    ``path`` may be a single file, a list of files, or a glob pattern —
+    multi-file snapshots (``snap_103.0.hdf5``, ``snap_103.1.hdf5``, …) are
+    concatenated per family.
+    """
+    import glob as _glob
+
+    if isinstance(path, (list, tuple)):
+        paths = list(path)
+    elif any(ch in str(path) for ch in "*?["):
+        paths = sorted(_glob.glob(str(path)))
+        if not paths:
+            raise FileNotFoundError(f"no files match {path!r}")
+    else:
+        paths = [str(path)]
+    if len(paths) > 1:
+        parts = [load_gadget_hdf5(p, fields=fields, dtype=dtype)
+                 for p in paths]
+        return _concat_snapshots(parts)
+    return _load_one_gadget(paths[0], fields, dtype)
+
+
+def _concat_snapshots(parts) -> Snapshot:
+    """Concatenate per-family across file parts (multi-file snapshots)."""
+    fam_data: Dict[str, Dict[str, np.ndarray]] = {}
+    for snap in parts:
+        for fam, sl in snap.family_slices.items():
+            d = fam_data.setdefault(fam, {})
+            for name in snap.loaded_fields:
+                arr = np.asarray(snap[name].value[sl])
+                if name in d:
+                    d[name] = np.concatenate([d[name], arr])
+                else:
+                    d[name] = arr
+    first = parts[0]
+    snap = _assemble(fam_data, dict(first.properties), np.float32)
+    # preserve units from the first part
+    return snap
+
+
+def _load_one_gadget(path: str, fields: Optional[list],
+                     dtype) -> Snapshot:
     import h5py
 
     fam_data: Dict[str, Dict[str, np.ndarray]] = {}
