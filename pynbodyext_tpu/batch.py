@@ -16,7 +16,6 @@ from typing import Callable, Iterable, List, Sequence
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from .compiled import kappa_rot_pipeline
 from .snap.snapshot import Snapshot

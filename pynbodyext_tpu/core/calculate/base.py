@@ -21,7 +21,7 @@ from typing import Any, Dict, Generic, List, Optional, Tuple, TypeVar
 
 from .display import compact_repr
 from .enums import BuiltinKinds, CachePolicy, EffectPolicy, RecordPolicy
-from .exceptions import CalculatorError, CycleError
+from .exceptions import CycleError
 from .fields import ParamView, collect_param_specs
 from .params import (RuntimeValueResolver, extract_dependencies,
                      resolve_value_for, value_signature)

@@ -14,7 +14,6 @@ def compact_repr(value: Any, maxlen: int = 60) -> str:
     """Short single-line repr for node params and values."""
     try:
         if hasattr(value, "shape") and getattr(value, "ndim", 0) > 0:
-            import jax
             kind = type(value).__name__
             if hasattr(value, "units"):
                 return (f"<{kind} {tuple(value.shape)} "

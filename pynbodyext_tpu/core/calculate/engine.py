@@ -13,7 +13,7 @@ from typing import Any, List, Optional, Tuple
 
 from .cache import ExecutionValue
 from .context import ExecutionContext, NodeInput, RunOptions
-from .display import estimate_bytes, summarize_value
+from .display import summarize_value
 from .enums import CachePolicy, ErrorPolicy, NodeStatus, RecordPolicy
 from .exceptions import CalculatorError, CycleError
 from .perf import PerfFormatter

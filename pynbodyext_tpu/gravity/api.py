@@ -24,7 +24,6 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..quantity import QArray, strip_units
 from ..units import G as G_UNIT

@@ -19,12 +19,9 @@ the step where a chip holds its own block.
 
 from __future__ import annotations
 
-import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 try:
     from jax import shard_map
 except ImportError:  # older jax

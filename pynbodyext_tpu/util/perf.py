@@ -31,7 +31,6 @@ def _get_rss() -> Optional[int]:
 def _device_sync():
     """Best-effort device barrier (cheap scalar round trip)."""
     try:
-        import jax
         import jax.numpy as jnp
         float(jnp.zeros(()) + 0.0)
     except Exception:
