@@ -16,10 +16,14 @@ JSON summary line at the end for machine consumption.
 from __future__ import annotations
 
 import json
+import pathlib
 import sys
 import time
 
 import numpy as np
+
+# runnable as `python benchmarks/bench_gravity.py` from the repo root
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 
 def _timeit(fn, reps=3, sync=lambda x: None):
