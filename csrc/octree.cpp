@@ -419,12 +419,8 @@ double potential_at(const Tree &t, double tx, double ty, double tz,
       if (t.order == 0) {
         phi -= node.mass / std::sqrt(dist2);
       } else {
-        eval_derivs(dx, dy, dz, t.order, derivs);
         const double *M = &t.moments[(size_t)nodei * t.nmom];
-        double acc = 0.0;
-        for (int p = 0; p < t.nmom; ++p)
-          acc += M[p] * t.sign[p] * derivs[p];
-        phi -= acc;
+        phi -= pnx_phi_mp(t.order, dx, dy, dz, M);
       }
       nodei = node.next_branch;
     } else if (node.first_child < 0) {
@@ -470,20 +466,13 @@ void acceleration_at(const Tree &t, double tx, double ty, double tz,
         ay -= dy * g;
         az -= dz * g;
       } else {
-        // a_i = +sum_n M_n (-1)^{|n|} D_{n+e_i}(d)
-        eval_derivs(dx, dy, dz, t.order + 1, derivs);
+        // a_i = +sum_n M_n (-1)^{|n|} D_{n+e_i}(d) — unrolled evaluator
         const double *M = &t.moments[(size_t)nodei * t.nmom];
-        double sx = 0, sy = 0, sz = 0;
-        for (int p = 0; p < t.nmom; ++p) {
-          const pnx_index_entry &e = PNX_INDEX[p];
-          double c = M[p] * t.sign[p];
-          sx += c * derivs[INDEX_POS[e.i + 1][e.j][e.k]];
-          sy += c * derivs[INDEX_POS[e.i][e.j + 1][e.k]];
-          sz += c * derivs[INDEX_POS[e.i][e.j][e.k + 1]];
-        }
-        ax += sx;
-        ay += sy;
-        az += sz;
+        double a3[3];
+        pnx_acc_mp(t.order, dx, dy, dz, M, a3);
+        ax += a3[0];
+        ay += a3[1];
+        az += a3[2];
       }
       nodei = node.next_branch;
     } else if (node.first_child < 0) {

@@ -102,10 +102,15 @@ def _load_one_gadget(path: str, fields: Optional[list],
     props: dict = {}
     with h5py.File(path, "r") as f:
         hdr = dict(f["Header"].attrs)
-        props["time"] = float(hdr.get("Time", 0.0))
-        props["a"] = float(hdr.get("Time", 1.0))
+        time_attr = float(hdr.get("Time", 0.0))
+        z = float(hdr.get("Redshift", 0.0))
+        props["time"] = time_attr
+        # cosmological runs store the scale factor in Time (a = 1/(1+z));
+        # non-cosmological runs store physical time there — detect which
+        cosmological = abs(time_attr * (1.0 + z) - 1.0) < 1e-3
+        props["a"] = time_attr if cosmological else 1.0
         props["h"] = float(hdr.get("HubbleParam", 1.0))
-        props["z"] = float(hdr.get("Redshift", 0.0))
+        props["z"] = z
         boxsize = float(hdr.get("BoxSize", 0.0))
         if boxsize > 0:
             props["boxsize"] = QArray(boxsize, _DEF_UNITS["pos"])

@@ -273,8 +273,9 @@ class Snapshot(_ViewBase):
     def with_properties(self, **props) -> "Snapshot":
         p = dict(self.properties)
         p.update(props)
-        return Snapshot(self._fields, self.family_slices, p,
-                        _derived_cache=self._derived_cache)
+        # properties can feed derived fields (e.g. 'age' reads 'time'),
+        # so the derived cache must not carry over
+        return Snapshot(self._fields, self.family_slices, p)
 
     def __repr__(self):
         fams = {k: sl.stop - sl.start for k, sl in self.family_slices.items()}

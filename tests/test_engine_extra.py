@@ -104,6 +104,7 @@ def test_gadget_units_cosmological(tmp_path):
     with h5py.File(path, "w") as f:
         hdr = f.create_group("Header")
         hdr.attrs["Time"] = 0.5       # a = 0.5
+        hdr.attrs["Redshift"] = 1.0   # consistent: a = 1/(1+z)
         hdr.attrs["HubbleParam"] = 0.7
         hdr.attrs["BoxSize"] = 1000.0
         hdr.attrs["MassTable"] = np.zeros(6)

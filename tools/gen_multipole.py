@@ -82,6 +82,117 @@ def build_tables(max_order: int):
     return idx_of, tables
 
 
+def _pow_expr(var: str, p: int, locals_used: dict) -> str:
+    if p == 0:
+        return ""
+    if p == 1:
+        return var
+    name = f"{var}{p}"
+    locals_used.setdefault(name, (var, p))
+    return name
+
+
+def emit_unrolled_eval(idx_of, tables, order: int, accel: bool) -> str:
+    """Straight-line evaluator for one multipole order.
+
+    potential:  φ_partial(x,y,z,M) = Σ_n M[n]·(−1)^{|n|}·D_n   (caller negates)
+    accel:      out[i] = Σ_n M[n]·(−1)^{|n|}·D_{n+e_i}
+    """
+    name = ("pnx_acc_mp_o" if accel else "pnx_phi_mp_o") + str(order)
+    pow_locals: dict = {}
+    max_m = 2 * (order + (1 if accel else 0)) + 1
+
+    def terms_for(poly, mpos: int) -> str:
+        parts = []
+        for (a, b, c, m), coef in sorted(poly.items()):
+            factors = []
+            for var, p in (("x", a), ("y", b), ("z", c)):
+                e = _pow_expr(var, p, pow_locals)
+                if e:
+                    factors.append(e)
+            factors.append(_pow_expr("ri", m, pow_locals) or "1.0")
+            cf = float(coef)
+            expr = "*".join(factors)
+            parts.append(f"{cf:+.1f}*{expr}")
+        return f"M[{mpos}]*(" + "".join(parts) + ")"
+
+    body_terms = []
+    if accel:
+        sums = {0: [], 1: [], 2: []}
+        for n, pos_i in idx_of.items():
+            if sum(n) > order:
+                continue
+            sign = -1.0 if sum(n) % 2 else 1.0
+            for ax, shifted in enumerate([(n[0] + 1, n[1], n[2]),
+                                          (n[0], n[1] + 1, n[2]),
+                                          (n[0], n[1], n[2] + 1)]):
+                poly = tables[shifted]
+                t = terms_for(poly, pos_i)
+                sums[ax].append(("+" if sign > 0 else "-") + t)
+        lines_out = [f"  out[{ax}] = " + "".join(sums[ax]) + ";"
+                     for ax in range(3)]
+        body = "\n".join(lines_out)
+        sig = (f"static inline void {name}(double x, double y, double z, "
+               f"const double* M, double* out)")
+    else:
+        for n, pos_i in idx_of.items():
+            if sum(n) > order:
+                continue
+            sign = -1.0 if sum(n) % 2 else 1.0
+            t = terms_for(tables[n], pos_i)
+            body_terms.append(("+" if sign > 0 else "-") + t)
+        body = "  return " + "".join(body_terms) + ";"
+        sig = (f"static inline double {name}(double x, double y, double z, "
+               f"const double* M)")
+
+    # emit power locals in dependency order
+    decls = ["  double r2 = x*x + y*y + z*z;",
+             "  double ri = 1.0/sqrt(r2);"]
+    for p in range(2, 7):
+        if f"x{p}" in pow_locals or f"y{p}" in pow_locals \
+                or f"z{p}" in pow_locals or p <= 1:
+            pass
+    done = {"x": 1, "y": 1, "z": 1, "ri": 1}
+    for lname in sorted(pow_locals,
+                        key=lambda s: (s[0] if not s.startswith("ri")
+                                       else "r", int(s.lstrip("xyzri") or 1))):
+        var, p = pow_locals[lname]
+        prev = done[var]
+        while prev < p:
+            prev += 1
+            nm = f"{var}{prev}" if prev > 1 else var
+            src = f"{var}{prev-1}" if prev - 1 > 1 else var
+            decls.append(f"  double {nm} = {src}*{var};")
+        done[var] = max(done[var], p)
+    # dedupe decls (while-loop may re-add)
+    seen = set()
+    decls_u = []
+    for d in decls:
+        if d not in seen:
+            seen.add(d)
+            decls_u.append(d)
+    return sig + " {\n" + "\n".join(decls_u) + "\n" + body + "\n}\n"
+
+
+def emit_dispatchers(max_useful_order: int) -> str:
+    lines = ["static inline double pnx_phi_mp(int order, double x, double y,"
+             " double z, const double* M) {",
+             "  switch (order) {"]
+    for L in range(1, max_useful_order + 1):
+        lines.append(f"    case {L}: return pnx_phi_mp_o{L}(x, y, z, M);")
+    lines.append("    default: return 0.0;")
+    lines.append("  }\n}")
+    lines.append("static inline void pnx_acc_mp(int order, double x, "
+                 "double y, double z, const double* M, double* out) {")
+    lines.append("  switch (order) {")
+    for L in range(1, max_useful_order + 1):
+        lines.append(f"    case {L}: pnx_acc_mp_o{L}(x, y, z, M, out); "
+                     "return;")
+    lines.append("    default: out[0]=out[1]=out[2]=0.0; return;")
+    lines.append("  }\n}")
+    return "\n".join(lines) + "\n"
+
+
 def emit_c(idx_of, tables, max_order) -> str:
     lines = [
         "// AUTO-GENERATED by tools/gen_multipole.py — do not edit.",
@@ -117,6 +228,13 @@ def emit_c(idx_of, tables, max_order) -> str:
     lines.extend(entries)
     lines.append("};")
     lines.append("")
+    lines.append("#include <math.h>")
+    lines.append("")
+    lines.append("// --- machine-generated unrolled evaluators ------------")
+    for L in range(1, max_order):  # orders 1..5 (6 is only for acc shift)
+        lines.append(emit_unrolled_eval(idx_of, tables, L, accel=False))
+        lines.append(emit_unrolled_eval(idx_of, tables, L, accel=True))
+    lines.append(emit_dispatchers(max_order - 1))
     return "\n".join(lines)
 
 
