@@ -17,7 +17,8 @@ from .masked import (
     virial_radius,
     weighted_quantile,
 )
-from .center import center_of_mass, potential_center, shrink_sphere_center
+from .center import (center_of_mass, hybrid_center, potential_center,
+                     shrink_sphere_center)
 from .geometry import faceon_matrix, apply_rotation
 from .segment import (assign_bins, segment_counts, segment_stat, segment_sum,
                       segment_weighted_quantile)
@@ -27,6 +28,7 @@ __all__ = [
     "weighted_quantile", "containment_radius",
     "radius_at_surface_density", "virial_radius",
     "center_of_mass", "shrink_sphere_center", "potential_center",
+    "hybrid_center",
     "faceon_matrix", "apply_rotation",
     "assign_bins", "segment_stat", "segment_sum", "segment_counts",
     "segment_weighted_quantile",
