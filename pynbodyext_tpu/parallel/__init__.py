@@ -17,7 +17,11 @@ particle axis.  Three tiers:
 """
 
 from .mesh import make_mesh, pad_to_devices, shard_snapshot, PARTICLE_AXIS
+from .gravity_grid import (grid_direct_accelerations, grid_direct_potentials,
+                           make_mesh_2d)
 from .gravity_ring import ring_direct_accelerations, ring_direct_potentials
 
-__all__ = ["make_mesh", "shard_snapshot", "pad_to_devices", "PARTICLE_AXIS",
-           "ring_direct_potentials", "ring_direct_accelerations"]
+__all__ = ["make_mesh", "make_mesh_2d", "shard_snapshot", "pad_to_devices",
+           "PARTICLE_AXIS",
+           "ring_direct_potentials", "ring_direct_accelerations",
+           "grid_direct_potentials", "grid_direct_accelerations"]

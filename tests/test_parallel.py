@@ -82,3 +82,23 @@ def test_sharded_full_pipeline(mesh, snap):
     k_sharded = float(px.KappaRot().transform(chain).filter(sel)(ssnap))
     k_single = float(px.KappaRot().transform(chain).filter(sel)(snap))
     assert k_sharded == pytest.approx(k_single, rel=1e-4)
+
+
+def test_grid_2d_decomposition_matches_reference(cloud):
+    """2-D (targets × sources) mesh decomposition + psum (gravity_grid)."""
+    from pynbodyext_tpu.parallel import (grid_direct_accelerations,
+                                         grid_direct_potentials,
+                                         make_mesh_2d)
+    pos, m, h = cloud
+    mesh2 = make_mesh_2d(2, 4)
+    ref = np.asarray(direct_potentials_ref(pos, m, h, kernel="plummer"))
+    got = np.asarray(grid_direct_potentials(pos, m, h, mesh=mesh2,
+                                            kernel="plummer",
+                                            interpret=True))
+    np.testing.assert_allclose(got, ref, rtol=1e-4)
+    refa = np.asarray(direct_accelerations_ref(pos, m, h, kernel="plummer"))
+    gota = np.asarray(grid_direct_accelerations(pos, m, h, mesh=mesh2,
+                                                kernel="plummer",
+                                                interpret=True))
+    np.testing.assert_allclose(gota, refa, rtol=1e-3,
+                               atol=np.abs(refa).max() * 1e-5)
