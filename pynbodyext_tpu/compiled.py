@@ -22,15 +22,18 @@ from . import ops
 __all__ = ["kappa_rot_pipeline", "kappa_rot_pipeline_from_snapshot"]
 
 
-@functools.partial(jax.jit, static_argnames=("min_particles",))
+@functools.partial(jax.jit, static_argnames=("min_particles", "ssc_stride"))
 def kappa_rot_pipeline(pos, vel, mass, star_mask, boxsize,
-                       radius=30.0, min_particles: int = 100):
+                       radius=30.0, min_particles: int = 100,
+                       ssc_stride: int = 1):
     """WrapBox(minirange) → ShiftPosTo('ssc') → ShiftVelTo('com') →
     AlignVec(AngMomVec) → KappaRot, measured on stars within ``radius``
     (BASELINE.json config 4) — one XLA program.
 
     Parameters are raw device arrays: ``pos``/``vel`` (N,3) f32, ``mass``
     (N,), ``star_mask`` (N,) bool, ``boxsize`` scalar (0 disables wrapping).
+    ``ssc_stride > 1`` opts into the coarse-to-fine shrinking-sphere stage
+    (≈stride× fewer full passes; see ``ops.shrink_sphere_center``).
 
     Returns the scalar κ_rot.
     """
@@ -49,7 +52,8 @@ def kappa_rot_pipeline(pos, vel, mass, star_mask, boxsize,
 
     # -- ShiftPosTo("ssc") --------------------------------------------------
     cen = ops.shrink_sphere_center(pos, weights=mass,
-                                   min_particles=min_particles)
+                                   min_particles=min_particles,
+                                   coarse_stride=ssc_stride)
     pos = pos - cen
 
     # -- measurement selection: stars within `radius` of the new center ----

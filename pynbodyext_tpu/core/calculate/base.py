@@ -394,12 +394,7 @@ class BoundCalculator(CalculatorBase):
         return self.base.public_value_from_raw(raw)
 
     def describe_params(self):
-        parts = []
-        if self.pre_transform is not None:
-            parts.append(f"transform={self.pre_transform.label}")
-        if self.pre_filter is not None:
-            parts.append(f"filter={self.pre_filter.label}")
-        return ", ".join(parts)
+        return ""  # the label already carries the scope decorations
 
 
 def _and_filters(a, b):

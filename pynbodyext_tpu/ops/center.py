@@ -38,32 +38,11 @@ def center_of_mass(pos, weights=None, mask=None, ref=None):
     return ref + com_rel
 
 
-@partial(jax.jit, static_argnames=("min_particles", "max_iter"))
-def shrink_sphere_center(pos, weights=None, mask=None,
-                         shrink_factor: float = 0.7,
-                         min_particles: int = 100,
-                         max_iter: int = 200):
-    """Shrinking-sphere center (Power et al. 2003), pynbody-compatible loop.
-
-    Start from the (masked) COM with the bounding-sphere radius, then
-    repeatedly: recenter on the COM of particles inside the sphere, shrink
-    the radius by ``shrink_factor``, stop when fewer than ``min_particles``
-    remain inside.
-
-    Performance: each ``while_loop`` iteration is ONE fused pass over the
-    positions — the inside-mask, its count, and the masked COM come out of
-    the same read.  The loop is HBM-bandwidth bound, so at 10⁷ particles one
-    pass per iteration (vs a naive two) halves the runtime.
-    """
-    n = pos.shape[0]
-    w = jnp.ones(n, dtype=pos.dtype) if weights is None else weights
-    if mask is not None:
-        w = jnp.where(mask, w, 0.0)
+def _ssc_loop(pos, w, center0, r0, shrink_factor: float,
+              min_particles: int, max_iter: int):
+    """Core shrinking loop: one fused pass over positions per iteration.
+    Returns (center, final_radius)."""
     active = w > 0
-
-    com0 = center_of_mass(pos, w)
-    d2 = jnp.sum((pos - com0) ** 2, axis=-1)
-    r0 = jnp.sqrt(jnp.max(jnp.where(active, d2, 0.0)))
 
     def cond(state):
         center, r, n_in, it = state
@@ -88,7 +67,61 @@ def shrink_sphere_center(pos, weights=None, mask=None,
 
     n_init = jnp.sum(active)
     center, r, n_in, _ = jax.lax.while_loop(
-        cond, body, (com0, r0, n_init, jnp.int32(0)))
+        cond, body, (center0, r0, n_init, jnp.int32(0)))
+    return center, r
+
+
+@partial(jax.jit, static_argnames=("min_particles", "max_iter",
+                                   "coarse_stride"))
+def shrink_sphere_center(pos, weights=None, mask=None,
+                         shrink_factor: float = 0.7,
+                         min_particles: int = 100,
+                         max_iter: int = 200,
+                         coarse_stride: int = 1):
+    """Shrinking-sphere center (Power et al. 2003), pynbody-compatible loop.
+
+    Start from the (masked) COM with the bounding-sphere radius, then
+    repeatedly: recenter on the COM of particles inside the sphere, shrink
+    the radius by ``shrink_factor``, stop when fewer than ``min_particles``
+    remain inside.
+
+    Performance: each ``while_loop`` iteration is ONE fused pass over the
+    positions — the inside-mask, its count, and the masked COM come out of
+    the same read.  The loop is HBM-bandwidth bound, so at 10⁷ particles one
+    pass per iteration (vs a naive two) halves the runtime.
+
+    ``coarse_stride > 1`` enables an opt-in two-stage schedule: the loop
+    first converges on every ``coarse_stride``-th particle (cheap), then
+    refines at full resolution from the coarse center/radius — most
+    iterations touch N/stride particles instead of N.  Exactness caveat:
+    the coarse stage samples the density field, so the result can differ
+    from the exact loop by a fraction of the final sphere radius.
+    """
+    n = pos.shape[0]
+    w = jnp.ones(n, dtype=pos.dtype) if weights is None else weights
+    if mask is not None:
+        w = jnp.where(mask, w, 0.0)
+    active = w > 0
+
+    com0 = center_of_mass(pos, w)
+    d2 = jnp.sum((pos - com0) ** 2, axis=-1)
+    r0 = jnp.sqrt(jnp.max(jnp.where(active, d2, 0.0)))
+
+    if coarse_stride > 1 and n > coarse_stride * min_particles * 4:
+        pos_c = pos[::coarse_stride]
+        w_c = w[::coarse_stride]
+        center_c, r_c = _ssc_loop(pos_c, w_c, com0, r0, shrink_factor,
+                                  min_particles, max_iter)
+        # refine at full resolution: the coarse loop stopped when the
+        # subsample dropped below min_particles, i.e. the full count is
+        # ≈ min·stride — a few more full-res shrink steps finish the job.
+        # back off the starting radius a step for safety.
+        center, _ = _ssc_loop(pos, w, center_c, r_c / shrink_factor,
+                              shrink_factor, min_particles, max_iter)
+        return center
+
+    center, _ = _ssc_loop(pos, w, com0, r0, shrink_factor, min_particles,
+                          max_iter)
     return center
 
 

@@ -106,17 +106,19 @@ def weighted_quantile(values, fracs, weights=None, mask=None,
     v_sorted = values[order]
     w_sorted = weights[order]
     cum = jnp.cumsum(w_sorted)
+    total = cum[-1]
     if shift_first:
         c0 = cum[0]
         denom = cum[-1] - c0
         cum = (cum - c0) / jnp.where(denom == 0, 1.0, denom)
     else:
-        total = cum[-1]
         cum = cum / jnp.where(total == 0, 1.0, total)
     # replace +inf padding values so interp stays finite at frac→1 within mask
     v_last = jnp.max(jnp.where(jnp.isfinite(v_sorted), v_sorted, -jnp.inf))
     v_sorted = jnp.where(jnp.isfinite(v_sorted), v_sorted, v_last)
-    return jnp.interp(jnp.asarray(fracs), cum, v_sorted)
+    out = jnp.interp(jnp.asarray(fracs), cum, v_sorted)
+    # empty selection / zero total weight → NaN, not ±inf garbage
+    return jnp.where(total > 0, out, jnp.nan)
 
 
 def containment_radius(key, fracs, weights, mask=None):

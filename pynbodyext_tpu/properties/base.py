@@ -64,6 +64,12 @@ class ParamContain(PropertyBase):
         weight = sim[params.parameter]
         vals = ops.containment_radius(key.value, jnp.asarray(frac_arr),
                                       weight.value, mask=sim.mask)
+        if not bool(jnp.all(jnp.isfinite(vals))):
+            # matches the reference's guard (properties/base.py:92):
+            # empty selection / non-positive total weight
+            raise ValueError(
+                f"Non-positive total {params.parameter!r} in the current "
+                "selection; cannot compute containment radius.")
         out = vals[0] if scalar else vals
         return QArray(out, key.units)
 
