@@ -51,6 +51,21 @@ from .trace import TraceCollector, TraceEvent
 from .transforms import (TransformBase, TransformChain, TransformPlan,
                          TransformResult, chain_transforms)
 
+# ---------------------------------------------------------------------------
+# Reference-name compatibility aliases (reference core/calculate/__init__.py
+# __all__, lines 226+) — same concepts under their original names.
+# ---------------------------------------------------------------------------
+from .enums import validate_kind as normalize_kind  # noqa: E402
+from .fields import ParamSpec as DynamicParamSpec  # noqa: E402
+from .params import extract_dependencies as dynamic_value_dependencies
+from .params import resolve_value_for as resolve_dynamic_value
+from .params import resolve_value_for as resolve_value
+from .params import value_signature as dynamic_value_signature
+from .result import ValueSummary
+from .trace import TraceEvent as LogEvent
+from .transforms import TransformChain as TransformStep  # step alias
+NodeKind = str  # node kinds are plain strings validated by normalize_kind
+
 __all__ = [
     # base
     "CalculatorBase", "BoundCalculator", "CombinedCalculator", "dataclass_calc",
@@ -84,4 +99,8 @@ __all__ = [
     # misc
     "RuntimeCalculatorBase", "CalcRuntime", "TransformRuntime",
     "compact_repr", "format_time", "format_mem",
+    # reference-name compatibility aliases
+    "normalize_kind", "DynamicParamSpec", "dynamic_value_dependencies",
+    "dynamic_value_signature", "resolve_dynamic_value", "resolve_value",
+    "ValueSummary", "LogEvent", "TransformStep", "NodeKind",
 ]
