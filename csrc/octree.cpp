@@ -187,6 +187,13 @@ struct Tree {
 
   // signs (-1)^{|n|} per index position, cached
   std::vector<double> sign;
+
+  // cached per-block interaction lists (device-evaluation handoff)
+  long bl_block_size = 0;   // 0 => per-leaf blocks
+  double bl_theta = -1.0;
+  std::vector<std::vector<int32_t>> bl_nodes;     // accepted node ids
+  std::vector<std::vector<int32_t>> bl_leaf_idx;  // tree-order particle ids
+  std::vector<int32_t> bl_start, bl_count;        // target ranges per block
 };
 
 // recursive builder: subdivide [start,end) of the reorder buffer
@@ -501,6 +508,100 @@ void acceleration_at(const Tree &t, double tx, double ty, double tz,
   out[2] = az;
 }
 
+// ---------------------------------------------------------------------------
+// Block interaction lists: one conservative traversal per target block so an
+// accelerator can evaluate (block targets × accepted nodes) and
+// (block targets × leaf particles) as dense batched ops.
+// ---------------------------------------------------------------------------
+
+void build_block_lists(Tree &t, long block_size, double theta) {
+  if (t.bl_block_size == block_size && t.bl_theta == theta &&
+      !t.bl_nodes.empty())
+    return;
+  t.bl_start.clear();
+  t.bl_count.clear();
+  if (block_size <= 0) {
+    // per-leaf blocks: always spatially compact target groups
+    for (size_t i = 0; i < t.nodes.size(); ++i) {
+      if (t.nodes[i].first_child < 0 && t.nodes[i].pcount > 0) {
+        t.bl_start.push_back(t.nodes[i].pstart);
+        t.bl_count.push_back(t.nodes[i].pcount);
+      }
+    }
+  } else {
+    for (long p = 0; p < t.n; p += block_size) {
+      t.bl_start.push_back((int32_t)p);
+      t.bl_count.push_back((int32_t)std::min<long>(block_size, t.n - p));
+    }
+  }
+  long nb = (long)t.bl_start.size();
+  t.bl_nodes.assign(nb, {});
+  t.bl_leaf_idx.assign(nb, {});
+  double theta2 = theta * theta;
+  double c_soft = t.has_soft ? soft_sep_factor(t.kernel) : 0.0;
+
+  for (long b = 0; b < nb; ++b) {
+    long p0 = t.bl_start[b];
+    long p1 = p0 + t.bl_count[b];
+    // block bounding sphere (tree-order blocks are spatially compact)
+    double lo[3] = {t.px[p0], t.py[p0], t.pz[p0]};
+    double hi[3] = {lo[0], lo[1], lo[2]};
+    for (long k = p0 + 1; k < p1; ++k) {
+      lo[0] = std::min(lo[0], t.px[k]);
+      hi[0] = std::max(hi[0], t.px[k]);
+      lo[1] = std::min(lo[1], t.py[k]);
+      hi[1] = std::max(hi[1], t.py[k]);
+      lo[2] = std::min(lo[2], t.pz[k]);
+      hi[2] = std::max(hi[2], t.pz[k]);
+    }
+    double cb[3] = {0.5 * (lo[0] + hi[0]), 0.5 * (lo[1] + hi[1]),
+                    0.5 * (lo[2] + hi[2])};
+    double rb2 = 0.0;
+    for (long k = p0; k < p1; ++k) {
+      double dx = t.px[k] - cb[0], dy = t.py[k] - cb[1],
+             dz = t.pz[k] - cb[2];
+      rb2 = std::max(rb2, dx * dx + dy * dy + dz * dz);
+    }
+    double rb = std::sqrt(rb2);
+
+    std::vector<int32_t> &nlist = t.bl_nodes[b];
+    std::vector<int32_t> &plist = t.bl_leaf_idx[b];
+    int32_t nodei = 0;
+    while (nodei >= 0) {
+      const Node &node = t.nodes[nodei];
+      double dx = cb[0] - node.com[0];
+      double dy = cb[1] - node.com[1];
+      double dz = cb[2] - node.com[2];
+      double d = std::sqrt(dx * dx + dy * dy + dz * dz);
+      double dmin = d - rb;  // closest any block target can be to the COM
+      // containment guard: never accept a node whose cube can overlap the
+      // block (the bare BH criterion admits self-containing cells for
+      // θ > 1/√3, poisoning the far field with self-interactions)
+      double ox = std::abs(cb[0] - node.center[0]);
+      double oy = std::abs(cb[1] - node.center[1]);
+      double oz = std::abs(cb[2] - node.center[2]);
+      double reach = node.half + rb;
+      bool outside = ox > reach || oy > reach || oz > reach;
+      bool ok = outside && dmin > 0.0 &&
+                node.size2 < theta2 * dmin * dmin &&
+                (c_soft <= 0.0 || node.hmax <= 0.0 ||
+                 dmin > c_soft * node.hmax);
+      if (ok) {
+        nlist.push_back(nodei);
+        nodei = node.next_branch;
+      } else if (node.first_child < 0) {
+        for (int32_t k = node.pstart; k < node.pstart + node.pcount; ++k)
+          plist.push_back(k);
+        nodei = node.next_branch;
+      } else {
+        nodei = node.first_child;
+      }
+    }
+  }
+  t.bl_block_size = block_size;
+  t.bl_theta = theta;
+}
+
 void parallel_for_impl(long n, int threads,
                        const std::function<void(long, long)> &body) {
   if (threads <= 0)
@@ -621,6 +722,80 @@ void pnx_tree_accelerations(void *h, const double *targets, long m,
                       targets[3 * i + 2], ctx, out + 3 * i);
     }
   });
+}
+
+// --- block interaction lists (accelerator handoff) -------------------------
+
+long pnx_tree_build_block_lists(void *h, long block_size, double theta) {
+  Tree *t = (Tree *)h;
+  build_block_lists(*t, block_size, theta);
+  return (long)t->bl_nodes.size();
+}
+
+void pnx_tree_block_list_sizes(void *h, long *node_counts,
+                               long *leaf_counts) {
+  Tree *t = (Tree *)h;
+  for (size_t b = 0; b < t->bl_nodes.size(); ++b) {
+    node_counts[b] = (long)t->bl_nodes[b].size();
+    leaf_counts[b] = (long)t->bl_leaf_idx[b].size();
+  }
+}
+
+// per-block target ranges (tree order): start index + count
+void pnx_tree_block_targets(void *h, int32_t *starts, int32_t *counts) {
+  Tree *t = (Tree *)h;
+  std::memcpy(starts, t->bl_start.data(),
+              t->bl_start.size() * sizeof(int32_t));
+  std::memcpy(counts, t->bl_count.data(),
+              t->bl_count.size() * sizeof(int32_t));
+}
+
+// concatenated data (caller allocates using the size sums)
+void pnx_tree_block_list_data(void *h, int32_t *node_ids,
+                              int32_t *leaf_idx) {
+  Tree *t = (Tree *)h;
+  long no = 0, lo = 0;
+  for (size_t b = 0; b < t->bl_nodes.size(); ++b) {
+    std::memcpy(node_ids + no, t->bl_nodes[b].data(),
+                t->bl_nodes[b].size() * sizeof(int32_t));
+    no += (long)t->bl_nodes[b].size();
+    std::memcpy(leaf_idx + lo, t->bl_leaf_idx[b].data(),
+                t->bl_leaf_idx[b].size() * sizeof(int32_t));
+    lo += (long)t->bl_leaf_idx[b].size();
+  }
+}
+
+// node payload export: com(3), mass, hmax per node (+moments separately)
+void pnx_tree_node_data(void *h, double *com, double *mass, double *hmax) {
+  Tree *t = (Tree *)h;
+  for (size_t i = 0; i < t->nodes.size(); ++i) {
+    com[3 * i] = t->nodes[i].com[0];
+    com[3 * i + 1] = t->nodes[i].com[1];
+    com[3 * i + 2] = t->nodes[i].com[2];
+    mass[i] = t->nodes[i].mass;
+    hmax[i] = t->nodes[i].hmax;
+  }
+}
+
+void pnx_tree_moments(void *h, double *out) {
+  Tree *t = (Tree *)h;
+  std::memcpy(out, t->moments.data(), t->moments.size() * sizeof(double));
+}
+
+int pnx_tree_nmom(void *h) { return ((Tree *)h)->nmom; }
+
+// reordered particle data export (tree order) + original indices
+void pnx_tree_particles(void *h, double *pos, double *mass, double *soft,
+                        int64_t *orig) {
+  Tree *t = (Tree *)h;
+  for (long i = 0; i < t->n; ++i) {
+    pos[3 * i] = t->px[i];
+    pos[3 * i + 1] = t->py[i];
+    pos[3 * i + 2] = t->pz[i];
+    mass[i] = t->pm[i];
+    soft[i] = t->ph[i];
+    orig[i] = t->orig_index[i];
+  }
 }
 
 // direct sums (CPU fallback parity with the reference's direct.rs)

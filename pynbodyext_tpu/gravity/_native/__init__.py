@@ -73,6 +73,21 @@ def _load() -> Optional[ctypes.CDLL]:
               ctypes.c_int, dp, ctypes.c_int, dp]
     dll.pnx_direct_potentials.argtypes = direct
     dll.pnx_direct_accelerations.argtypes = direct
+    lp = ctypes.POINTER(ctypes.c_long)
+    ip = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    dll.pnx_tree_build_block_lists.restype = ctypes.c_long
+    dll.pnx_tree_build_block_lists.argtypes = [ctypes.c_void_p,
+                                               ctypes.c_long,
+                                               ctypes.c_double]
+    dll.pnx_tree_block_list_sizes.argtypes = [ctypes.c_void_p, lp, lp]
+    dll.pnx_tree_block_list_data.argtypes = [ctypes.c_void_p, ip, ip]
+    dll.pnx_tree_block_targets.argtypes = [ctypes.c_void_p, ip, ip]
+    dll.pnx_tree_node_data.argtypes = [ctypes.c_void_p, dp, dp, dp]
+    dll.pnx_tree_moments.argtypes = [ctypes.c_void_p, dp]
+    dll.pnx_tree_nmom.restype = ctypes.c_int
+    dll.pnx_tree_nmom.argtypes = [ctypes.c_void_p]
+    dll.pnx_tree_particles.argtypes = [ctypes.c_void_p, dp, dp, dp, i64p]
     return dll
 
 

@@ -167,14 +167,26 @@ class Gravity:
         return self._tree
 
     def tree_potentials(self, targets=None, theta: float = 0.7,
-                        threads: int = 0, kernel=None):
+                        threads: int = 0, kernel=None,
+                        device: bool = False):
+        """Barnes–Hut potentials.  ``device=True`` evaluates the traversal's
+        interaction lists on the accelerator (tree_tpu) — self-set only."""
+        if device and targets is None:
+            from .tree_tpu import tree_potentials_device
+            return tree_potentials_device(self.get_tree(), theta=theta)
         return self.get_tree().compute_potentials(theta=theta,
-                                                  targets=targets)
+                                                  targets=targets,
+                                                  threads=threads)
 
     def tree_accelerations(self, targets=None, theta: float = 0.7,
-                           threads: int = 0, kernel=None):
+                           threads: int = 0, kernel=None,
+                           device: bool = False):
+        if device and targets is None:
+            from .tree_tpu import tree_accelerations_device
+            return tree_accelerations_device(self.get_tree(), theta=theta)
         return self.get_tree().compute_accelerations(theta=theta,
-                                                     targets=targets)
+                                                     targets=targets,
+                                                     threads=threads)
 
 
 # ---------------------------------------------------------------------------

@@ -126,6 +126,79 @@ class Octree:
         return self._run(self._nat.lib.pnx_tree_accelerations, targets,
                          theta, threads, 3)
 
+    # -- accelerator handoff -------------------------------------------------
+    def block_lists(self, theta: float = 0.7, block_size: int = 0):
+        """Per-block interaction lists for device evaluation.
+
+        ``block_size=0`` (default) groups targets per LEAF — always
+        spatially compact; a positive value groups fixed runs of
+        consecutive tree-order particles instead.  A conservative per-block
+        traversal (opening criterion against the block bounding sphere)
+        yields, for each block, the accepted far-field node ids and the
+        near-field particle ids.  See
+        :mod:`~pynbodyext_tpu.gravity.tree_tpu` for the evaluator.
+        """
+        import ctypes
+        nat = self._nat
+        nb = nat.lib.pnx_tree_build_block_lists(self._handle,
+                                                int(block_size),
+                                                float(theta))
+        node_counts = np.zeros(nb, dtype=np.int64)
+        leaf_counts = np.zeros(nb, dtype=np.int64)
+        lp = ctypes.POINTER(ctypes.c_long)
+        nat.lib.pnx_tree_block_list_sizes(
+            self._handle, node_counts.ctypes.data_as(lp),
+            leaf_counts.ctypes.data_as(lp))
+        node_ids = np.zeros(int(node_counts.sum()), dtype=np.int32)
+        leaf_idx = np.zeros(int(leaf_counts.sum()), dtype=np.int32)
+        ip = ctypes.POINTER(ctypes.c_int32)
+        nat.lib.pnx_tree_block_list_data(
+            self._handle, node_ids.ctypes.data_as(ip),
+            leaf_idx.ctypes.data_as(ip))
+        starts = np.zeros(nb, dtype=np.int32)
+        counts = np.zeros(nb, dtype=np.int32)
+        nat.lib.pnx_tree_block_targets(
+            self._handle, starts.ctypes.data_as(ip),
+            counts.ctypes.data_as(ip))
+        return {"n_blocks": int(nb), "block_size": int(block_size),
+                "node_counts": node_counts, "leaf_counts": leaf_counts,
+                "node_ids": node_ids, "leaf_idx": leaf_idx,
+                "starts": starts, "counts": counts}
+
+    def node_data(self):
+        """(com (Nn,3), mass (Nn,), hmax (Nn,)) for all tree nodes."""
+        import ctypes
+        nat = self._nat
+        nn = self.n_nodes
+        com = np.zeros((nn, 3))
+        mass = np.zeros(nn)
+        hmax = np.zeros(nn)
+        nat.lib.pnx_tree_node_data(self._handle, nat.dptr(com),
+                                   nat.dptr(mass), nat.dptr(hmax))
+        return com, mass, hmax
+
+    def node_moments(self) -> np.ndarray:
+        """Multipole moments, shape (Nn, nmom)."""
+        nat = self._nat
+        nmom = int(nat.lib.pnx_tree_nmom(self._handle))
+        out = np.zeros((self.n_nodes, max(nmom, 1)))
+        if nmom:
+            nat.lib.pnx_tree_moments(self._handle, nat.dptr(out))
+        return out
+
+    def particles_tree_order(self):
+        """(pos, mass, soft, orig_index) in tree order."""
+        import ctypes
+        nat = self._nat
+        pos = np.zeros((self.n, 3))
+        mass = np.zeros(self.n)
+        soft = np.zeros(self.n)
+        orig = np.zeros(self.n, dtype=np.int64)
+        nat.lib.pnx_tree_particles(
+            self._handle, nat.dptr(pos), nat.dptr(mass), nat.dptr(soft),
+            orig.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+        return pos, mass, soft, orig
+
     # reference API aliases (gravity.rs:321,381)
     def potentials_at_points(self, points, theta: float = 0.7,
                              threads: int = 0) -> np.ndarray:

@@ -1,0 +1,304 @@
+"""Tree-accelerated gravity on the device: Barnes–Hut as batched dense ops.
+
+The classic BH traversal is pointer-chasing with divergent control flow —
+hostile to TPUs.  The device-friendly decomposition (the GPU-treecode
+pattern, here TPU-first):
+
+1. the native octree (``csrc/octree.cpp``) groups targets into blocks of
+   consecutive tree-order particles (spatially compact) and runs ONE
+   conservative traversal per block, emitting
+   * the accepted far-field node list (monopole/multipole sources), and
+   * the near-field particle list (to treat exactly);
+2. lists are padded to the per-block maxima and shipped to the device once;
+3. the device evaluates every block in parallel with two ``vmap``-batched
+   dense kernels — a (block × nodes) far-field sum and a (block × leaf
+   particles) direct sum — pure gathers + reductions, no control flow.
+
+Cost: O(N·⟨list⟩) instead of O(N²); at 10⁷ particles and θ≈0.7 this is
+~10³× less work than the dense pipe while holding BH accuracy (the block
+criterion is strictly more conservative than per-particle BH).
+
+Padding waste is bounded by tree-order locality: blocks are spatially
+compact, so list lengths are similar across blocks.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .kernels import (KERNEL_NONE, kernel_accel_factor,
+                      kernel_potential_per_unit_mass)
+from .tree import Octree
+
+__all__ = ["tree_potentials_device", "tree_accelerations_device",
+           "prepare_tree_device"]
+
+_TINY2 = 1e-38
+_FAR = 1e15
+
+
+def _pad_lists(counts, ids, fill):
+    """Concatenated ragged lists → (n_blocks, Lmax) padded matrix."""
+    n_blocks = len(counts)
+    lmax = int(counts.max()) if n_blocks else 0
+    lmax = max(lmax, 1)
+    out = np.full((n_blocks, lmax), fill, dtype=ids.dtype)
+    off = 0
+    for b in range(n_blocks):
+        c = int(counts[b])
+        out[b, :c] = ids[off:off + c]
+        off += c
+    return out
+
+
+def prepare_tree_device(tree: Octree, theta: float = 0.7,
+                        block_size: int = 0, dtype=jnp.float32):
+    """Build + pad the interaction lists and device-resident tree data.
+
+    ``block_size=0`` groups targets per leaf (recommended: leaves are
+    always spatially compact, so the conservative block criterion stays
+    close to per-particle BH).
+    """
+    lists = tree.block_lists(theta=theta, block_size=block_size)
+    com, nmass, _ = tree.node_data()
+    pos, pmass, psoft, orig = tree.particles_tree_order()
+    n = len(pos)
+    nb = lists["n_blocks"]
+
+    # dummy node / particle: zero mass at a moderate offset — far enough
+    # from every real particle that 1/r powers stay finite, close enough
+    # that the x^a·y^b·z^c multipole monomials don't overflow f32
+    extent = float(np.max(pos.max(0) - pos.min(0))) if n else 1.0
+    sentinel = pos.mean(0) + 3.0 * max(extent, 1e-3)
+    com = np.vstack([com, sentinel[None, :]])
+    nmass = np.concatenate([nmass, [0.0]])
+    pos_pad = np.vstack([pos, sentinel[None, :]])
+    pmass_pad = np.concatenate([pmass, [0.0]])
+    psoft_pad = np.concatenate([psoft, [0.0]])
+    orig_pad = np.concatenate([orig, [-2]])
+
+    node_mat = _pad_lists(lists["node_counts"], lists["node_ids"],
+                          fill=len(nmass) - 1)
+    leaf_mat = _pad_lists(lists["leaf_counts"], lists["leaf_idx"],
+                          fill=n)
+
+    # variable-length target blocks → padded (nb, bmax) index matrix into
+    # the padded particle arrays (pad rows point at the dummy particle)
+    starts = lists["starts"].astype(np.int64)
+    counts = lists["counts"].astype(np.int64)
+    bmax = int(counts.max())
+    tgt_idx = np.full((nb, bmax), n, dtype=np.int64)
+    for b in range(nb):
+        c = int(counts[b])
+        tgt_idx[b, :c] = np.arange(starts[b], starts[b] + c)
+    tgt_pos = pos_pad[tgt_idx]
+    tgt_soft = psoft_pad[tgt_idx]
+    tgt_orig = orig_pad[tgt_idx]
+    # padded targets must not collide with the dummy source (-2): use -3
+    tgt_orig = np.where(tgt_idx == n, -3, tgt_orig)
+
+    moments = tree.node_moments()
+    moments = np.vstack([moments, np.zeros((1, moments.shape[1]))])
+
+    return {
+        "n": n, "n_blocks": nb, "block_size": block_size,
+        "order": tree.multipole_order, "kernel": tree.kernel,
+        "tgt_idx": tgt_idx,
+        "tgt_pos": jnp.asarray(tgt_pos, dtype),
+        "tgt_soft": jnp.asarray(tgt_soft, dtype),
+        "tgt_orig": jnp.asarray(tgt_orig),
+        "node_ids": jnp.asarray(node_mat),
+        "leaf_ids": jnp.asarray(leaf_mat),
+        "node_com": jnp.asarray(com, dtype),
+        "node_mass": jnp.asarray(nmass, dtype),
+        "node_moments": jnp.asarray(moments, dtype),
+        "src_pos": jnp.asarray(pos_pad, dtype),
+        "src_mass": jnp.asarray(pmass_pad, dtype),
+        "src_soft": jnp.asarray(psoft_pad, dtype),
+        "src_orig": jnp.asarray(orig_pad),
+        "orig_index": np.asarray(orig),
+        "stats": {
+            "mean_nodes": float(lists["node_counts"].mean()),
+            "max_nodes": int(lists["node_counts"].max()),
+            "mean_leaf": float(lists["leaf_counts"].mean()),
+            "max_leaf": int(lists["leaf_counts"].max()),
+            "bmax": bmax,
+        },
+    }
+
+
+def _phi_multipole_jnp(d, M, order: int):
+    """φ contribution of moments M at displacement d (vectorized).
+
+    Uses the generated exact derivative tables; d: (..., 3), M: (..., nmom).
+    Matches the native evaluator: φ_partial = Σ_n M_n (−1)^{|n|} D_n(d).
+    """
+    from ._multipole_tables import TABLES
+
+    def multi_indices(L):
+        return [(i, j, t - i - j) for t in range(L + 1)
+                for i in range(t, -1, -1) for j in range(t - i, -1, -1)]
+
+    x, y, z = d[..., 0], d[..., 1], d[..., 2]
+    r = jnp.sqrt(x * x + y * y + z * z + _TINY2)
+    ri = 1.0 / r
+    out = 0.0
+    for pos_i, n in enumerate(multi_indices(order)):
+        sign = -1.0 if sum(n) % 2 else 1.0
+        dn = 0.0
+        for (a, b, c, m, coef) in TABLES[n]:
+            dn = dn + coef * (x ** a) * (y ** b) * (z ** c) * (ri ** m)
+        out = out + M[..., pos_i] * sign * dn
+    return out
+
+
+@partial(jax.jit, static_argnames=("kernel", "order"))
+def _eval_potentials(prep_tgt_pos, prep_tgt_soft, tgt_orig, node_ids,
+                     leaf_ids, node_com, node_mass, node_moments,
+                     src_pos, src_mass, src_soft, src_orig,
+                     kernel: str, order: int):
+    def one_block(tpos, tsoft, torig, nids, lids):
+        # far field
+        ncom = node_com[nids]              # (Ln, 3)
+        nm = node_mass[nids]               # (Ln,)
+        d = tpos[:, None, :] - ncom[None, :, :]
+        if order == 0:
+            r = jnp.sqrt(jnp.sum(d * d, axis=-1) + _TINY2)
+            phi_far = -jnp.sum(nm[None, :] / r, axis=1)
+        else:
+            M = node_moments[nids]         # (Ln, nmom)
+            contrib = _phi_multipole_jnp(d, M[None, :, :], order)
+            phi_far = -jnp.sum(contrib, axis=1)
+        # near field (exact, with softening kernel + self exclusion)
+        spos = src_pos[lids]               # (Ll, 3)
+        sm = src_mass[lids]
+        sh = src_soft[lids]
+        sorig = src_orig[lids]
+        dd = spos[None, :, :] - tpos[:, None, :]
+        r = jnp.sqrt(jnp.sum(dd * dd, axis=-1) + _TINY2)
+        h = jnp.maximum(tsoft[:, None], sh[None, :])
+        phi_pair = kernel_potential_per_unit_mass(kernel, r, h)
+        same = torig[:, None] == sorig[None, :]
+        phi_near = jnp.sum(jnp.where(same, 0.0, phi_pair) * sm[None, :],
+                           axis=1)
+        return phi_far + phi_near
+
+    return jax.vmap(one_block)(prep_tgt_pos, prep_tgt_soft, tgt_orig,
+                               node_ids, leaf_ids)
+
+
+def _scatter_out(prep, block_vals: np.ndarray, ncols: int) -> np.ndarray:
+    """(nb, bmax[, 3]) block results → original-order (n[, 3]) array."""
+    n = prep["n"]
+    flat_idx = prep["tgt_idx"].reshape(-1)
+    flat = np.asarray(block_vals).reshape(len(flat_idx), -1)
+    valid = flat_idx < n
+    tree_order = np.zeros((n, flat.shape[1]))
+    tree_order[flat_idx[valid]] = flat[valid]
+    out = np.zeros((n, flat.shape[1]))
+    out[prep["orig_index"]] = tree_order
+    return out[:, 0] if ncols == 1 else out
+
+
+def tree_potentials_device(tree: Octree, theta: float = 0.7,
+                           block_size: int = 0, prep=None,
+                           dtype=jnp.float32) -> np.ndarray:
+    """Barnes–Hut potentials evaluated on the device (original order)."""
+    if prep is None:
+        prep = prepare_tree_device(tree, theta=theta,
+                                   block_size=block_size, dtype=dtype)
+    kern = prep["kernel"] if prep["kernel"] is not None else KERNEL_NONE
+    phi_blocks = _eval_potentials(
+        prep["tgt_pos"], prep["tgt_soft"], prep["tgt_orig"],
+        prep["node_ids"], prep["leaf_ids"], prep["node_com"],
+        prep["node_mass"], prep["node_moments"], prep["src_pos"],
+        prep["src_mass"], prep["src_soft"], prep["src_orig"],
+        kernel=(kern or KERNEL_NONE), order=prep["order"])
+    return _scatter_out(prep, np.asarray(phi_blocks), 1)
+
+
+def _acc_multipole_jnp(d, M, order: int):
+    """Acceleration contribution of moments M at displacement d = t − com:
+    a_i = Σ_n M_n (−1)^{|n|} D_{n+e_i}(d) (matches the native evaluator)."""
+    from ._multipole_tables import TABLES
+
+    def multi_indices(L):
+        return [(i, j, t - i - j) for t in range(L + 1)
+                for i in range(t, -1, -1) for j in range(t - i, -1, -1)]
+
+    x, y, z = d[..., 0], d[..., 1], d[..., 2]
+    r = jnp.sqrt(x * x + y * y + z * z + _TINY2)
+    ri = 1.0 / r
+
+    def eval_D(n):
+        out = 0.0
+        for (a, b, c, m, coef) in TABLES[n]:
+            out = out + coef * (x ** a) * (y ** b) * (z ** c) * (ri ** m)
+        return out
+
+    ax = ay = az = 0.0
+    for pos_i, n in enumerate(multi_indices(order)):
+        sign = -1.0 if sum(n) % 2 else 1.0
+        cm = M[..., pos_i] * sign
+        ax = ax + cm * eval_D((n[0] + 1, n[1], n[2]))
+        ay = ay + cm * eval_D((n[0], n[1] + 1, n[2]))
+        az = az + cm * eval_D((n[0], n[1], n[2] + 1))
+    return jnp.stack([ax, ay, az], axis=-1)
+
+
+@partial(jax.jit, static_argnames=("kernel", "order"))
+def _eval_accelerations(prep_tgt_pos, prep_tgt_soft, tgt_orig, node_ids,
+                        leaf_ids, node_com, node_mass, node_moments,
+                        src_pos, src_mass, src_soft, src_orig,
+                        kernel: str, order: int):
+    def one_block(tpos, tsoft, torig, nids, lids):
+        ncom = node_com[nids]
+        nm = node_mass[nids]
+        if order == 0:
+            d = ncom[None, :, :] - tpos[:, None, :]   # source − target
+            r2 = jnp.sum(d * d, axis=-1) + _TINY2
+            invr = jax.lax.rsqrt(r2)
+            g = nm[None, :] * invr * invr * invr
+            a_far = jnp.sum(d * g[:, :, None], axis=1)
+        else:
+            M = node_moments[nids]
+            dt = tpos[:, None, :] - ncom[None, :, :]  # target − com
+            contrib = _acc_multipole_jnp(dt, M[None, :, :], order)
+            a_far = jnp.sum(contrib, axis=1)
+        spos = src_pos[lids]
+        sm = src_mass[lids]
+        sh = src_soft[lids]
+        sorig = src_orig[lids]
+        dd = spos[None, :, :] - tpos[:, None, :]
+        r = jnp.sqrt(jnp.sum(dd * dd, axis=-1) + _TINY2)
+        h = jnp.maximum(tsoft[:, None], sh[None, :])
+        g2 = kernel_accel_factor(kernel, r, h)
+        same = torig[:, None] == sorig[None, :]
+        w = jnp.where(same, 0.0, g2) * sm[None, :]
+        a_near = jnp.sum(dd * w[:, :, None], axis=1)
+        return a_far + a_near
+
+    return jax.vmap(one_block)(prep_tgt_pos, prep_tgt_soft, tgt_orig,
+                               node_ids, leaf_ids)
+
+
+def tree_accelerations_device(tree: Octree, theta: float = 0.7,
+                              block_size: int = 0, prep=None,
+                              dtype=jnp.float32) -> np.ndarray:
+    """Barnes–Hut accelerations on the device (monopole far field)."""
+    if prep is None:
+        prep = prepare_tree_device(tree, theta=theta,
+                                   block_size=block_size, dtype=dtype)
+    kern = prep["kernel"] if prep["kernel"] is not None else KERNEL_NONE
+    acc_blocks = _eval_accelerations(
+        prep["tgt_pos"], prep["tgt_soft"], prep["tgt_orig"],
+        prep["node_ids"], prep["leaf_ids"], prep["node_com"],
+        prep["node_mass"], prep["node_moments"], prep["src_pos"],
+        prep["src_mass"], prep["src_soft"], prep["src_orig"],
+        kernel=(kern or KERNEL_NONE), order=prep["order"])
+    return _scatter_out(prep, np.asarray(acc_blocks), 3)
