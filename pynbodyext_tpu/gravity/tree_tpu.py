@@ -114,6 +114,8 @@ def prepare_tree_device(tree: Octree, theta: float = 0.7,
         "tgt_orig": jnp.asarray(tgt_orig),
         "node_ids": jnp.asarray(node_mat),
         "leaf_ids": jnp.asarray(leaf_mat),
+        "node_counts": np.asarray(lists["node_counts"]),
+        "leaf_counts": np.asarray(lists["leaf_counts"]),
         "node_com": jnp.asarray(com, dtype),
         "node_mass": jnp.asarray(nmass, dtype),
         "node_moments": jnp.asarray(moments, dtype),
@@ -205,21 +207,65 @@ def _scatter_out(prep, block_vals: np.ndarray, ncols: int) -> np.ndarray:
     return out[:, 0] if ncols == 1 else out
 
 
+def _chunked_eval(prep, eval_fn, chunk_blocks: int, extra_args):
+    """Evaluate block groups in bounded-memory chunks (the per-block gathers
+    materialize (blocks × list × payload) intermediates, which must not
+    scale with the full snapshot)."""
+    nb = prep["n_blocks"]
+    outs = []
+    nchunks = -(-nb // chunk_blocks)
+
+    def pow2ceil(x: int) -> int:
+        return 1 << max(0, int(np.ceil(np.log2(max(x, 1)))))
+
+    for c in range(nchunks):
+        lo = c * chunk_blocks
+        hi = min(nb, lo + chunk_blocks)
+        sl = slice(lo, hi)
+        pad = chunk_blocks - (hi - lo)
+
+        def take(x, cols: Optional[int] = None):
+            part = x[sl]
+            if cols is not None:
+                part = part[:, :cols]
+            if pad:
+                part = jnp.concatenate(
+                    [part, jnp.repeat(part[-1:], pad, axis=0)])
+            return part
+
+        # trim list columns to this chunk's power-of-two maximum so short
+        # chunks don't pay the global worst case (bounded recompiles)
+        ln = min(prep["node_ids"].shape[1],
+                 pow2ceil(int(prep["node_counts"][sl].max(initial=1))))
+        ll = min(prep["leaf_ids"].shape[1],
+                 pow2ceil(int(prep["leaf_counts"][sl].max(initial=1))))
+        out = eval_fn(take(prep["tgt_pos"]), take(prep["tgt_soft"]),
+                      take(prep["tgt_orig"]), take(prep["node_ids"], ln),
+                      take(prep["leaf_ids"], ll), *extra_args)
+        outs.append(np.asarray(out)[:hi - lo])
+    return np.concatenate(outs, axis=0)
+
+
 def tree_potentials_device(tree: Octree, theta: float = 0.7,
                            block_size: int = 0, prep=None,
-                           dtype=jnp.float32) -> np.ndarray:
+                           dtype=jnp.float32,
+                           chunk_blocks: int = 2048) -> np.ndarray:
     """Barnes–Hut potentials evaluated on the device (original order)."""
     if prep is None:
         prep = prepare_tree_device(tree, theta=theta,
                                    block_size=block_size, dtype=dtype)
     kern = prep["kernel"] if prep["kernel"] is not None else KERNEL_NONE
-    phi_blocks = _eval_potentials(
-        prep["tgt_pos"], prep["tgt_soft"], prep["tgt_orig"],
-        prep["node_ids"], prep["leaf_ids"], prep["node_com"],
-        prep["node_mass"], prep["node_moments"], prep["src_pos"],
-        prep["src_mass"], prep["src_soft"], prep["src_orig"],
-        kernel=(kern or KERNEL_NONE), order=prep["order"])
-    return _scatter_out(prep, np.asarray(phi_blocks), 1)
+    order = prep["order"]
+
+    def eval_fn(tp, ts, to, ni, li):
+        return _eval_potentials(tp, ts, to, ni, li, prep["node_com"],
+                                prep["node_mass"], prep["node_moments"],
+                                prep["src_pos"], prep["src_mass"],
+                                prep["src_soft"], prep["src_orig"],
+                                kernel=(kern or KERNEL_NONE), order=order)
+
+    phi_blocks = _chunked_eval(prep, eval_fn, chunk_blocks, ())
+    return _scatter_out(prep, phi_blocks, 1)
 
 
 def _acc_multipole_jnp(d, M, order: int):
@@ -289,16 +335,21 @@ def _eval_accelerations(prep_tgt_pos, prep_tgt_soft, tgt_orig, node_ids,
 
 def tree_accelerations_device(tree: Octree, theta: float = 0.7,
                               block_size: int = 0, prep=None,
-                              dtype=jnp.float32) -> np.ndarray:
-    """Barnes–Hut accelerations on the device (monopole far field)."""
+                              dtype=jnp.float32,
+                              chunk_blocks: int = 2048) -> np.ndarray:
+    """Barnes–Hut accelerations on the device (multipoles per tree order)."""
     if prep is None:
         prep = prepare_tree_device(tree, theta=theta,
                                    block_size=block_size, dtype=dtype)
     kern = prep["kernel"] if prep["kernel"] is not None else KERNEL_NONE
-    acc_blocks = _eval_accelerations(
-        prep["tgt_pos"], prep["tgt_soft"], prep["tgt_orig"],
-        prep["node_ids"], prep["leaf_ids"], prep["node_com"],
-        prep["node_mass"], prep["node_moments"], prep["src_pos"],
-        prep["src_mass"], prep["src_soft"], prep["src_orig"],
-        kernel=(kern or KERNEL_NONE), order=prep["order"])
-    return _scatter_out(prep, np.asarray(acc_blocks), 3)
+    order = prep["order"]
+
+    def eval_fn(tp, ts, to, ni, li):
+        return _eval_accelerations(tp, ts, to, ni, li, prep["node_com"],
+                                   prep["node_mass"], prep["node_moments"],
+                                   prep["src_pos"], prep["src_mass"],
+                                   prep["src_soft"], prep["src_orig"],
+                                   kernel=(kern or KERNEL_NONE), order=order)
+
+    acc_blocks = _chunked_eval(prep, eval_fn, chunk_blocks, ())
+    return _scatter_out(prep, acc_blocks, 3)
