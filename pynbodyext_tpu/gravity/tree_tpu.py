@@ -234,11 +234,16 @@ def _chunked_eval(prep, eval_fn, chunk_blocks: int, extra_args):
             return part
 
         # trim list columns to this chunk's power-of-two maximum so short
-        # chunks don't pay the global worst case (bounded recompiles)
-        ln = min(prep["node_ids"].shape[1],
-                 pow2ceil(int(prep["node_counts"][sl].max(initial=1))))
-        ll = min(prep["leaf_ids"].shape[1],
-                 pow2ceil(int(prep["leaf_counts"][sl].max(initial=1))))
+        # chunks don't pay the global worst case (bounded recompiles);
+        # pointless (and recompile-churny) when there's only one chunk
+        if nchunks == 1:
+            ln = prep["node_ids"].shape[1]
+            ll = prep["leaf_ids"].shape[1]
+        else:
+            ln = min(prep["node_ids"].shape[1],
+                     pow2ceil(int(prep["node_counts"][sl].max(initial=1))))
+            ll = min(prep["leaf_ids"].shape[1],
+                     pow2ceil(int(prep["leaf_counts"][sl].max(initial=1))))
         out = eval_fn(take(prep["tgt_pos"]), take(prep["tgt_soft"]),
                       take(prep["tgt_orig"]), take(prep["node_ids"], ln),
                       take(prep["leaf_ids"], ll), *extra_args)
