@@ -214,10 +214,6 @@ def _chunked_eval(prep, eval_fn, chunk_blocks: int, extra_args):
     nb = prep["n_blocks"]
     outs = []
     nchunks = -(-nb // chunk_blocks)
-
-    def pow2ceil(x: int) -> int:
-        return 1 << max(0, int(np.ceil(np.log2(max(x, 1)))))
-
     for c in range(nchunks):
         lo = c * chunk_blocks
         hi = min(nb, lo + chunk_blocks)
@@ -233,17 +229,12 @@ def _chunked_eval(prep, eval_fn, chunk_blocks: int, extra_args):
                     [part, jnp.repeat(part[-1:], pad, axis=0)])
             return part
 
-        # trim list columns to this chunk's power-of-two maximum so short
-        # chunks don't pay the global worst case (bounded recompiles);
-        # pointless (and recompile-churny) when there's only one chunk
-        if nchunks == 1:
-            ln = prep["node_ids"].shape[1]
-            ll = prep["leaf_ids"].shape[1]
-        else:
-            ln = min(prep["node_ids"].shape[1],
-                     pow2ceil(int(prep["node_counts"][sl].max(initial=1))))
-            ll = min(prep["leaf_ids"].shape[1],
-                     pow2ceil(int(prep["leaf_counts"][sl].max(initial=1))))
+        # one compiled shape for every chunk: global list widths.  (Per-chunk
+        # pow2 trimming saves compute on short chunks but costs one XLA
+        # compilation per distinct width — a bad trade under remote-compile
+        # setups and for one-shot solves.)
+        ln = prep["node_ids"].shape[1]
+        ll = prep["leaf_ids"].shape[1]
         out = eval_fn(take(prep["tgt_pos"]), take(prep["tgt_soft"]),
                       take(prep["tgt_orig"]), take(prep["node_ids"], ln),
                       take(prep["leaf_ids"], ll), *extra_args)
