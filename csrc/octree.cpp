@@ -192,8 +192,10 @@ struct Tree {
   long bl_block_size = 0;   // 0 => per-leaf blocks
   double bl_theta = -1.0;
   std::vector<std::vector<int32_t>> bl_nodes;     // accepted node ids
-  std::vector<std::vector<int32_t>> bl_leaf_idx;  // tree-order particle ids
+  std::vector<std::vector<int32_t>> bl_leaf_idx;  // near-field LEAF seq ids
   std::vector<int32_t> bl_start, bl_count;        // target ranges per block
+  std::vector<int32_t> leaf_seq;                  // node id -> leaf seq (-1)
+  std::vector<int32_t> leaf_node_ids;             // leaf seq -> node id
 };
 
 // recursive builder: subdivide [start,end) of the reorder buffer
@@ -520,6 +522,16 @@ void build_block_lists(Tree &t, long block_size, double theta) {
     return;
   t.bl_start.clear();
   t.bl_count.clear();
+  // leaf sequence numbering (near-field lists reference whole leaves so the
+  // device can gather contiguous leaf tiles instead of single particles)
+  t.leaf_seq.assign(t.nodes.size(), -1);
+  t.leaf_node_ids.clear();
+  for (size_t i = 0; i < t.nodes.size(); ++i) {
+    if (t.nodes[i].first_child < 0 && t.nodes[i].pcount > 0) {
+      t.leaf_seq[i] = (int32_t)t.leaf_node_ids.size();
+      t.leaf_node_ids.push_back((int32_t)i);
+    }
+  }
   if (block_size <= 0) {
     // per-leaf blocks: always spatially compact target groups
     for (size_t i = 0; i < t.nodes.size(); ++i) {
@@ -590,8 +602,7 @@ void build_block_lists(Tree &t, long block_size, double theta) {
         nlist.push_back(nodei);
         nodei = node.next_branch;
       } else if (node.first_child < 0) {
-        for (int32_t k = node.pstart; k < node.pstart + node.pcount; ++k)
-          plist.push_back(k);
+        if (node.pcount > 0) plist.push_back(t.leaf_seq[nodei]);
         nodei = node.next_branch;
       } else {
         nodei = node.first_child;
@@ -738,6 +749,20 @@ void pnx_tree_block_list_sizes(void *h, long *node_counts,
   for (size_t b = 0; b < t->bl_nodes.size(); ++b) {
     node_counts[b] = (long)t->bl_nodes[b].size();
     leaf_counts[b] = (long)t->bl_leaf_idx[b].size();
+  }
+}
+
+// leaves: count + per-leaf particle ranges (tree order)
+long pnx_tree_n_leaves(void *h) {
+  return (long)((Tree *)h)->leaf_node_ids.size();
+}
+
+void pnx_tree_leaves(void *h, int32_t *starts, int32_t *counts) {
+  Tree *t = (Tree *)h;
+  for (size_t s = 0; s < t->leaf_node_ids.size(); ++s) {
+    const Node &nd = t->nodes[t->leaf_node_ids[s]];
+    starts[s] = nd.pstart;
+    counts[s] = nd.pcount;
   }
 }
 

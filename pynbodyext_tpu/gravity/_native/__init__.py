@@ -83,6 +83,9 @@ def _load() -> Optional[ctypes.CDLL]:
     dll.pnx_tree_block_list_sizes.argtypes = [ctypes.c_void_p, lp, lp]
     dll.pnx_tree_block_list_data.argtypes = [ctypes.c_void_p, ip, ip]
     dll.pnx_tree_block_targets.argtypes = [ctypes.c_void_p, ip, ip]
+    dll.pnx_tree_n_leaves.restype = ctypes.c_long
+    dll.pnx_tree_n_leaves.argtypes = [ctypes.c_void_p]
+    dll.pnx_tree_leaves.argtypes = [ctypes.c_void_p, ip, ip]
     dll.pnx_tree_node_data.argtypes = [ctypes.c_void_p, dp, dp, dp]
     dll.pnx_tree_moments.argtypes = [ctypes.c_void_p, dp]
     dll.pnx_tree_nmom.restype = ctypes.c_int

@@ -165,6 +165,19 @@ class Octree:
                 "node_ids": node_ids, "leaf_idx": leaf_idx,
                 "starts": starts, "counts": counts}
 
+    def leaves(self):
+        """(starts, counts) particle ranges of every leaf (tree order)."""
+        import ctypes
+        nat = self._nat
+        nl = int(nat.lib.pnx_tree_n_leaves(self._handle))
+        starts = np.zeros(nl, dtype=np.int32)
+        counts = np.zeros(nl, dtype=np.int32)
+        ip = ctypes.POINTER(ctypes.c_int32)
+        nat.lib.pnx_tree_leaves(self._handle,
+                                starts.ctypes.data_as(ip),
+                                counts.ctypes.data_as(ip))
+        return starts, counts
+
     def node_data(self):
         """(com (Nn,3), mass (Nn,), hmax (Nn,)) for all tree nodes."""
         import ctypes

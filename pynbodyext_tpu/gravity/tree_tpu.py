@@ -84,8 +84,18 @@ def prepare_tree_device(tree: Octree, theta: float = 0.7,
 
     node_mat = _pad_lists(lists["node_counts"], lists["node_ids"],
                           fill=len(nmass) - 1)
+    # near-field lists reference whole LEAVES: build (n_leaves+1, cap)
+    # tile tables so device gathers move contiguous ~0.5 KB tiles instead
+    # of single 16 B particle rows (TPU gathers are row-granular)
+    lstarts, lcounts = tree.leaves()
+    n_leaves = len(lstarts)
+    cap = int(lcounts.max()) if n_leaves else 1
+    tile_idx = np.full((n_leaves + 1, cap), n, dtype=np.int64)
+    for s in range(n_leaves):
+        c = int(lcounts[s])
+        tile_idx[s, :c] = np.arange(lstarts[s], lstarts[s] + c)
     leaf_mat = _pad_lists(lists["leaf_counts"], lists["leaf_idx"],
-                          fill=n)
+                          fill=n_leaves)
 
     # variable-length target blocks → padded (nb, bmax) index matrix into
     # the padded particle arrays (pad rows point at the dummy particle)
@@ -119,10 +129,11 @@ def prepare_tree_device(tree: Octree, theta: float = 0.7,
         "node_com": jnp.asarray(com, dtype),
         "node_mass": jnp.asarray(nmass, dtype),
         "node_moments": jnp.asarray(moments, dtype),
-        "src_pos": jnp.asarray(pos_pad, dtype),
-        "src_mass": jnp.asarray(pmass_pad, dtype),
-        "src_soft": jnp.asarray(psoft_pad, dtype),
-        "src_orig": jnp.asarray(orig_pad),
+        # leaf tile tables (n_leaves+1, cap, …) — last row is all-dummy
+        "leaf_pos": jnp.asarray(pos_pad[tile_idx], dtype),
+        "leaf_mass": jnp.asarray(pmass_pad[tile_idx], dtype),
+        "leaf_soft": jnp.asarray(psoft_pad[tile_idx], dtype),
+        "leaf_orig": jnp.asarray(orig_pad[tile_idx]),
         "orig_index": np.asarray(orig),
         "stats": {
             "mean_nodes": float(lists["node_counts"].mean()),
@@ -162,7 +173,7 @@ def _phi_multipole_jnp(d, M, order: int):
 @partial(jax.jit, static_argnames=("kernel", "order"))
 def _eval_potentials(prep_tgt_pos, prep_tgt_soft, tgt_orig, node_ids,
                      leaf_ids, node_com, node_mass, node_moments,
-                     src_pos, src_mass, src_soft, src_orig,
+                     leaf_pos, leaf_mass, leaf_soft, leaf_orig,
                      kernel: str, order: int):
     def one_block(tpos, tsoft, torig, nids, lids):
         # far field
@@ -176,11 +187,11 @@ def _eval_potentials(prep_tgt_pos, prep_tgt_soft, tgt_orig, node_ids,
             M = node_moments[nids]         # (Ln, nmom)
             contrib = _phi_multipole_jnp(d, M[None, :, :], order)
             phi_far = -jnp.sum(contrib, axis=1)
-        # near field (exact, with softening kernel + self exclusion)
-        spos = src_pos[lids]               # (Ll, 3)
-        sm = src_mass[lids]
-        sh = src_soft[lids]
-        sorig = src_orig[lids]
+        # near field: gather whole leaf tiles (contiguous rows), flatten
+        spos = leaf_pos[lids].reshape(-1, 3)    # (Lf*cap, 3)
+        sm = leaf_mass[lids].reshape(-1)
+        sh = leaf_soft[lids].reshape(-1)
+        sorig = leaf_orig[lids].reshape(-1)
         dd = spos[None, :, :] - tpos[:, None, :]
         r = jnp.sqrt(jnp.sum(dd * dd, axis=-1) + _TINY2)
         h = jnp.maximum(tsoft[:, None], sh[None, :])
@@ -256,8 +267,8 @@ def tree_potentials_device(tree: Octree, theta: float = 0.7,
     def eval_fn(tp, ts, to, ni, li):
         return _eval_potentials(tp, ts, to, ni, li, prep["node_com"],
                                 prep["node_mass"], prep["node_moments"],
-                                prep["src_pos"], prep["src_mass"],
-                                prep["src_soft"], prep["src_orig"],
+                                prep["leaf_pos"], prep["leaf_mass"],
+                                prep["leaf_soft"], prep["leaf_orig"],
                                 kernel=(kern or KERNEL_NONE), order=order)
 
     phi_blocks = _chunked_eval(prep, eval_fn, chunk_blocks, ())
@@ -296,7 +307,7 @@ def _acc_multipole_jnp(d, M, order: int):
 @partial(jax.jit, static_argnames=("kernel", "order"))
 def _eval_accelerations(prep_tgt_pos, prep_tgt_soft, tgt_orig, node_ids,
                         leaf_ids, node_com, node_mass, node_moments,
-                        src_pos, src_mass, src_soft, src_orig,
+                        leaf_pos, leaf_mass, leaf_soft, leaf_orig,
                         kernel: str, order: int):
     def one_block(tpos, tsoft, torig, nids, lids):
         ncom = node_com[nids]
@@ -312,10 +323,10 @@ def _eval_accelerations(prep_tgt_pos, prep_tgt_soft, tgt_orig, node_ids,
             dt = tpos[:, None, :] - ncom[None, :, :]  # target − com
             contrib = _acc_multipole_jnp(dt, M[None, :, :], order)
             a_far = jnp.sum(contrib, axis=1)
-        spos = src_pos[lids]
-        sm = src_mass[lids]
-        sh = src_soft[lids]
-        sorig = src_orig[lids]
+        spos = leaf_pos[lids].reshape(-1, 3)
+        sm = leaf_mass[lids].reshape(-1)
+        sh = leaf_soft[lids].reshape(-1)
+        sorig = leaf_orig[lids].reshape(-1)
         dd = spos[None, :, :] - tpos[:, None, :]
         r = jnp.sqrt(jnp.sum(dd * dd, axis=-1) + _TINY2)
         h = jnp.maximum(tsoft[:, None], sh[None, :])
@@ -343,8 +354,8 @@ def tree_accelerations_device(tree: Octree, theta: float = 0.7,
     def eval_fn(tp, ts, to, ni, li):
         return _eval_accelerations(tp, ts, to, ni, li, prep["node_com"],
                                    prep["node_mass"], prep["node_moments"],
-                                   prep["src_pos"], prep["src_mass"],
-                                   prep["src_soft"], prep["src_orig"],
+                                   prep["leaf_pos"], prep["leaf_mass"],
+                                   prep["leaf_soft"], prep["leaf_orig"],
                                    kernel=(kern or KERNEL_NONE), order=order)
 
     acc_blocks = _chunked_eval(prep, eval_fn, chunk_blocks, ())
