@@ -118,3 +118,22 @@ def test_gadget_units_cosmological(tmp_path):
     phys = snap["pos"].to_value("kpc", **snap.units_context())
     raw = np.asarray(snap["pos"].value)
     np.testing.assert_allclose(np.asarray(phys), raw * 0.5 / 0.7, rtol=1e-6)
+
+
+def test_reference_readme_idioms(snap):
+    """The reference README's public idioms work verbatim (README.md:30-60)."""
+    re = px.ParamContain("r", 0.5, "mass").filter(px.FamilyFilter("star"))
+    stellar_mass = px.ParamSum("mass").filter(px.FamilyFilter("star"))
+    stellar_density = stellar_mass / (4 * np.pi * re ** 2)
+    value = stellar_density(snap)
+    assert float(value.value) > 0
+    assert value.units.same_dimensions("Msol kpc**-2")
+    scoped = (px.ParamContain("r", 0.5, "mass")
+              .filter(px.Sphere("30 kpc") & px.FamilyFilter("star"))
+              .transform(px.WrapBox(convention="minirange")
+                         .then(px.ShiftPosTo("ssc"))))
+    tree_repr = scoped.format_tree()
+    assert "ParamContain" in tree_repr and "CenPos" in tree_repr
+    res = scoped.run(snap, progress=None, perf_time=True)
+    assert res.ok and 0 < float(res.value.value) < 30
+    assert "perf" in res.reports
