@@ -50,6 +50,34 @@ def html_pre(text: str) -> str:
     return f"<pre style='font-size:11px;line-height:1.3'>{html.escape(text)}</pre>"
 
 
+def html_card(title: str, body_html: str) -> str:
+    """Bordered card wrapper (reference ``display.py:78-160``)."""
+    return ("<div style='border:1px solid #ccc;border-radius:6px;"
+            "padding:8px 12px;margin:4px 0;font-family:monospace'>"
+            f"<b>{title}</b><div>{body_html}</div></div>")
+
+
+def html_table(rows, header=None) -> str:
+    """Minimal HTML table from row tuples."""
+    import html as _h
+    out = ["<table style='font-size:11px;border-collapse:collapse'>"]
+    if header:
+        out.append("<tr>" + "".join(
+            f"<th style='text-align:left;padding:1px 8px'>{_h.escape(str(c))}</th>"
+            for c in header) + "</tr>")
+    for row in rows:
+        out.append("<tr>" + "".join(
+            f"<td style='padding:1px 8px'>{_h.escape(str(c))}</td>"
+            for c in row) + "</tr>")
+    out.append("</table>")
+    return "".join(out)
+
+
+def mimebundle(text: str, html_str: str) -> dict:
+    """text/plain + text/html bundle for ``_repr_mimebundle_`` hooks."""
+    return {"text/plain": text, "text/html": html_str}
+
+
 def estimate_bytes(value: Any) -> int:
     """Rough device/host memory footprint of a value (for cache admission)."""
     seen: set = set()

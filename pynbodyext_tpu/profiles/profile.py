@@ -215,7 +215,10 @@ class ProfileBase:
              logx: bool = False, logy: bool = False, **kwargs):
         import matplotlib.pyplot as plt
         if ax is None:
-            _, ax = plt.subplots()
+            from pathlib import Path
+            style = Path(__file__).parent.parent / "util" / "default.mplstyle"
+            with plt.style.context(str(style)):
+                _, ax = plt.subplots()
         y = self[field]
         if stat is not None and isinstance(y, ProfileArray):
             y = y[stat]
