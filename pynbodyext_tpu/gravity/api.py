@@ -235,8 +235,11 @@ def calculate_potential(sim, softening=None, kernel=None,
         pot = g.direct_potentials(threads=threads)
     elif method == "tree":
         pot = g.tree_potentials(theta=theta, threads=threads)
+    elif method == "tree-device":
+        pot = g.tree_potentials(theta=theta, device=True)
     else:
-        raise ValueError(f"unknown method {method!r}; use 'direct' or 'tree'")
+        raise ValueError(f"unknown method {method!r}; use 'direct', "
+                         "'tree' or 'tree-device'")
     units = G_UNIT * sim["mass"].units / sim["pos"].units
     q = QArray(pot * units.ratio("km**2 s**-2", **sim.units_context()),
                "km**2 s**-2")
@@ -253,8 +256,11 @@ def calculate_acceleration(sim, softening=None, kernel=None,
         acc = g.direct_accelerations(threads=threads)
     elif method == "tree":
         acc = g.tree_accelerations(theta=theta, threads=threads)
+    elif method == "tree-device":
+        acc = g.tree_accelerations(theta=theta, device=True)
     else:
-        raise ValueError(f"unknown method {method!r}; use 'direct' or 'tree'")
+        raise ValueError(f"unknown method {method!r}; use 'direct', "
+                         "'tree' or 'tree-device'")
     units = G_UNIT * sim["mass"].units / sim["pos"].units ** 2
     return QArray(acc * units.ratio("km s**-2", **sim.units_context()),
                   "km s**-2")
