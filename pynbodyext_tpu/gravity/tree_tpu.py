@@ -43,17 +43,27 @@ _FAR = 1e15
 
 
 def _pad_lists(counts, ids, fill):
-    """Concatenated ragged lists → (n_blocks, Lmax) padded matrix."""
+    """Concatenated ragged lists → (n_blocks, Lmax) padded matrix
+    (vectorized: a flat scatter by per-row offsets)."""
+    counts = np.asarray(counts, dtype=np.int64)
     n_blocks = len(counts)
-    lmax = int(counts.max()) if n_blocks else 0
-    lmax = max(lmax, 1)
+    lmax = max(int(counts.max()) if n_blocks else 0, 1)
     out = np.full((n_blocks, lmax), fill, dtype=ids.dtype)
-    off = 0
-    for b in range(n_blocks):
-        c = int(counts[b])
-        out[b, :c] = ids[off:off + c]
-        off += c
+    if len(ids):
+        row = np.repeat(np.arange(n_blocks), counts)
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        col = np.arange(len(ids)) - np.repeat(starts, counts)
+        out[row, col] = ids
     return out
+
+
+def _range_index_matrix(starts, counts, width: int, fill: int) -> np.ndarray:
+    """(len(starts), width) matrix of [start, start+count) indices, padded."""
+    starts = np.asarray(starts, dtype=np.int64)
+    counts = np.asarray(counts, dtype=np.int64)
+    k = np.arange(width, dtype=np.int64)[None, :]
+    idx = starts[:, None] + k
+    return np.where(k < counts[:, None], idx, fill)
 
 
 def prepare_tree_device(tree: Octree, theta: float = 0.7,
@@ -90,10 +100,9 @@ def prepare_tree_device(tree: Octree, theta: float = 0.7,
     lstarts, lcounts = tree.leaves()
     n_leaves = len(lstarts)
     cap = int(lcounts.max()) if n_leaves else 1
-    tile_idx = np.full((n_leaves + 1, cap), n, dtype=np.int64)
-    for s in range(n_leaves):
-        c = int(lcounts[s])
-        tile_idx[s, :c] = np.arange(lstarts[s], lstarts[s] + c)
+    tile_idx = np.vstack([
+        _range_index_matrix(lstarts, lcounts, cap, fill=n),
+        np.full((1, cap), n, dtype=np.int64)])
     leaf_mat = _pad_lists(lists["leaf_counts"], lists["leaf_idx"],
                           fill=n_leaves)
 
@@ -102,10 +111,7 @@ def prepare_tree_device(tree: Octree, theta: float = 0.7,
     starts = lists["starts"].astype(np.int64)
     counts = lists["counts"].astype(np.int64)
     bmax = int(counts.max())
-    tgt_idx = np.full((nb, bmax), n, dtype=np.int64)
-    for b in range(nb):
-        c = int(counts[b])
-        tgt_idx[b, :c] = np.arange(starts[b], starts[b] + c)
+    tgt_idx = _range_index_matrix(starts, counts, bmax, fill=n)
     tgt_pos = pos_pad[tgt_idx]
     tgt_soft = psoft_pad[tgt_idx]
     tgt_orig = orig_pad[tgt_idx]
