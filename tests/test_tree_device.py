@@ -88,3 +88,19 @@ def test_gravity_api_device_flag(clustered):
     p_dev = g.tree_potentials(theta=0.5, device=True)
     p_cpu = np.asarray(g.tree_potentials(theta=0.5))
     np.testing.assert_allclose(p_dev, p_cpu, rtol=2e-2)
+
+
+def test_calculate_potential_tree_device(clustered):
+    """Snapshot-level helper with method='tree-device'."""
+    import pynbodyext_tpu as px
+    from pynbodyext_tpu.gravity import calculate_potential
+    pos, m, h = clustered
+    snap = px.Snapshot(
+        {"pos": px.QArray(pos.astype(np.float32), "kpc"),
+         "mass": px.QArray(m.astype(np.float32), "Msol")},
+        {"dm": slice(0, len(pos))}, {"a": 1.0, "h": 0.7})
+    p_dev = calculate_potential(snap, softening=0.05, method="tree-device",
+                                theta=0.5)
+    p_dir = calculate_potential(snap, softening=0.05, method="direct")
+    np.testing.assert_allclose(np.asarray(p_dev), np.asarray(p_dir),
+                               rtol=2e-2)
