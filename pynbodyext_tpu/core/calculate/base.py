@@ -378,11 +378,15 @@ class BoundCalculator(CalculatorBase):
         if self.pre_transform is not None:
             with ctx.phase(self, "transform"):
                 tres = ctx.raw_value(self.pre_transform, work)
-                work = work.with_transform(tres)
+                # pass the structural signature so the scope token stays
+                # deterministic (id-based fallbacks disable disk caching)
+                work = work.with_transform(tres,
+                                           self.pre_transform.signature())
         if self.pre_filter is not None:
             with ctx.phase(self, "filter"):
                 fres = ctx.raw_value(self.pre_filter, work)
-                work = work.with_selection(fres)
+                work = work.with_selection(fres,
+                                           self.pre_filter.signature())
         with ctx.phase(self, "calculate"):
             raw = ctx.raw_value(self.base, work)
         if self.pre_transform is not None:

@@ -84,7 +84,8 @@ class TransformBase(CalculatorBase):
         if self.measure_filter is not None:
             with ctx.phase(self, "measure_filter"):
                 fres = ctx.raw_value(self.measure_filter, input)
-                measure_input = input.with_selection(fres)
+                measure_input = input.with_selection(
+                    fres, self.measure_filter.signature())
         with ctx.phase(self, "resolve_params"):
             params = self.resolve_params(ctx, measure_input)
             params = self.prepare_params(ctx, measure_input, params)
@@ -150,7 +151,7 @@ class TransformChain(TransformBase):
         work = input
         for step in self.steps:
             res = ctx.raw_value(step, work)
-            work = work.with_transform(res)
+            work = work.with_transform(res, step.signature())
         return TransformResult(snapshot=work.base_snapshot)
 
     def apply_to(self, snapshot):

@@ -71,3 +71,27 @@ def test_disk_cache_ignores_unstable_nodes(tmp_path, centered_snap):
     # nothing stored for the unstable bound node (lambda-valued param);
     # the run still succeeds
     assert r.ok
+
+
+def test_disk_cache_scoped_nodes(tmp_path, centered_snap):
+    """Scoped (filtered/transformed) nodes disk-cache too — the scope token
+    is built from structural signatures, not object ids."""
+    calls = {"n": 0}
+
+    @PropertyBase.dataclass
+    class Expensive(PropertyBase):
+        def calculate(self, sim, params):
+            calls["n"] += 1
+            import pynbodyext_tpu as _px
+            return _px.qarray(
+                float(np.asarray(sim["mass"])[np.asarray(
+                    sim.effective_mask)].sum()), "Msol")
+
+    cache_dir = str(tmp_path / "memo")
+    node = Expensive().filter(px.FamilyFilter("star"))
+    v1 = float(node(centered_snap, disk_cache=cache_dir).value)
+    assert calls["n"] == 1
+    r2 = node.run(centered_snap, disk_cache=cache_dir)
+    assert calls["n"] == 1  # served from disk
+    assert r2.diagnostics["disk_cache"]["hits"] >= 1
+    assert float(r2.value.value) == pytest.approx(v1)
