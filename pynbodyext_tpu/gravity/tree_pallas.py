@@ -1,0 +1,310 @@
+"""Pallas near-field kernel for the device tree: gather-by-list via
+scalar-prefetch block specs (the block-sparse pattern).
+
+The XLA vmap+gather evaluation in :mod:`.tree_tpu` is correct but runs at
+~3 G pair-interactions/s — gathers and HBM-staged intermediates dominate.
+This kernel hits the same interaction lists with the dense-pipe machinery:
+
+* particles are packed into per-leaf tiles of shape (8, cap) — with
+  ``leaf_capacity=128`` every tile is exactly one f32 (8, 128) hardware
+  tile: rows x, y, z, mass, softening, orig-index (exact in f32 for
+  N < 2²⁴), ones, pad;
+* the near-field interaction list (blocks × list of leaf ids) is a
+  **scalar-prefetch** operand: the BlockSpec index_map reads it to choose
+  which leaf tile the pipeline DMAs next — Pallas double-buffers the
+  gather automatically;
+* each grid step computes one (targets × leaf-tile) pairwise tile with the
+  same rsqrt-on-r² math as :mod:`.pallas_direct`.
+
+The far field stays on the XLA path of :mod:`.tree_tpu` (node payloads are
+16-byte scatters — cheap relative to the near field once leaves are 128 wide).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .kernels import KERNEL_NONE, KERNEL_PLUMMER, KERNEL_SPLINE, w2, w2_prime
+
+__all__ = ["near_field_potentials", "near_field_accelerations",
+           "pack_leaf_tiles"]
+
+_TINY2 = 1e-38
+
+
+def pack_leaf_tiles(pos, mass, soft, orig, lstarts, lcounts, sentinel,
+                    cap: int):
+    """(n_leaves+1, 8, cap) f32 leaf tiles (+1 all-dummy row).
+
+    Row layout: x, y, z, mass, softening, orig_index, 1, 0.  ``orig`` must
+    be < 2²⁴ for exact f32 index comparison.
+    """
+    n = len(pos)
+    if n >= (1 << 24):
+        raise ValueError("orig-index-in-f32 packing requires N < 2^24")
+    n_leaves = len(lstarts)
+    k = np.arange(cap)[None, :]
+    idx = np.asarray(lstarts, np.int64)[:, None] + k
+    valid = k < np.asarray(lcounts, np.int64)[:, None]
+    idx = np.where(valid, idx, n)  # n → dummy particle row
+    pos_pad = np.vstack([pos, sentinel[None, :]])
+    m_pad = np.concatenate([mass, [0.0]])
+    h_pad = np.concatenate([soft, [0.0]])
+    o_pad = np.concatenate([orig, [-2]])
+    tiles = np.zeros((n_leaves + 1, 8, cap), np.float32)
+    tiles[:n_leaves, 0] = pos_pad[idx, 0]
+    tiles[:n_leaves, 1] = pos_pad[idx, 1]
+    tiles[:n_leaves, 2] = pos_pad[idx, 2]
+    tiles[:n_leaves, 3] = m_pad[idx]
+    tiles[:n_leaves, 4] = h_pad[idx]
+    tiles[:n_leaves, 5] = o_pad[idx]
+    tiles[:n_leaves, 6] = 1.0
+    # dummy leaf: sentinel position, zero mass
+    tiles[n_leaves, 0:3] = sentinel[:, None]
+    tiles[n_leaves, 5] = -2.0
+    return tiles
+
+
+def _phi_from_r2(kernel: str, r2, h):
+    if kernel == KERNEL_NONE:
+        return -jax.lax.rsqrt(r2 + _TINY2)
+    if kernel == KERNEL_PLUMMER:
+        return -jax.lax.rsqrt(r2 + h * h + _TINY2)
+    if kernel == KERNEL_SPLINE:
+        r = jnp.sqrt(r2 + _TINY2)
+        h_safe = jnp.maximum(h, 1e-30)
+        return jnp.where(h > 0, w2(r / h_safe) / h_safe,
+                         -1.0 / jnp.maximum(r, 1e-30))
+    raise ValueError(kernel)
+
+
+def _g_from_r2(kernel: str, r2, h):
+    if kernel == KERNEL_NONE:
+        invr = jax.lax.rsqrt(r2 + _TINY2)
+        return invr * invr * invr
+    if kernel == KERNEL_PLUMMER:
+        invr = jax.lax.rsqrt(r2 + h * h + _TINY2)
+        return invr * invr * invr
+    if kernel == KERNEL_SPLINE:
+        r = jnp.sqrt(r2 + _TINY2)
+        h_safe = jnp.maximum(h, 1e-30)
+        r_safe = jnp.maximum(r, 1e-30)
+        return jnp.where(h > 0,
+                         w2_prime(r / h_safe) / (h_safe * h_safe * r_safe),
+                         1.0 / (r_safe * r_safe * r_safe))
+    raise ValueError(kernel)
+
+
+def _near_potential_kernel(lists_ref, tgt_ref, tile_ref, out_ref, *,
+                           tb, cap, kernel):
+    t = pl.program_id(1)
+    tx = tgt_ref[0, 0, :].reshape(tb, 1)
+    ty = tgt_ref[0, 1, :].reshape(tb, 1)
+    tz = tgt_ref[0, 2, :].reshape(tb, 1)
+    th = tgt_ref[0, 4, :].reshape(tb, 1)
+    to = tgt_ref[0, 5, :].reshape(tb, 1)
+    sx = tile_ref[0, 0, :].reshape(1, cap)
+    sy = tile_ref[0, 1, :].reshape(1, cap)
+    sz = tile_ref[0, 2, :].reshape(1, cap)
+    sm = tile_ref[0, 3, :]
+    sh = tile_ref[0, 4, :].reshape(1, cap)
+    so = tile_ref[0, 5, :].reshape(1, cap)
+    dx = sx - tx
+    dy = sy - ty
+    dz = sz - tz
+    r2 = dx * dx + dy * dy + dz * dz
+    r2 = jnp.where(so == to, jnp.inf, r2)  # exact self exclusion
+    h = jnp.maximum(th, sh)
+    neg_phi = _phi_from_r2(kernel, r2, h)
+    if kernel == KERNEL_SPLINE:
+        neg_phi = jnp.where(jnp.isfinite(r2), neg_phi, 0.0)
+    pot = jnp.dot(neg_phi, sm, preferred_element_type=jnp.float32)
+
+    @pl.when(t == 0)
+    def _():
+        out_ref[0, 0, :] = pot
+        for row in range(1, 8):
+            out_ref[0, row, :] = jnp.zeros_like(pot)
+
+    @pl.when(t != 0)
+    def _():
+        out_ref[0, 0, :] = out_ref[0, 0, :] + pot
+
+
+def _near_acceleration_kernel(lists_ref, tgt_ref, tile_ref, out_ref, *,
+                              tb, cap, kernel):
+    t = pl.program_id(1)
+    tx = tgt_ref[0, 0, :].reshape(tb, 1)
+    ty = tgt_ref[0, 1, :].reshape(tb, 1)
+    tz = tgt_ref[0, 2, :].reshape(tb, 1)
+    th = tgt_ref[0, 4, :].reshape(tb, 1)
+    to = tgt_ref[0, 5, :].reshape(tb, 1)
+    sx = tile_ref[0, 0, :].reshape(1, cap)
+    sy = tile_ref[0, 1, :].reshape(1, cap)
+    sz = tile_ref[0, 2, :].reshape(1, cap)
+    sm = tile_ref[0, 3, :].reshape(1, cap)
+    sh = tile_ref[0, 4, :].reshape(1, cap)
+    so = tile_ref[0, 5, :].reshape(1, cap)
+    dx = sx - tx
+    dy = sy - ty
+    dz = sz - tz
+    r2 = dx * dx + dy * dy + dz * dz
+    r2 = jnp.where(so == to, jnp.inf, r2)
+    h = jnp.maximum(th, sh)
+    g = _g_from_r2(kernel, r2, h)
+    if kernel == KERNEL_SPLINE:
+        g = jnp.where(jnp.isfinite(r2), g, 0.0)
+    w = g * sm
+    ax = jnp.sum(w * dx, axis=1)
+    ay = jnp.sum(w * dy, axis=1)
+    az = jnp.sum(w * dz, axis=1)
+
+    @pl.when(t == 0)
+    def _():
+        out_ref[0, 0, :] = ax
+        out_ref[0, 1, :] = ay
+        out_ref[0, 2, :] = az
+        for row in range(3, 8):
+            out_ref[0, row, :] = jnp.zeros_like(ax)
+
+    @pl.when(t != 0)
+    def _():
+        out_ref[0, 0, :] = out_ref[0, 0, :] + ax
+        out_ref[0, 1, :] = out_ref[0, 1, :] + ay
+        out_ref[0, 2, :] = out_ref[0, 2, :] + az
+
+
+@functools.partial(jax.jit, static_argnames=("kernel", "accel", "interpret"))
+def near_field_eval(lists, tgt_tiles, leaf_tiles, kernel: str = KERNEL_NONE,
+                    accel: bool = False, interpret: bool = False):
+    """Evaluate the near field for every block.
+
+    lists: (nb, Lmax) int32 leaf ids (padded with the dummy leaf id);
+    tgt_tiles: (nb, 8, TB); leaf_tiles: (n_leaves+1, 8, cap).
+    Returns (nb, 8, TB) with φ in row 0 (or a⃗ in rows 0–2).
+    """
+    nb, lmax = lists.shape
+    tb = tgt_tiles.shape[2]
+    cap = leaf_tiles.shape[2]
+    body = _near_acceleration_kernel if accel else _near_potential_kernel
+    kern = functools.partial(body, tb=tb, cap=cap, kernel=kernel)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb, lmax),
+        in_specs=[
+            pl.BlockSpec((1, 8, tb), lambda b, t, L: (b, 0, 0)),
+            pl.BlockSpec((1, 8, cap), lambda b, t, L: (L[b, t], 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 8, tb), lambda b, t, L: (b, 0, 0)),
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nb, 8, tb), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=interpret,
+    )(lists, tgt_tiles, leaf_tiles)
+
+
+def _far_monopole_kernel(tgt_ref, src_ref, out_ref, *, tb, ts, accel):
+    j = pl.program_id(1)
+    tx = tgt_ref[0, 0, :].reshape(tb, 1)
+    ty = tgt_ref[0, 1, :].reshape(tb, 1)
+    tz = tgt_ref[0, 2, :].reshape(tb, 1)
+    sx = src_ref[0, 0, :].reshape(1, ts)
+    sy = src_ref[0, 1, :].reshape(1, ts)
+    sz = src_ref[0, 2, :].reshape(1, ts)
+    sm = src_ref[0, 3, :]
+    dx = sx - tx
+    dy = sy - ty
+    dz = sz - tz
+    r2 = dx * dx + dy * dy + dz * dz
+    if accel:
+        invr = jax.lax.rsqrt(r2 + _TINY2)
+        w = (invr * invr * invr) * sm.reshape(1, ts)
+        ax = jnp.sum(w * dx, axis=1)
+        ay = jnp.sum(w * dy, axis=1)
+        az = jnp.sum(w * dz, axis=1)
+
+        @pl.when(j == 0)
+        def _():
+            out_ref[0, 0, :] = ax
+            out_ref[0, 1, :] = ay
+            out_ref[0, 2, :] = az
+            for row in range(3, 8):
+                out_ref[0, row, :] = jnp.zeros_like(ax)
+
+        @pl.when(j != 0)
+        def _():
+            out_ref[0, 0, :] = out_ref[0, 0, :] + ax
+            out_ref[0, 1, :] = out_ref[0, 1, :] + ay
+            out_ref[0, 2, :] = out_ref[0, 2, :] + az
+    else:
+        neg_phi = -jax.lax.rsqrt(r2 + _TINY2)
+        pot = jnp.dot(neg_phi, sm, preferred_element_type=jnp.float32)
+
+        @pl.when(j == 0)
+        def _():
+            out_ref[0, 0, :] = pot
+            for row in range(1, 8):
+                out_ref[0, row, :] = jnp.zeros_like(pot)
+
+        @pl.when(j != 0)
+        def _():
+            out_ref[0, 0, :] = out_ref[0, 0, :] + pot
+
+
+@functools.partial(jax.jit, static_argnames=("accel", "interpret"))
+def far_monopole_eval(tgt_tiles, node_payload, accel: bool = False,
+                      interpret: bool = False):
+    """Batched-source dense far field: every block has its own node row.
+
+    tgt_tiles: (C, 8, TB); node_payload: (C, 8, Lnpad) with rows
+    x, y, z, mass (padded nodes carry zero mass).  Monopole only — the
+    multipole far field uses the XLA path.  Returns (C, 8, TB), φ in row 0
+    or a⃗ in rows 0–2.
+    """
+    c, _, tb = tgt_tiles.shape
+    lnpad = node_payload.shape[2]
+    ts = min(lnpad, 2048)
+    kern = functools.partial(_far_monopole_kernel, tb=tb, ts=ts, accel=accel)
+    return pl.pallas_call(
+        kern,
+        grid=(c, lnpad // ts),
+        in_specs=[
+            pl.BlockSpec((1, 8, tb), lambda b, j: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, ts), lambda b, j: (b, 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 8, tb), lambda b, j: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((c, 8, tb), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=interpret,
+    )(tgt_tiles, node_payload)
+
+
+def near_field_potentials(lists, tgt_tiles, leaf_tiles,
+                          kernel: str = KERNEL_NONE,
+                          interpret: bool = False):
+    out = near_field_eval(lists, tgt_tiles, leaf_tiles, kernel=kernel,
+                          accel=False, interpret=interpret)
+    return out[:, 0, :]
+
+
+def near_field_accelerations(lists, tgt_tiles, leaf_tiles,
+                             kernel: str = KERNEL_NONE,
+                             interpret: bool = False):
+    out = near_field_eval(lists, tgt_tiles, leaf_tiles, kernel=kernel,
+                          accel=True, interpret=interpret)
+    return jnp.moveaxis(out[:, 0:3, :], 1, 2)  # (nb, TB, 3)

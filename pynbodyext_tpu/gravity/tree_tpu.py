@@ -346,6 +346,207 @@ def _eval_accelerations(prep_tgt_pos, prep_tgt_soft, tgt_orig, node_ids,
                                node_ids, leaf_ids)
 
 
+# ---------------------------------------------------------------------------
+# Pallas engine: near field via scalar-prefetch leaf-tile kernel
+# (tree_pallas.py), far field via chunked XLA — see docs/design.md §5.
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("order",))
+def _far_potentials(tgt_pos, node_ids, node_com, node_mass, node_moments,
+                    order: int):
+    def one_block(tpos, nids):
+        ncom = node_com[nids]
+        nm = node_mass[nids]
+        d = tpos[:, None, :] - ncom[None, :, :]
+        if order == 0:
+            r = jnp.sqrt(jnp.sum(d * d, axis=-1) + _TINY2)
+            return -jnp.sum(nm[None, :] / r, axis=1)
+        M = node_moments[nids]
+        return -jnp.sum(_phi_multipole_jnp(d, M[None, :, :], order), axis=1)
+    return jax.vmap(one_block)(tgt_pos, node_ids)
+
+
+@partial(jax.jit, static_argnames=("order",))
+def _far_accelerations(tgt_pos, node_ids, node_com, node_mass, node_moments,
+                       order: int):
+    def one_block(tpos, nids):
+        ncom = node_com[nids]
+        nm = node_mass[nids]
+        if order == 0:
+            d = ncom[None, :, :] - tpos[:, None, :]
+            r2 = jnp.sum(d * d, axis=-1) + _TINY2
+            invr = jax.lax.rsqrt(r2)
+            g = nm[None, :] * invr * invr * invr
+            return jnp.sum(d * g[:, :, None], axis=1)
+        M = node_moments[nids]
+        dt = tpos[:, None, :] - ncom[None, :, :]
+        return jnp.sum(_acc_multipole_jnp(dt, M[None, :, :], order), axis=1)
+    return jax.vmap(one_block)(tgt_pos, node_ids)
+
+
+def prepare_tree_pallas(tree: Octree, theta: float = 0.7, cap: int = 128):
+    """Prep for the Pallas engine: leaf tiles + int32 lists + far data."""
+    from .tree_pallas import pack_leaf_tiles
+    lists = tree.block_lists(theta=theta, block_size=0)
+    pos, pmass, psoft, orig = tree.particles_tree_order()
+    lstarts, lcounts = tree.leaves()
+    n = len(pos)
+    n_leaves = len(lstarts)
+    cap = max(cap, int(lcounts.max()) if n_leaves else 1)
+    extent = float(np.max(pos.max(0) - pos.min(0))) if n else 1.0
+    sentinel = (pos.mean(0) + 3.0 * max(extent, 1e-3)).astype(np.float64)
+    tiles = pack_leaf_tiles(pos, pmass, psoft, orig, lstarts, lcounts,
+                            sentinel, cap)
+    leaf_mat = _pad_lists(lists["leaf_counts"], lists["leaf_idx"],
+                          fill=n_leaves).astype(np.int32)
+    node_mat = _pad_lists(lists["node_counts"], lists["node_ids"], fill=-1)
+    com, nmass, _ = tree.node_data()
+    com = np.vstack([com, sentinel[None, :]])
+    nmass = np.concatenate([nmass, [0.0]])
+    node_mat = np.where(node_mat < 0, len(nmass) - 1, node_mat)
+    # pad the node-list width to a lane multiple for the Pallas far field
+    wn = node_mat.shape[1]
+    wn_pad = -(-max(wn, 1) // 128) * 128
+    if wn_pad != wn:
+        node_mat = np.pad(node_mat, ((0, 0), (0, wn_pad - wn)),
+                          constant_values=len(nmass) - 1)
+    moments = tree.node_moments()
+    moments = np.vstack([moments, np.zeros((1, moments.shape[1]))])
+    # packed node payload rows [x, y, z, mass, 0…] for the Pallas far field
+    nodes_packed = np.zeros((len(nmass), 8), np.float32)
+    nodes_packed[:, 0:3] = com
+    nodes_packed[:, 3] = nmass
+    tiles_j = jnp.asarray(tiles)
+    tgt_pos = jnp.moveaxis(tiles_j[:n_leaves, 0:3, :], 1, 2)  # (nb, cap, 3)
+    return {
+        "n": n, "n_blocks": lists["n_blocks"], "cap": cap,
+        "order": tree.multipole_order, "kernel": tree.kernel,
+        "lists": jnp.asarray(leaf_mat),
+        "tiles": tiles_j,
+        "tgt_tiles": tiles_j[:n_leaves],
+        "tgt_pos": tgt_pos,
+        "node_ids": jnp.asarray(node_mat),
+        "node_com": jnp.asarray(com, jnp.float32),
+        "node_mass": jnp.asarray(nmass, jnp.float32),
+        "node_moments": jnp.asarray(moments, jnp.float32),
+        "nodes_packed": jnp.asarray(nodes_packed),
+        "lstarts": np.asarray(lstarts, np.int64),
+        "lcounts": np.asarray(lcounts, np.int64),
+        "orig_index": np.asarray(orig),
+        "stats": {"mean_nodes": float(lists["node_counts"].mean()),
+                  "mean_leaf_tiles": float(lists["leaf_counts"].mean()),
+                  "max_leaf_tiles": int(lists["leaf_counts"].max()),
+                  "cap": cap},
+    }
+
+
+def _scatter_leaf_blocks(prep, block_vals: np.ndarray, ncols: int):
+    n = prep["n"]
+    nb = prep["n_blocks"]
+    cap = prep["cap"]
+    idx = _range_index_matrix(prep["lstarts"], prep["lcounts"], cap, fill=n)
+    flat_idx = idx.reshape(-1)
+    flat = np.asarray(block_vals).reshape(nb * cap, -1)
+    valid = flat_idx < n
+    tree_order = np.zeros((n, flat.shape[1]))
+    tree_order[flat_idx[valid]] = flat[valid]
+    out = np.zeros((n, flat.shape[1]))
+    out[prep["orig_index"]] = tree_order
+    return out[:, 0] if ncols == 1 else out
+
+
+def _near_chunked(fn, prep, kern, interpret, ncols):
+    """Chunk the Pallas near-field call so the scalar-prefetch list slice
+    fits SMEM (~1 MB): chunk_rows · Lmax · 4 B ≤ ~0.7 MB."""
+    nb = prep["n_blocks"]
+    lmax = prep["lists"].shape[1]
+    # SMEM stores the prefetched list with the lane dim padded to 128;
+    # stay well under the 1 MB budget
+    lmax_padded = -(-max(lmax, 1) // 128) * 128
+    chunk = max(1, min(nb, (400_000 // 4) // lmax_padded))
+    outs = []
+    for lo in range(0, nb, chunk):
+        hi = min(nb, lo + chunk)
+        pad = chunk - (hi - lo)
+        li = prep["lists"][lo:hi]
+        tt = prep["tgt_tiles"][lo:hi]
+        if pad:
+            li = jnp.concatenate([li, jnp.repeat(li[-1:], pad, axis=0)])
+            tt = jnp.concatenate([tt, jnp.repeat(tt[-1:], pad, axis=0)])
+        out = fn(li, tt, prep["tiles"], kernel=kern, interpret=interpret)
+        outs.append(np.asarray(out)[:hi - lo])
+    return np.concatenate(outs, axis=0)
+
+
+@partial(jax.jit, static_argnames=())
+def _gather_node_payload(nodes_packed, node_ids_chunk):
+    g = nodes_packed[node_ids_chunk]      # (C, Ln, 8)
+    return jnp.moveaxis(g, 1, 2)          # (C, 8, Ln)
+
+
+def _far_eval(prep, accel: bool, interpret: bool, far_chunk: int,
+              row_slice):
+    """Chunked far field: Pallas monopole kernel (order 0) or XLA multipoles."""
+    from .tree_pallas import far_monopole_eval
+    nb = prep["n_blocks"]
+    order = prep["order"]
+    parts = []
+    for lo in range(0, nb, far_chunk):
+        hi = min(nb, lo + far_chunk)
+        pad = far_chunk - (hi - lo)
+
+        def take(x):
+            part = x[lo:hi]
+            if pad:
+                part = jnp.concatenate(
+                    [part, jnp.repeat(part[-1:], pad, axis=0)])
+            return part
+
+        if order == 0:
+            payload = _gather_node_payload(prep["nodes_packed"],
+                                           take(prep["node_ids"]))
+            out = far_monopole_eval(take(prep["tgt_tiles"]), payload,
+                                    accel=accel, interpret=interpret)
+            out = jnp.moveaxis(out[:, row_slice, :], 1, 2) if accel \
+                else out[:, 0, :]
+        else:
+            fn = _far_accelerations if accel else _far_potentials
+            out = fn(take(prep["tgt_pos"]), take(prep["node_ids"]),
+                     prep["node_com"], prep["node_mass"],
+                     prep["node_moments"], order=order)
+        parts.append(np.asarray(out)[:hi - lo])
+    return np.concatenate(parts, axis=0)
+
+
+def tree_potentials_device_pallas(tree: Octree, theta: float = 0.7,
+                                  prep=None, interpret: bool = False,
+                                  far_chunk: int = 2048) -> np.ndarray:
+    """Device tree with the Pallas near-field engine (original order)."""
+    from .tree_pallas import near_field_potentials
+    if prep is None:
+        prep = prepare_tree_pallas(tree, theta=theta)
+    kern = prep["kernel"] or KERNEL_NONE
+    near = _near_chunked(near_field_potentials, prep, kern, interpret, 1)
+    far_all = _far_eval(prep, accel=False, interpret=interpret,
+                        far_chunk=far_chunk, row_slice=slice(0, 1))
+    total = np.asarray(near) + far_all
+    return _scatter_leaf_blocks(prep, total, 1)
+
+
+def tree_accelerations_device_pallas(tree: Octree, theta: float = 0.7,
+                                     prep=None, interpret: bool = False,
+                                     far_chunk: int = 4096) -> np.ndarray:
+    from .tree_pallas import near_field_accelerations
+    if prep is None:
+        prep = prepare_tree_pallas(tree, theta=theta)
+    kern = prep["kernel"] or KERNEL_NONE
+    near = _near_chunked(near_field_accelerations, prep, kern, interpret, 3)
+    far_all = _far_eval(prep, accel=True, interpret=interpret,
+                        far_chunk=far_chunk, row_slice=slice(0, 3))
+    total = np.asarray(near) + far_all
+    return _scatter_leaf_blocks(prep, total, 3)
+
+
 def tree_accelerations_device(tree: Octree, theta: float = 0.7,
                               block_size: int = 0, prep=None,
                               dtype=jnp.float32,

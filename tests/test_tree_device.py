@@ -104,3 +104,32 @@ def test_calculate_potential_tree_device(clustered):
     p_dir = calculate_potential(snap, softening=0.05, method="direct")
     np.testing.assert_allclose(np.asarray(p_dev), np.asarray(p_dir),
                                rtol=2e-2)
+
+
+def test_pallas_engine_theta0_equals_direct(clustered):
+    """Pallas near-field kernel (interpret mode): θ=0 ≡ direct sum."""
+    from pynbodyext_tpu.gravity.tree_tpu import (
+        prepare_tree_pallas, tree_accelerations_device_pallas,
+        tree_potentials_device_pallas)
+    pos, m, h = clustered
+    tree = Octree(pos, m, leaf_capacity=128, multipole_order=0,
+                  softenings=h, kernel="plummer")
+    prep = prepare_tree_pallas(tree, theta=0.0)
+    phi = tree_potentials_device_pallas(tree, prep=prep, interpret=True)
+    phi_dir = native_direct_potentials(pos, m, h, kernel="plummer")
+    np.testing.assert_allclose(phi, phi_dir, rtol=3e-6)
+    acc = tree_accelerations_device_pallas(tree, prep=prep, interpret=True)
+    acc_dir = native_direct_accelerations(pos, m, h, kernel="plummer")
+    np.testing.assert_allclose(acc, acc_dir, rtol=1e-3,
+                               atol=np.abs(acc_dir).max() * 1e-5)
+
+
+def test_pallas_engine_with_multipoles(clustered):
+    from pynbodyext_tpu.gravity.tree_tpu import (
+        prepare_tree_pallas, tree_potentials_device_pallas)
+    pos, m, _ = clustered
+    tree = Octree(pos, m, leaf_capacity=128, multipole_order=3)
+    prep = prepare_tree_pallas(tree, theta=0.6)
+    phi = tree_potentials_device_pallas(tree, prep=prep, interpret=True)
+    phi_dir = native_direct_potentials(pos, m)
+    assert np.abs((phi - phi_dir) / phi_dir).max() < 1e-3
