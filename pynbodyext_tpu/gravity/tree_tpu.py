@@ -485,8 +485,14 @@ def _gather_node_payload(nodes_packed, node_ids_chunk):
 
 
 def _far_eval(prep, accel: bool, interpret: bool, far_chunk: int,
-              row_slice):
-    """Chunked far field: Pallas monopole kernel (order 0) or XLA multipoles."""
+              row_slice, far_engine: str = "xla"):
+    """Chunked far field.
+
+    ``far_engine="pallas"`` (order 0 only) runs the batched-source monopole
+    kernel; measured on v5e it is NOT faster than the XLA path — the cost is
+    the 32 B-per-node gather volume (≈blocks × ⟨nodes⟩ rows), which both
+    engines pay — so XLA stays the default.
+    """
     from .tree_pallas import far_monopole_eval
     nb = prep["n_blocks"]
     order = prep["order"]
@@ -502,7 +508,7 @@ def _far_eval(prep, accel: bool, interpret: bool, far_chunk: int,
                     [part, jnp.repeat(part[-1:], pad, axis=0)])
             return part
 
-        if order == 0:
+        if order == 0 and far_engine == "pallas":
             payload = _gather_node_payload(prep["nodes_packed"],
                                            take(prep["node_ids"]))
             out = far_monopole_eval(take(prep["tgt_tiles"]), payload,
@@ -520,7 +526,8 @@ def _far_eval(prep, accel: bool, interpret: bool, far_chunk: int,
 
 def tree_potentials_device_pallas(tree: Octree, theta: float = 0.7,
                                   prep=None, interpret: bool = False,
-                                  far_chunk: int = 2048) -> np.ndarray:
+                                  far_chunk: int = 4096,
+                                  far_engine: str = "xla") -> np.ndarray:
     """Device tree with the Pallas near-field engine (original order)."""
     from .tree_pallas import near_field_potentials
     if prep is None:
@@ -528,7 +535,8 @@ def tree_potentials_device_pallas(tree: Octree, theta: float = 0.7,
     kern = prep["kernel"] or KERNEL_NONE
     near = _near_chunked(near_field_potentials, prep, kern, interpret, 1)
     far_all = _far_eval(prep, accel=False, interpret=interpret,
-                        far_chunk=far_chunk, row_slice=slice(0, 1))
+                        far_chunk=far_chunk, row_slice=slice(0, 1),
+                        far_engine=far_engine)
     total = np.asarray(near) + far_all
     return _scatter_leaf_blocks(prep, total, 1)
 
@@ -542,7 +550,8 @@ def tree_accelerations_device_pallas(tree: Octree, theta: float = 0.7,
     kern = prep["kernel"] or KERNEL_NONE
     near = _near_chunked(near_field_accelerations, prep, kern, interpret, 3)
     far_all = _far_eval(prep, accel=True, interpret=interpret,
-                        far_chunk=far_chunk, row_slice=slice(0, 3))
+                        far_chunk=far_chunk, row_slice=slice(0, 3),
+                        far_engine="xla")
     total = np.asarray(near) + far_all
     return _scatter_leaf_blocks(prep, total, 3)
 
