@@ -12,9 +12,14 @@ fixed denominator so rounds are comparable).
 """
 
 import json
+import pathlib
+import sys
 import time
 
 import numpy as np
+
+# runnable from any cwd
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
 
 REFERENCE_PAIR_RATE = 2.0e8  # est. reference Rust direct-sum pairs/s (CPU)
 
