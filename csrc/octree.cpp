@@ -422,7 +422,11 @@ double potential_at(const Tree &t, double tx, double ty, double tz,
     double dy = ty - node.com[1];
     double dz = tz - node.com[2];
     double dist2 = dx * dx + dy * dy + dz * dz + R2_TINY;
-    bool ok = soft_ok(dist2, node.hmax, ctx.soft_factor) &&
+    // admissibility uses max(node hmax, target softening) — a node is only
+    // far enough when it clears BOTH softening scales (reference
+    // tree.rs:56-70 node_soft_ok semantics)
+    bool ok = soft_ok(dist2, std::max(node.hmax, ctx.target_h),
+                      ctx.soft_factor) &&
               node.size2 < ctx.theta2 * dist2;
     if (ok) {
       if (t.order == 0) {
@@ -465,7 +469,8 @@ void acceleration_at(const Tree &t, double tx, double ty, double tz,
     double dy = ty - node.com[1];
     double dz = tz - node.com[2];
     double dist2 = dx * dx + dy * dy + dz * dz + R2_TINY;
-    bool ok = soft_ok(dist2, node.hmax, ctx.soft_factor) &&
+    bool ok = soft_ok(dist2, std::max(node.hmax, ctx.target_h),
+                      ctx.soft_factor) &&
               node.size2 < ctx.theta2 * dist2;
     if (ok) {
       if (t.order == 0) {
@@ -575,6 +580,10 @@ void build_block_lists(Tree &t, long block_size, double theta) {
       rb2 = std::max(rb2, dx * dx + dy * dy + dz * dz);
     }
     double rb = std::sqrt(rb2);
+    // max target softening in the block: admissibility must clear it too
+    double bh = 0.0;
+    if (t.has_soft)
+      for (long k = p0; k < p1; ++k) bh = std::max(bh, t.ph[k]);
 
     std::vector<int32_t> &nlist = t.bl_nodes[b];
     std::vector<int32_t> &plist = t.bl_leaf_idx[b];
@@ -594,10 +603,10 @@ void build_block_lists(Tree &t, long block_size, double theta) {
       double oz = std::abs(cb[2] - node.center[2]);
       double reach = node.half + rb;
       bool outside = ox > reach || oy > reach || oz > reach;
+      double h_eff = std::max(node.hmax, bh);
       bool ok = outside && dmin > 0.0 &&
                 node.size2 < theta2 * dmin * dmin &&
-                (c_soft <= 0.0 || node.hmax <= 0.0 ||
-                 dmin > c_soft * node.hmax);
+                (c_soft <= 0.0 || h_eff <= 0.0 || dmin > c_soft * h_eff);
       if (ok) {
         nlist.push_back(nodei);
         nodei = node.next_branch;

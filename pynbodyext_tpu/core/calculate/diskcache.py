@@ -63,10 +63,19 @@ def snapshot_fingerprint(snap) -> str:
         q = snap[name]
         arr = q.value
         h.update(f"{name}:{arr.shape}:{arr.dtype}:{q.units}".encode())
-        flat_head = np.asarray(arr[:16]).tobytes()
-        flat_tail = np.asarray(arr[-16:]).tobytes()
-        h.update(flat_head)
-        h.update(flat_tail)
+        flat = arr.reshape(-1)
+        n = int(flat.shape[0])
+        h.update(np.asarray(flat[:16]).tobytes())
+        h.update(np.asarray(flat[-16:]).tobytes())
+        # interior coverage: strided sample + whole-array reductions so an
+        # edit anywhere in the array changes the fingerprint (reductions run
+        # device-side for jnp inputs; only scalars cross to host)
+        if n > 32:
+            stride = max(1, n // 64)
+            h.update(np.asarray(flat[::stride][:64]).tobytes())
+        h.update(np.asarray(
+            [float(flat.sum()), float(flat.min()), float(flat.max())],
+            dtype=np.float64).tobytes())
     fp = h.hexdigest()[:20]
     try:
         object.__setattr__(snap, "_content_fingerprint", fp)

@@ -275,6 +275,12 @@ def far_monopole_eval(tgt_tiles, node_payload, accel: bool = False,
     c, _, tb = tgt_tiles.shape
     lnpad = node_payload.shape[2]
     ts = min(lnpad, 2048)
+    # the grid floor-divides: pad the node axis to a multiple of ts so no
+    # trailing columns are dropped (zero-mass padding contributes nothing)
+    rem = lnpad % ts
+    if rem:
+        node_payload = jnp.pad(node_payload, ((0, 0), (0, 0), (0, ts - rem)))
+        lnpad += ts - rem
     kern = functools.partial(_far_monopole_kernel, tb=tb, ts=ts, accel=accel)
     return pl.pallas_call(
         kern,

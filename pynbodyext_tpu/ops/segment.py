@@ -134,6 +134,14 @@ def segment_weighted_quantile(values, seg_ids, num_segments: int, fracs,
     start_idx = jnp.concatenate([jnp.zeros(1, dtype=jnp.int32),
                                  jnp.cumsum(counts.astype(jnp.int32))[:-1]])
     end_idx = start_idx + counts.astype(jnp.int32)
+    # ``counts`` is positional (masked entries were rerouted into the last
+    # segment, inflating it); the NaN guard must use UNMASKED counts so a
+    # fully-masked segment yields NaN, not the -inf padding value.
+    if mask is None:
+        nvalid = counts
+    else:
+        nvalid = jax.ops.segment_sum(mask.astype(w.dtype), seg_ids,
+                                     num_segments=num_segments)
 
     c = jnp.cumsum(w_s)  # global inclusive cumsum; within-seg = c - offsets[g]
     fr = jnp.atleast_1d(jnp.asarray(fracs, dtype=values.dtype))
@@ -171,7 +179,7 @@ def segment_weighted_quantile(values, seg_ids, num_segments: int, fracs,
         out = jnp.where(t <= c[start_idx], v_s[start_idx], out)
         last = jnp.maximum(end_idx - 1, start_idx)
         out = jnp.where(t >= c[last], v_s[last], out)
-        return jnp.where(counts > 0, out, jnp.nan)
+        return jnp.where(nvalid > 0, out, jnp.nan)
 
     result = jax.vmap(one_frac)(fr)
     if jnp.ndim(fracs) == 0:

@@ -210,3 +210,17 @@ def test_virial_radius(rng):
     exp = rs[len(rho) // 2]
     got = float(ops.virial_radius(jnp.asarray(r), jnp.asarray(m), target))
     assert got == pytest.approx(float(exp), rel=0.01)
+
+
+def test_segment_weighted_quantile_fully_masked_segment():
+    """A segment whose entries are all masked must return NaN, not the -inf
+    padding value (round-1 advisor finding)."""
+    vals = np.array([1.0, 2.0, 3.0, 4.0], np.float32)
+    segs = np.array([0, 0, 0, 1])
+    mask = np.array([True, True, True, False])
+    got = np.asarray(ops.segment_weighted_quantile(
+        vals, segs, 2, 0.5, mask=mask))
+    unmasked = np.asarray(ops.segment_weighted_quantile(
+        vals[:3], segs[:3], 1, 0.5))
+    assert got[0] == pytest.approx(float(unmasked[0]))
+    assert np.isnan(got[1])

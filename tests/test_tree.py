@@ -188,3 +188,25 @@ def test_leaf_capacity_invariance(cloud):
     b = Octree(pos, m, leaf_capacity=64,
                multipole_order=0).compute_potentials(theta=0.0)
     np.testing.assert_allclose(a, b, rtol=1e-10)
+
+
+def test_soft_admissibility_includes_target_softening():
+    """A self-set target whose softening exceeds its surroundings must not
+    receive unsoftened far-field contributions inside its own softening
+    scale (reference ``tree.rs:56-70`` node_soft_ok uses
+    max(node hmax, target h); round-1 advisor finding)."""
+    rng = np.random.default_rng(3)
+    n = 4000
+    pos = rng.normal(0, 1, (n, 3))
+    m = rng.uniform(0.5, 2, n)
+    h = np.full(n, 0.01)
+    h[0] = 2.0  # softening spans most of the cluster
+    pd = native_direct_potentials(pos, m, h, kernel="spline")
+    ad = native_direct_accelerations(pos, m, h, kernel="spline")
+    tree = Octree(pos, m, leaf_capacity=16, multipole_order=3,
+                  softenings=h, kernel="spline")
+    pt = tree.compute_potentials(theta=0.8)
+    at = tree.compute_accelerations(theta=0.8)
+    assert abs((pt[0] - pd[0]) / pd[0]) < 1e-3
+    scale = np.linalg.norm(ad[0]) + np.abs(ad).max() * 1e-3
+    assert np.linalg.norm(at[0] - ad[0]) / scale < 2e-2

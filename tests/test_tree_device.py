@@ -133,3 +133,45 @@ def test_pallas_engine_with_multipoles(clustered):
     phi = tree_potentials_device_pallas(tree, prep=prep, interpret=True)
     phi_dir = native_direct_potentials(pos, m)
     assert np.abs((phi - phi_dir) / phi_dir).max() < 1e-3
+
+
+def test_device_soft_admissibility_includes_target_softening():
+    """Block interaction lists must clear the block's max target softening
+    too, not just node hmax (round-1 advisor finding)."""
+    rng = np.random.default_rng(3)
+    n = 3000
+    pos = rng.normal(0, 1, (n, 3))
+    m = rng.uniform(0.5, 2, n)
+    h = np.full(n, 0.01)
+    h[0] = 2.0
+    pd = native_direct_potentials(pos, m, h, kernel="spline")
+    tree = Octree(pos, m, leaf_capacity=32, multipole_order=3,
+                  softenings=h, kernel="spline")
+    pt = tree_potentials_device(tree, theta=0.8)
+    assert abs((pt[0] - pd[0]) / pd[0]) < 1e-3
+
+
+def test_far_monopole_eval_nonmultiple_width():
+    """Node-list widths >2048 that are not a multiple of the 2048 tile must
+    not drop trailing columns (round-1 advisor finding: width 2176 lost
+    exactly 128/2176 of the far-field sum)."""
+    import jax.numpy as jnp
+    from pynbodyext_tpu.gravity.tree_pallas import far_monopole_eval
+    rng = np.random.default_rng(11)
+    c, tb, ln = 2, 128, 2176  # 2176 = 2048 + 128
+    payload = np.zeros((c, 8, ln), np.float32)
+    payload[:, 0:3] = rng.normal(10, 3, (c, 3, ln))
+    payload[:, 3] = rng.uniform(0.5, 2, (c, ln))
+    tgt = np.zeros((c, 8, tb), np.float32)
+    tgt[:, 0:3] = rng.normal(0, 1, (c, 3, tb))
+    out = np.asarray(far_monopole_eval(jnp.asarray(tgt),
+                                       jnp.asarray(payload),
+                                       interpret=True))
+    # numpy reference over the FULL width
+    for b in range(c):
+        dx = payload[b, 0][None, :] - tgt[b, 0][:, None]
+        dy = payload[b, 1][None, :] - tgt[b, 1][:, None]
+        dz = payload[b, 2][None, :] - tgt[b, 2][:, None]
+        r = np.sqrt(dx * dx + dy * dy + dz * dz)
+        ref = -(payload[b, 3][None, :] / r).sum(axis=1)
+        np.testing.assert_allclose(out[b, 0], ref, rtol=1e-4)
