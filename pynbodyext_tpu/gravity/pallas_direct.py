@@ -48,14 +48,20 @@ _TINY2 = 1e-38
 # finite in f32 (1e30 would overflow to inf and 0·inf → NaN)
 _PAD_POS = 1e15
 
-# default tile sizes: targets resident (rows), sources streamed (lanes)
-# (empirically best on v5e from the tile sweep in benchmarks); the
-# acceleration kernel keeps dx/dy/dz live so it needs smaller tiles to fit
-# the 16 MB scoped-VMEM budget
+# default tile sizes: targets resident (rows), sources streamed (lanes),
+# empirically best on v5e from tile sweeps.  The acceleration kernel bounds
+# dx/dy/dz liveness by sub-chunking the source tile (_SUB_ACC lanes at a
+# time) so any tile shape fits the 16 MB scoped-VMEM budget.  Measured wall
+# (v5e, 262k): potentials ~106 Gpairs/s, accelerations ~77 Gpairs/s — BOTH
+# are the same ~1.3 Tflop/s VPU elementwise rate (12 vs 18 flops/pair);
+# bigger tiles and MXU row-sum reductions measured no faster, so the accel
+# gap vs potentials is the flop count of the cancellation-safe difference
+# form, not a tiling artifact.
 _TM = 512
 _TS = 2048
 _TM_ACC = 256
-_TS_ACC = 2048
+_TS_ACC = 4096
+_SUB_ACC = 2048
 
 
 def _round_up(n: int, m: int) -> int:
@@ -112,10 +118,16 @@ def _r2_and_h(tgt_ref, src_ref, tm, ts, self_set: bool, uniform_soft: bool):
     return r2, h, (dx, dy, dz)
 
 
-def _self_mask(off_ref, i, j, tm, ts, r2):
-    """+inf into r² on the diagonal, only when tile ranges overlap."""
+def _self_mask(off_ref, i, j, tm, ts, r2, src_sub: int = 0,
+               src_tile: int = None):
+    """+inf into r² on the diagonal, only when tile ranges overlap.
+
+    ``src_sub``/``src_tile``: when the kernel sub-chunks its source tile,
+    ``ts`` is the sub-chunk width and ``src_sub`` its offset inside the
+    full tile of width ``src_tile``.
+    """
     t_lo = off_ref[0] + i * tm
-    s_lo = off_ref[1] + j * ts
+    s_lo = off_ref[1] + j * (ts if src_tile is None else src_tile) + src_sub
 
     def masked(r2):
         trow = t_lo + jax.lax.broadcasted_iota(jnp.int32, (tm, ts), 0)
@@ -186,18 +198,40 @@ def _acceleration_kernel(off_ref, tgt_ref, src_ref, out_ref, *, tm, ts,
                          kernel, self_set, uniform_soft):
     i = pl.program_id(0)
     j = pl.program_id(1)
-    r2, h, (dx, dy, dz) = _r2_and_h(tgt_ref, src_ref, tm, ts, self_set,
-                                    uniform_soft)
-    if self_set:
-        r2 = _self_mask(off_ref, i, j, tm, ts, r2)
-    g = _g_pairs(kernel, r2, h)
-    w = g * src_ref[3, :].reshape(1, ts)  # fold mass in (rsqrt(inf)=0 on diag)
-    # accumulate in the physical (difference) form w·dᵢ — every summand is a
-    # bounded force term, so no catastrophic cancellation at global
-    # coordinates (an MXU Σw·s − t·Σw bundle would cancel badly)
-    ax = jnp.sum(w * dx, axis=1)
-    ay = jnp.sum(w * dy, axis=1)
-    az = jnp.sum(w * dz, axis=1)
+    tx = tgt_ref[0, :].reshape(tm, 1)
+    ty = tgt_ref[1, :].reshape(tm, 1)
+    tz = tgt_ref[2, :].reshape(tm, 1)
+    th = None if uniform_soft else tgt_ref[4, :].reshape(tm, 1)
+    sub = min(ts, _SUB_ACC)
+    ax = jnp.zeros((tm,), jnp.float32)
+    ay = jnp.zeros((tm,), jnp.float32)
+    az = jnp.zeros((tm,), jnp.float32)
+    # sub-chunk the source tile: dx/dy/dz/r²/w live only (tm, sub) at a
+    # time, so 512-row target tiles fit scoped VMEM (round-1 bottleneck)
+    for c in range(ts // sub):
+        lo, hi = c * sub, (c + 1) * sub
+        dx = src_ref[0, lo:hi].reshape(1, sub) - tx
+        dy = src_ref[1, lo:hi].reshape(1, sub) - ty
+        dz = src_ref[2, lo:hi].reshape(1, sub) - tz
+        r2 = dx * dx + dy * dy + dz * dz
+        if uniform_soft:
+            h = src_ref[4, 0]  # scalar, broadcasts for free
+        elif self_set:
+            h = jnp.maximum(th, src_ref[4, lo:hi].reshape(1, sub))
+        else:
+            h = jnp.broadcast_to(src_ref[4, lo:hi].reshape(1, sub),
+                                 (tm, sub))
+        if self_set:
+            r2 = _self_mask(off_ref, i, j, tm, sub, r2, src_sub=lo,
+                            src_tile=ts)
+        g = _g_pairs(kernel, r2, h)
+        w = g * src_ref[3, lo:hi].reshape(1, sub)  # rsqrt(inf)=0 on diag
+        # accumulate in the physical (difference) form w·dᵢ — every summand
+        # is a bounded force term, so no catastrophic cancellation at global
+        # coordinates (an MXU Σw·s − t·Σw bundle would cancel badly)
+        ax = ax + jnp.sum(w * dx, axis=1)
+        ay = ay + jnp.sum(w * dy, axis=1)
+        az = az + jnp.sum(w * dz, axis=1)
 
     @pl.when(j == 0)
     def _():
