@@ -46,7 +46,7 @@ from .result import (ErrorInfo, PhaseRecord, ProvenanceInfo, Result,
                      ResultNode)
 from .runtime import CalcRuntime, TransformRuntime
 from .scopes import Scope, ScopeSpec, TransformScope
-from .template import RuntimeCalculatorBase
+from .base import CalculatorBase as RuntimeCalculatorBase  # API-parity alias
 from .trace import TraceCollector, TraceEvent
 from .transforms import (TransformBase, TransformChain, TransformPlan,
                          TransformResult, chain_transforms)

@@ -291,8 +291,10 @@ class ExecutionContext:
         return ("sim", id(self.sim))
 
     # -- dependency API (reference ``context.py:748-759``) ---------------------
-    def evaluate(self, node, input: NodeInput):
-        return self.engine.evaluate(node, self, input)
+    def evaluate(self, node, input: NodeInput, errors=None):
+        """Evaluate a dependency.  ``errors`` overrides the run's error
+        policy for THIS node only (used by Pipeline's COLLECT_PARTIAL)."""
+        return self.engine.evaluate(node, self, input, errors_override=errors)
 
     def public_value(self, node, input: NodeInput):
         return self.engine.evaluate(node, self, input).public

@@ -46,7 +46,8 @@ class EvalEngine:
         return self._assemble_result(ctx, root, record, started, wall)
 
     # -- node evaluation (reference ``engine.py:174-440``) ---------------------
-    def evaluate(self, node, ctx: ExecutionContext, input: NodeInput
+    def evaluate(self, node, ctx: ExecutionContext, input: NodeInput,
+                 errors_override: Optional[ErrorPolicy] = None
                  ) -> ResultNode:
         key = (ctx.sim_signature(), input.cache_token, node.signature())
         policy = getattr(node, "_cache_override", None) or node.cache_policy
@@ -109,7 +110,9 @@ class EvalEngine:
                                       node_label=node.label)
                 ctx.errors.append(rec.error)
                 ctx.register(rec)
-                if ctx.options.errors == ErrorPolicy.RAISE:
+                policy_now = (ctx.options.errors if errors_override is None
+                              else errors_override)
+                if policy_now == ErrorPolicy.RAISE:
                     raise
                 rec.wall = time.perf_counter() - t0
                 ctx.progress.on_node_end(node.label, ctx.depth, rec.wall, False)

@@ -43,13 +43,9 @@ class Pipeline(CalculatorBase):
         results: Dict[str, object] = {}
         for name, node in self.outputs.items():
             if partial:
-                # temporarily collect so one failure doesn't kill the run
-                saved = ctx.options.errors
-                ctx.options.errors = ErrorPolicy.COLLECT
-                try:
-                    rec = ctx.evaluate(node, input)
-                finally:
-                    ctx.options.errors = saved
+                # per-evaluate policy override — one failing output becomes
+                # None without mutating the shared run options
+                rec = ctx.evaluate(node, input, errors=ErrorPolicy.COLLECT)
                 results[name] = (None if rec.status == NodeStatus.ERROR
                                  else rec.public)
             else:

@@ -85,6 +85,19 @@ class ResultNode:
         return (f"<ResultNode {self.label} [{self.status.value}{flag}] "
                 f"{compact_repr(self.public, 30)}>")
 
+    def _repr_html_(self):
+        """Fact card (reference ``ResultRepr.result_node_html``)."""
+        from .display import html_card, html_table
+        rows = [("label", self.label), ("kind", self.kind),
+                ("status", self.status.value), ("cached", self.cached),
+                ("wall", format_time(self.wall)),
+                ("children", len(self.children)),
+                ("phases", len(self.phases)),
+                ("value", compact_repr(self.public, 80))]
+        if self.error is not None:
+            rows.append(("error", str(self.error)))
+        return html_card("ResultNode", html_table(rows))
+
 
 class Result:
     """Rich run output (reference ``result.py:242``): ``.value`` plus node
@@ -105,7 +118,7 @@ class Result:
         self.provenance = provenance
         self.options = options
 
-    # -- queries (reference ``result.py:480``) -------------------------------
+    # -- queries (reference ``result.py:480-560`` ResultQuery) ----------------
     def walk(self) -> Iterator[ResultNode]:
         if self.root is not None:
             yield from self.root.walk()
@@ -115,6 +128,45 @@ class Result:
 
     def find_by_label(self, label: str) -> List[ResultNode]:
         return [n for n in self.nodes if n.label == label]
+
+    def find_error_nodes(self) -> List[ResultNode]:
+        return [n for n in self.nodes if n.error is not None]
+
+    def resolve_node(self, node) -> ResultNode:
+        """Accept a ResultNode, a name, or a label (reference
+        ``ResultQuery.resolve_node``)."""
+        if isinstance(node, ResultNode):
+            return node
+        if node in self.named:
+            return self.named[node]
+        hits = self.find_by_label(node)
+        if hits:
+            return hits[0]
+        raise KeyError(node)
+
+    def children_of(self, node) -> List[ResultNode]:
+        return list(self.resolve_node(node).children)
+
+    def phases_of(self, node) -> List[PhaseRecord]:
+        return list(self.resolve_node(node).phases)
+
+    def describe_node(self, node) -> str:
+        n = self.resolve_node(node)
+        lines = [f"label: {n.label}",
+                 f"kind: {n.kind}",
+                 f"status: {n.status.value}",
+                 f"cached: {n.cached}",
+                 f"wall: {format_time(n.wall)}",
+                 f"children: {len(n.children)}",
+                 f"phases: {len(n.phases)}",
+                 f"signature: {n.signature_hash[:16]}"]
+        if n.summary:
+            lines.append(f"value: {n.summary.get('repr', '')}")
+            if "units" in n.summary:
+                lines.append(f"units: {n.summary['units']}")
+        if n.error is not None:
+            lines.append(f"error: {n.error}")
+        return "\n".join(lines)
 
     def __getitem__(self, name: str):
         """Named-value access: ``result["re"]`` → public value."""
@@ -160,19 +212,59 @@ class Result:
             lines.append(f"  ERROR {e}")
         return "\n".join(lines)
 
-    def pipeline_report(self) -> str:
-        sections = [self.summary(), "", "── node tree ──", self.node_tree()]
-        if "perf" in self.reports:
-            sections += ["", "── perf ──", self.reports["perf"]]
-        if "cache" in self.reports:
-            sections += ["", "── cache ──", self.reports["cache"]]
-        return "\n".join(sections)
+    def cache_section(self) -> str:
+        return self.reports.get("cache", "(no cache report)")
+
+    def pipeline_report(self, include_perf: bool = True,
+                        include_trace: bool = False,
+                        include_cache: bool = False,
+                        include_errors: bool = True) -> str:
+        """Multi-section text report (reference ``result.py:768``)."""
+        sections = ["Summary", self.summary(),
+                    "Pipeline", self.node_tree()]
+        if include_perf and "perf" in self.reports:
+            sections += ["Performance", self.reports["perf"]]
+        if include_trace and "trace_timeline" in self.reports:
+            sections += ["Trace Timeline", self.reports["trace_timeline"]]
+        if include_cache and "cache" in self.reports:
+            sections += ["Cache", self.reports["cache"]]
+        err_nodes = self.find_error_nodes()
+        if include_errors and (self.errors or err_nodes):
+            block: List[str] = []
+            if err_nodes:
+                block.append("nodes:")
+                block += [f"- {n.label}"
+                          + (f" phase={n.error.phase}" if n.error.phase
+                             else "") for n in err_nodes]
+            if self.errors:
+                if block:
+                    block.append("")
+                block.append("messages:")
+                block += [f"- {e}" for e in self.errors]
+            sections += ["Errors", "\n".join(block)]
+        return "\n\n".join(s for s in sections if s)
 
     def __repr__(self):
         return (f"<Result value={compact_repr(self.value, 40)} "
                 f"nodes={len(self.nodes)} errors={len(self.errors)}>")
 
     def _repr_html_(self):
-        from .display import html_pre
-        return ("<b>Result</b>" + html_pre(self.summary())
-                + html_pre(self.node_tree()))
+        """Card with a fact table, named-value table, and node tree
+        (reference ``ResultRepr.result_html``, ``result.py:652-678``)."""
+        from .display import html_card, html_pre, html_table
+        rows = [("root", self.root.label if self.root else "-"),
+                ("value", compact_repr(self.value, 60)),
+                ("ok", self.ok),
+                ("nodes", len(self.nodes)),
+                ("errors", len(self.errors)),
+                ("wall", format_time(self.provenance.wall))]
+        body = html_table(rows)
+        if self.named:
+            body += "<div style='margin-top:4px'><b>Named values</b></div>"
+            body += html_table(
+                [(k, compact_repr(v.public, 80),
+                  "cached" if v.cached else format_time(v.wall))
+                 for k, v in self.named.items()],
+                header=("name", "value", "time"))
+        body += html_pre(self.node_tree())
+        return html_card("Result", body)
