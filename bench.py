@@ -4,11 +4,12 @@ Headline metric (BASELINE.json): gravity potential throughput
 (particles/sec via pair-rate at the largest N that fits a time budget) plus
 the KappaRot pipeline latency, on whatever accelerator is attached.
 
-vs_baseline: the reference publishes no numbers (BASELINE.md); its Rust
-direct-sum on a typical CPU sustains ~1e8–2e8 pair-interactions/s.  We
-report vs_baseline = measured pair rate / 2e8 (a generous estimate of the
-reference's rayon direct path on a modern multi-core CPU — documented,
-fixed denominator so rounds are comparable).
+vs_baseline: the reference publishes no numbers (BASELINE.md), so the
+denominator is MEASURED on this host: the repo's native C++ direct sum
+(csrc ``pnx_direct_potentials``, the role-equivalent of the reference's
+rayon direct path) sustains 1.216e8 pair-interactions/s (plummer kernel,
+N=65536, f64, single-core host — ``nproc``=1; measured 2026-08-16, see
+BASELINE_HOST.json).  Fixed constant so rounds stay comparable.
 """
 
 import json
@@ -21,7 +22,7 @@ import numpy as np
 # runnable from any cwd
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
 
-REFERENCE_PAIR_RATE = 2.0e8  # est. reference Rust direct-sum pairs/s (CPU)
+REFERENCE_PAIR_RATE = 1.216e8  # MEASURED host-CPU native direct-sum pairs/s
 
 
 def main():
