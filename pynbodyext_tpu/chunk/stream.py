@@ -74,6 +74,18 @@ class SnapshotChunkStore(ChunkStore):
                             snap[name].dtype, snap[name].units)
             for name in snap.loaded_fields}
 
+    def field_info(self, name: str) -> FieldInfo:
+        info = self._fields.get(name)
+        if info is None and self._snap.has_field(name):
+            # derived fields resolve lazily (reference runs derivations on
+            # dask arrays too, ``chunksnap.py:123``)
+            q = self._snap[name]
+            info = FieldInfo(name, tuple(q.shape[1:]), q.dtype, q.units)
+            self._fields[name] = info
+        if info is None:
+            return super().field_info(name)
+        return info
+
     def load_chunk(self, name: str, i: int) -> np.ndarray:
         lo, hi = self.chunk_bounds(i)
         return np.asarray(self._snap[name].value[lo:hi])
@@ -159,16 +171,25 @@ class StreamingArray:
     stream chunks host→device with bounded residency (one chunk at a time —
     the reference's residency semaphore collapses to sequential streaming,
     ``chunk/chunk.py:63``).  ``compute()`` concatenates into a real QArray.
+
+    ``mask_fn`` (optional, ``i → bool (chunk_rows,)``) restricts the array
+    to a subset — family views and filters.  Reductions are mask-aware
+    (min/max/mean see only selected rows, matching the reference's exact
+    chunked family views) and ``compute()`` drops unselected rows.
     """
 
     def __init__(self, store: ChunkStore,
                  chunk_fn: Callable[[int], jnp.ndarray],
-                 units: Unit, shape_tail: tuple = (), name: str = ""):
+                 units: Unit, shape_tail: tuple = (), name: str = "",
+                 mask_fn: Optional[Callable[[int], jnp.ndarray]] = None,
+                 length: Optional[int] = None):
         self._store = store
         self._chunk_fn = chunk_fn
         self.units = units
         self._shape_tail = shape_tail
         self.name = name
+        self._mask_fn = mask_fn
+        self._length = length
 
     # -- construction ------------------------------------------------------
     @classmethod
@@ -183,17 +204,21 @@ class StreamingArray:
     # -- shape protocol ---------------------------------------------------------
     @property
     def shape(self) -> tuple:
-        return (self._store.n_total,) + self._shape_tail
+        n = self._store.n_total if self._length is None else self._length
+        return (n,) + self._shape_tail
 
     @property
     def ndim(self) -> int:
         return 1 + len(self._shape_tail)
 
     def __len__(self) -> int:
-        return self._store.n_total
+        return self.shape[0]
 
     def chunk(self, i: int) -> jnp.ndarray:
         return self._chunk_fn(i)
+
+    def chunk_mask(self, i: int) -> Optional[jnp.ndarray]:
+        return None if self._mask_fn is None else self._mask_fn(i)
 
     # -- lazy elementwise composition ----------------------------------------
     def map(self, fn: Callable, units: Optional[UnitLike] = None,
@@ -203,7 +228,26 @@ class StreamingArray:
             self._store, lambda i: fn(prev(i)),
             parse_unit(units) if units is not None else self.units,
             self._shape_tail if shape_tail is None else shape_tail,
-            name=f"map({self.name})")
+            name=f"map({self.name})", mask_fn=self._mask_fn,
+            length=self._length)
+
+    def rename(self, name: str) -> "StreamingArray":
+        self.name = name
+        return self
+
+    def with_mask(self, mask_fn: Callable[[int], jnp.ndarray],
+                  length: Optional[int] = None) -> "StreamingArray":
+        """Restrict to rows where ``mask_fn(i)`` is True (AND-merged with
+        any existing mask).  ``length`` is the selected count if known."""
+        prev = self._mask_fn
+        if prev is None:
+            combined = mask_fn
+        else:
+            def combined(i):
+                return jnp.logical_and(prev(i), mask_fn(i))
+        return StreamingArray(self._store, self._chunk_fn, self.units,
+                              self._shape_tail, name=self.name,
+                              mask_fn=combined, length=length)
 
     def _binop(self, other, op, unit_op) -> "StreamingArray":
         if isinstance(other, StreamingArray):
@@ -211,13 +255,24 @@ class StreamingArray:
                 raise ValueError("streaming arrays must share a ChunkStore")
             a, b = self._chunk_fn, other._chunk_fn
             units = unit_op(self.units, other.units)
+            ma, mb = self._mask_fn, other._mask_fn
+            if ma is None:
+                mask = mb
+            elif mb is None:
+                mask = ma
+            else:
+                def mask(i):
+                    return jnp.logical_and(ma(i), mb(i))
             return StreamingArray(self._store, lambda i: op(a(i), b(i)),
-                                  units, self._shape_tail)
+                                  units, self._shape_tail, mask_fn=mask,
+                                  length=(self._length if mb is None
+                                          else other._length))
         ou = other.units if isinstance(other, QArray) else dimensionless
         ov = strip_units(other)
         a = self._chunk_fn
         return StreamingArray(self._store, lambda i: op(a(i), ov),
-                              unit_op(self.units, ou), self._shape_tail)
+                              unit_op(self.units, ou), self._shape_tail,
+                              mask_fn=self._mask_fn, length=self._length)
 
     def __add__(self, o):
         return self._binop(o, lambda a, b: a + b, lambda u, v: u)
@@ -234,9 +289,7 @@ class StreamingArray:
         return self._binop(o, lambda a, b: a / b, lambda u, v: u / v)
 
     def __pow__(self, p):
-        prev = self._chunk_fn
-        return StreamingArray(self._store, lambda i: prev(i) ** p,
-                              self.units ** p, self._shape_tail)
+        return self.map(lambda x: x ** p, units=self.units ** p)
 
     def __neg__(self):
         return self.map(lambda x: -x)
@@ -244,37 +297,79 @@ class StreamingArray:
     def __abs__(self):
         return self.map(jnp.abs)
 
-    # -- streaming reductions ------------------------------------------------------
+    # -- streaming reductions (mask-aware: exact over family/filter views) ----
+    def _bcast_mask(self, m, c):
+        return m.reshape(m.shape + (1,) * (c.ndim - 1))
+
     def _reduce(self, fn_chunk, combine, init):
         acc = init
         for i in range(self._store.n_chunks):
-            acc = combine(acc, fn_chunk(self.chunk(i)))
+            acc = combine(acc, fn_chunk(self.chunk(i), self.chunk_mask(i)))
         return acc
 
     def sum(self, axis=None) -> QArray:
         if axis not in (None, 0):
             raise ValueError("streaming reductions are over the particle axis")
-        tot = self._reduce(lambda c: jnp.sum(c, axis=0),
-                           lambda a, b: a + b, 0.0)
-        return QArray(tot, self.units)
+
+        def part(c, m):
+            if m is not None:
+                c = jnp.where(self._bcast_mask(m, c), c, jnp.zeros((), c.dtype))
+            return jnp.sum(c, axis=0)
+
+        return QArray(self._reduce(part, lambda a, b: a + b, 0.0), self.units)
 
     def min(self) -> QArray:
-        v = self._reduce(jnp.min, jnp.minimum, jnp.inf)
-        return QArray(v, self.units)
+        def part(c, m):
+            if m is not None:
+                c = jnp.where(self._bcast_mask(m, c), c, jnp.inf)
+            return jnp.min(c)
+
+        return QArray(self._reduce(part, jnp.minimum, jnp.inf), self.units)
 
     def max(self) -> QArray:
-        v = self._reduce(jnp.max, jnp.maximum, -jnp.inf)
-        return QArray(v, self.units)
+        def part(c, m):
+            if m is not None:
+                c = jnp.where(self._bcast_mask(m, c), c, -jnp.inf)
+            return jnp.max(c)
+
+        return QArray(self._reduce(part, jnp.maximum, -jnp.inf), self.units)
+
+    def count(self):
+        """Number of selected rows (streams masks only)."""
+        if self._mask_fn is None:
+            return self._store.n_total
+        tot = 0
+        for i in range(self._store.n_chunks):
+            tot += int(jnp.sum(self._mask_fn(i)))
+        return tot
 
     def mean(self) -> QArray:
-        n = self._store.n_total
-        return QArray(self.sum().value / n, self.units)
+        if self._mask_fn is None:
+            n = self._store.n_total
+            return QArray(self.sum().value / n, self.units)
+
+        def part(c, m):
+            mm = self._bcast_mask(m, c)
+            s = jnp.sum(jnp.where(mm, c, jnp.zeros((), c.dtype)), axis=0)
+            return s, jnp.sum(m)
+
+        def combine(a, b):
+            return a[0] + b[0], a[1] + b[1]
+
+        s, n = self._reduce(part, combine, (0.0, 0))
+        return QArray(s / jnp.maximum(n, 1), self.units)
 
     # -- materialization ---------------------------------------------------------
     def compute(self) -> QArray:
-        """Concatenate all chunks into one device array
-        (``SimDaskArray.compute``, ``simdaskarray.py:342``)."""
-        parts = [self.chunk(i) for i in range(self._store.n_chunks)]
+        """Concatenate all chunks into one device array, dropping unselected
+        rows (``SimDaskArray.compute``, ``simdaskarray.py:342``)."""
+        parts = []
+        for i in range(self._store.n_chunks):
+            c = self.chunk(i)
+            m = self.chunk_mask(i)
+            if m is not None:
+                c = c[np.asarray(m)]
+            parts.append(c)
         return QArray(jnp.concatenate(parts, axis=0), self.units)
 
     def in_units(self, target: UnitLike, **ctx) -> "StreamingArray":
@@ -310,6 +405,7 @@ class ChunkedSnapshot:
             raise TypeError(f"cannot build ChunkedSnapshot from "
                             f"{type(source).__name__}")
         self._family = family
+        self._extra_mask: Optional[Callable[[int], jnp.ndarray]] = None
 
     # -- metadata ------------------------------------------------------------
     def __len__(self) -> int:
@@ -336,7 +432,9 @@ class ChunkedSnapshot:
     # -- family views ------------------------------------------------------------
     def families(self, name: str) -> "ChunkedSnapshot":
         fam = FAMILY_ALIASES.get(name, name)
-        return ChunkedSnapshot(self.store, family=fam)
+        view = ChunkedSnapshot(self.store, family=fam)
+        view._extra_mask = self._extra_mask
+        return view
 
     @property
     def s(self):
@@ -364,21 +462,32 @@ class ChunkedSnapshot:
     # -- field access ---------------------------------------------------------------
     def __getitem__(self, name: str) -> StreamingArray:
         arr = StreamingArray.from_field(self.store, name)
-        if self._family is None:
-            return arr
-        fam_w = self._chunk_family_weight
-        prev = arr._chunk_fn
+        if self._family is not None:
+            sl = self.store.family_slices.get(self._family)
+            fam_n = 0 if sl is None else sl.stop - sl.start
+            # mask-aware view: every reduction (incl. min/max/mean) sees
+            # ONLY family rows — exact, like the reference's chunked views
+            arr = arr.with_mask(self._chunk_family_weight,
+                                length=fam_n).rename(
+                f"{name}[{self._family}]")
+        if self._extra_mask is not None:
+            arr = arr.with_mask(self._extra_mask)
+        return arr
 
-        def masked(i):
-            c = prev(i)
-            m = fam_w(i)
-            mm = m.reshape(m.shape + (1,) * (c.ndim - 1))
-            return jnp.where(mm, c, jnp.zeros((), c.dtype))
-
-        # zeros outside the family: exact for sums; min/max/mean over a
-        # family view should use explicit masks — use materialize() there.
-        return StreamingArray(self.store, masked, arr.units,
-                              arr._shape_tail, name=f"{name}[{self._family}]")
+    def filtered(self, mask_chunk_fn: Callable[[int], jnp.ndarray]
+                 ) -> "ChunkedSnapshot":
+        """Snapshot view restricted by a per-chunk boolean mask function
+        (the chunked analogue of ``snap[filter]``); composes with any
+        existing restriction."""
+        view = ChunkedSnapshot(self.store, family=self._family)
+        prev = self._extra_mask
+        if prev is None:
+            view._extra_mask = mask_chunk_fn
+        else:
+            def view_mask(i):
+                return jnp.logical_and(prev(i), mask_chunk_fn(i))
+            view._extra_mask = view_mask
+        return view
 
     # -- streaming map-reduce -----------------------------------------------------
     def map_reduce(self, fields: Sequence[str],

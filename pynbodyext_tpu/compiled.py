@@ -25,15 +25,16 @@ __all__ = ["kappa_rot_pipeline", "kappa_rot_pipeline_from_snapshot"]
 @functools.partial(jax.jit, static_argnames=("min_particles", "ssc_stride"))
 def kappa_rot_pipeline(pos, vel, mass, star_mask, boxsize,
                        radius=30.0, min_particles: int = 100,
-                       ssc_stride: int = 1):
+                       ssc_stride: int = 64):
     """WrapBox(minirange) → ShiftPosTo('ssc') → ShiftVelTo('com') →
     AlignVec(AngMomVec) → KappaRot, measured on stars within ``radius``
     (BASELINE.json config 4) — one XLA program.
 
     Parameters are raw device arrays: ``pos``/``vel`` (N,3) f32, ``mass``
     (N,), ``star_mask`` (N,) bool, ``boxsize`` scalar (0 disables wrapping).
-    ``ssc_stride > 1`` opts into the coarse-to-fine shrinking-sphere stage
-    (≈stride× fewer full passes; see ``ops.shrink_sphere_center``).
+    ``ssc_stride`` controls the coarse-to-fine shrinking-sphere ladder
+    (default 64; validated against the exact loop to the f32 noise floor —
+    see ``ops.shrink_sphere_center``; pass 1 for the exact loop).
 
     Returns the scalar κ_rot.
     """

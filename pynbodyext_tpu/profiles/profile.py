@@ -163,6 +163,11 @@ class ProfileBase:
             raise KeyError(
                 f"cannot resolve profile field {key!r}: not a snapshot "
                 f"field, profile property, or <field>_<stat> pattern")
+        from ..chunk.stream import is_streaming_array
+        if is_streaming_array(q):
+            # reference parity: dask inputs are computed before per-bin
+            # statistics (``proarray.py:316``)
+            q = q.compute()
         pa = ProfileArray(self, key, q.value, q.units)
         self._data_cache[key] = pa
         return pa

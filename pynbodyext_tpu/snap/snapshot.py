@@ -262,6 +262,8 @@ class Snapshot(_ViewBase):
         """
         fields = dict(self._fields)
         for k, v in overrides.items():
+            if hasattr(v, "compute") and hasattr(v, "chunk"):
+                v = v.compute()  # StreamingArray → QArray
             if not isinstance(v, QArray):
                 old = fields.get(k)
                 v = QArray(jnp.asarray(v), old.units if old is not None else None)

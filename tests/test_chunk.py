@@ -97,3 +97,78 @@ def test_hdf5_chunk_store(tmp_path, centered_snap):
     pos_sum = np.asarray(cs["pos"].sum().value)
     exp_pos = np.asarray(centered_snap["pos"], dtype=np.float64).sum(0)
     np.testing.assert_allclose(pos_sum, exp_pos, rtol=1e-4)
+
+
+def test_family_view_exact_reductions(chunked, centered_snap):
+    """min/mean/max over a family view must equal the materialized family
+    values — the round-1 zero-fill bug silently included zeros."""
+    sv = chunked.s["vr"]
+    star = np.asarray(centered_snap.family_mask("star"))
+    full = np.asarray(centered_snap["vr"].value)[star]
+    assert float(sv.mean().value) == pytest.approx(full.mean(), rel=1e-6)
+    assert float(sv.min().value) == pytest.approx(full.min(), rel=1e-6)
+    assert float(sv.max().value) == pytest.approx(full.max(), rel=1e-6)
+    assert sv.count() == len(full)
+    assert len(sv) == len(full)
+    got = np.asarray(sv.compute().value)
+    np.testing.assert_allclose(got, full, rtol=1e-6)
+
+
+def test_family_view_binop_keeps_mask(chunked, centered_snap):
+    ke = chunked.s["vr"] * chunked.s["vr"]
+    star = np.asarray(centered_snap.family_mask("star"))
+    full = np.asarray(centered_snap["vr"].value)[star]
+    assert float(ke.mean().value) == pytest.approx((full * full).mean(),
+                                                   rel=1e-6)
+
+
+def test_filtered_view(chunked, centered_snap):
+    import jax.numpy as jnp
+    store = chunked.store
+
+    def mask_fn(i):
+        r = jnp.asarray(store.load_chunk("pos", i))
+        return jnp.sum(r * r, axis=1) < 25.0
+    view = chunked.filtered(mask_fn)
+    pos = np.asarray(centered_snap["pos"].value)
+    mass = np.asarray(centered_snap["mass"].value)
+    inside = (pos ** 2).sum(1) < 25.0
+    assert float(view["mass"].sum().value) == pytest.approx(
+        mass[inside].sum(), rel=1e-6)
+    assert float(view["mass"].mean().value) == pytest.approx(
+        mass[inside].mean(), rel=1e-6)
+    # filter composes with family view
+    star = centered_snap.family_mask("star")
+    both = np.logical_and(inside, np.asarray(star))
+    assert float(view.s["mass"].sum().value) == pytest.approx(
+        mass[both].sum(), rel=1e-6)
+
+
+def test_profile_consumes_streaming_input(chunked, centered_snap):
+    """Profiles accept StreamingArray fields by computing them on entry
+    (reference dask path, ``proarray.py:316``)."""
+    from pynbodyext_tpu.profiles import RadialProfile
+    base = chunked.materialize(["pos", "mass"])
+    sv = chunked["vr"]  # streaming field, NOT materialized above
+
+    class StreamingSim:
+        """Snapshot facade whose 'vr' field is a live StreamingArray."""
+        def __init__(self, b, s):
+            self._b, self._s = b, s
+
+        def __getitem__(self, k):
+            return self._s if k == "vr" else self._b[k]
+
+        def __getattr__(self, a):
+            return getattr(self._b, a)
+
+    pr = RadialProfile(StreamingSim(base, sv), ndim=3, nbins=10,
+                       bins_type="lin")
+    got = np.asarray(pr["vr"])
+    pr_ref = RadialProfile(centered_snap, ndim=3, nbins=10, bins_type="lin")
+    np.testing.assert_allclose(got, np.asarray(pr_ref["vr"]), rtol=1e-5)
+    # with_fields also computes streaming inputs
+    snap2 = base.with_fields(vr=chunked["vr"])
+    np.testing.assert_allclose(np.asarray(snap2["vr"].value),
+                               np.asarray(centered_snap["vr"].value),
+                               rtol=1e-6)
