@@ -196,6 +196,15 @@ struct Tree {
   std::vector<int32_t> bl_start, bl_count;        // target ranges per block
   std::vector<int32_t> leaf_seq;                  // node id -> leaf seq (-1)
   std::vector<int32_t> leaf_node_ids;             // leaf seq -> node id
+
+  // cached two-level lists: group-level far lists shared by G consecutive
+  // leaves + residual per-leaf lists (see build_group_lists)
+  long gl_group_leaves = 0;
+  double gl_theta = -1.0;
+  std::vector<std::vector<int32_t>> gl_gnodes;    // per-group far node ids
+  std::vector<std::vector<int32_t>> gl_lnodes;    // per-leaf residual nodes
+  std::vector<std::vector<int32_t>> gl_lleaf;     // per-leaf near LEAF seqs
+  std::vector<int32_t> gl_gstart, gl_gcount;      // particle range per group
 };
 
 // recursive builder: subdivide [start,end) of the reorder buffer
@@ -622,6 +631,176 @@ void build_block_lists(Tree &t, long block_size, double theta) {
   t.bl_theta = theta;
 }
 
+// number the leaves (shared by both list builders)
+void ensure_leaf_numbering(Tree &t) {
+  if (!t.leaf_node_ids.empty()) return;
+  t.leaf_seq.assign(t.nodes.size(), -1);
+  for (size_t i = 0; i < t.nodes.size(); ++i) {
+    if (t.nodes[i].first_child < 0 && t.nodes[i].pcount > 0) {
+      t.leaf_seq[i] = (int32_t)t.leaf_node_ids.size();
+      t.leaf_node_ids.push_back((int32_t)i);
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Two-level interaction lists: a far-field node list shared by a GROUP of G
+// consecutive leaves + residual per-leaf node lists + per-leaf near lists.
+//
+// The device far field's wall is the node-payload gather volume
+// (blocks × ⟨list⟩ rows); accepting distant nodes once per GROUP divides
+// that volume by ~G for the far part of the list while per-leaf residual
+// lists stay short (only nodes between the leaf and group admissibility
+// scales).  Exact partition: a node accepted at group level is flagged and
+// its subtree skipped in the leaf traversals, so every (target, source)
+// pair is counted exactly once.  (Dual-tree dedup sketch, CLAUDE.md
+// round-1 notes; traversal semantics match tree.rs:1126-1331.)
+// ---------------------------------------------------------------------------
+
+void build_group_lists(Tree &t, long group_leaves, double theta) {
+  if (t.gl_group_leaves == group_leaves && t.gl_theta == theta &&
+      !t.gl_lleaf.empty())
+    return;
+  ensure_leaf_numbering(t);
+  long n_leaves = (long)t.leaf_node_ids.size();
+  long G = std::max<long>(1, group_leaves);
+  long n_groups = (n_leaves + G - 1) / G;
+  double theta2 = theta * theta;
+  double c_soft = t.has_soft ? soft_sep_factor(t.kernel) : 0.0;
+  t.gl_gnodes.assign(n_groups, {});
+  t.gl_lnodes.assign(n_leaves, {});
+  t.gl_lleaf.assign(n_leaves, {});
+  t.gl_gstart.assign(n_groups, 0);
+  t.gl_gcount.assign(n_groups, 0);
+  // gflag: node accepted at group level (leaf traversal skips its subtree).
+  // aflag: node whose subtree CONTAINS a group-accepted node — the leaf
+  // traversal must descend through it, never accept it (leaf admissibility
+  // is weaker than group admissibility, so such an ancestor could otherwise
+  // be re-accepted wholesale → double count).  Only the thin spine of
+  // ancestors of accepted nodes is constrained; everything else follows
+  // normal BH acceptance.
+  std::vector<uint8_t> gflag(t.nodes.size(), 0);
+  std::vector<uint8_t> aflag(t.nodes.size(), 0);
+  std::vector<int32_t> marked;   // aflag ids to reset per group
+  std::vector<int32_t> ancestors;  // current traversal path (opened nodes)
+
+  // bounding sphere + max softening of a particle range
+  auto sphere_of = [&](long p0, long p1, double cb[3], double &rb,
+                       double &bh) {
+    double lo[3] = {t.px[p0], t.py[p0], t.pz[p0]};
+    double hi[3] = {lo[0], lo[1], lo[2]};
+    for (long k = p0 + 1; k < p1; ++k) {
+      lo[0] = std::min(lo[0], t.px[k]);
+      hi[0] = std::max(hi[0], t.px[k]);
+      lo[1] = std::min(lo[1], t.py[k]);
+      hi[1] = std::max(hi[1], t.py[k]);
+      lo[2] = std::min(lo[2], t.pz[k]);
+      hi[2] = std::max(hi[2], t.pz[k]);
+    }
+    cb[0] = 0.5 * (lo[0] + hi[0]);
+    cb[1] = 0.5 * (lo[1] + hi[1]);
+    cb[2] = 0.5 * (lo[2] + hi[2]);
+    double rb2 = 0.0;
+    for (long k = p0; k < p1; ++k) {
+      double dx = t.px[k] - cb[0], dy = t.py[k] - cb[1],
+             dz = t.pz[k] - cb[2];
+      rb2 = std::max(rb2, dx * dx + dy * dy + dz * dz);
+    }
+    rb = std::sqrt(rb2);
+    bh = 0.0;
+    if (t.has_soft)
+      for (long k = p0; k < p1; ++k) bh = std::max(bh, t.ph[k]);
+  };
+
+  // block admissibility (identical criterion to build_block_lists)
+  auto accept = [&](const Node &node, const double cb[3], double rb,
+                    double bh) -> bool {
+    double dx = cb[0] - node.com[0];
+    double dy = cb[1] - node.com[1];
+    double dz = cb[2] - node.com[2];
+    double dmin = std::sqrt(dx * dx + dy * dy + dz * dz) - rb;
+    double ox = std::abs(cb[0] - node.center[0]);
+    double oy = std::abs(cb[1] - node.center[1]);
+    double oz = std::abs(cb[2] - node.center[2]);
+    double reach = node.half + rb;
+    bool outside = ox > reach || oy > reach || oz > reach;
+    double h_eff = std::max(node.hmax, bh);
+    return outside && dmin > 0.0 && node.size2 < theta2 * dmin * dmin &&
+           (c_soft <= 0.0 || h_eff <= 0.0 || dmin > c_soft * h_eff);
+  };
+
+  for (long g = 0; g < n_groups; ++g) {
+    long l0 = g * G, l1 = std::min(n_leaves, l0 + G);
+    const Node &first = t.nodes[t.leaf_node_ids[l0]];
+    const Node &last = t.nodes[t.leaf_node_ids[l1 - 1]];
+    long p0 = first.pstart, p1 = last.pstart + last.pcount;
+    t.gl_gstart[g] = (int32_t)p0;
+    t.gl_gcount[g] = (int32_t)(p1 - p0);
+    double cbg[3], rbg, bhg;
+    sphere_of(p0, p1, cbg, rbg, bhg);
+
+    std::vector<int32_t> &glist = t.gl_gnodes[g];
+    marked.clear();
+    ancestors.clear();
+    int32_t nodei = 0;
+    while (nodei >= 0) {
+      const Node &node = t.nodes[nodei];
+      // pop ancestors whose particle range no longer contains this node
+      while (!ancestors.empty()) {
+        const Node &top = t.nodes[ancestors.back()];
+        if (node.pstart >= top.pstart + top.pcount) ancestors.pop_back();
+        else break;
+      }
+      if (accept(node, cbg, rbg, bhg)) {
+        glist.push_back(nodei);
+        gflag[nodei] = 1;
+        // mark the ancestor spine (stop at an already-marked ancestor —
+        // its own ancestors are marked by induction)
+        for (auto it = ancestors.rbegin(); it != ancestors.rend(); ++it) {
+          if (aflag[*it]) break;
+          aflag[*it] = 1;
+          marked.push_back(*it);
+        }
+        nodei = node.next_branch;
+      } else if (node.first_child < 0) {
+        nodei = node.next_branch;  // handled at leaf level
+      } else {
+        ancestors.push_back(nodei);
+        nodei = node.first_child;
+      }
+    }
+
+    for (long l = l0; l < l1; ++l) {
+      const Node &leaf = t.nodes[t.leaf_node_ids[l]];
+      double cbl[3], rbl, bhl;
+      sphere_of(leaf.pstart, leaf.pstart + leaf.pcount, cbl, rbl, bhl);
+      std::vector<int32_t> &nlist = t.gl_lnodes[l];
+      std::vector<int32_t> &plist = t.gl_lleaf[l];
+      nodei = 0;
+      while (nodei >= 0) {
+        const Node &node = t.nodes[nodei];
+        if (gflag[nodei]) {  // subtree already counted at group level
+          nodei = node.next_branch;
+          continue;
+        }
+        if (!aflag[nodei] && accept(node, cbl, rbl, bhl)) {
+          nlist.push_back(nodei);
+          nodei = node.next_branch;
+        } else if (node.first_child < 0) {
+          if (node.pcount > 0) plist.push_back(t.leaf_seq[nodei]);
+          nodei = node.next_branch;
+        } else {
+          nodei = node.first_child;
+        }
+      }
+    }
+    for (int32_t id : glist) gflag[id] = 0;
+    for (int32_t id : marked) aflag[id] = 0;
+  }
+  t.gl_group_leaves = group_leaves;
+  t.gl_theta = theta;
+}
+
 void parallel_for_impl(long n, int threads,
                        const std::function<void(long, long)> &body) {
   if (threads <= 0)
@@ -742,6 +921,52 @@ void pnx_tree_accelerations(void *h, const double *targets, long m,
                       targets[3 * i + 2], ctx, out + 3 * i);
     }
   });
+}
+
+// --- two-level (group) interaction lists ------------------------------------
+
+long pnx_tree_build_group_lists(void *h, long group_leaves, double theta) {
+  Tree *t = (Tree *)h;
+  build_group_lists(*t, group_leaves, theta);
+  return (long)t->gl_gnodes.size();
+}
+
+void pnx_tree_group_list_sizes(void *h, long *gnode_counts,
+                               long *lnode_counts, long *lleaf_counts) {
+  Tree *t = (Tree *)h;
+  for (size_t g = 0; g < t->gl_gnodes.size(); ++g)
+    gnode_counts[g] = (long)t->gl_gnodes[g].size();
+  for (size_t l = 0; l < t->gl_lnodes.size(); ++l) {
+    lnode_counts[l] = (long)t->gl_lnodes[l].size();
+    lleaf_counts[l] = (long)t->gl_lleaf[l].size();
+  }
+}
+
+void pnx_tree_group_targets(void *h, int32_t *starts, int32_t *counts) {
+  Tree *t = (Tree *)h;
+  std::memcpy(starts, t->gl_gstart.data(),
+              t->gl_gstart.size() * sizeof(int32_t));
+  std::memcpy(counts, t->gl_gcount.data(),
+              t->gl_gcount.size() * sizeof(int32_t));
+}
+
+void pnx_tree_group_list_data(void *h, int32_t *gnode_ids,
+                              int32_t *lnode_ids, int32_t *lleaf_idx) {
+  Tree *t = (Tree *)h;
+  long a = 0, b = 0, c = 0;
+  for (size_t g = 0; g < t->gl_gnodes.size(); ++g) {
+    std::memcpy(gnode_ids + a, t->gl_gnodes[g].data(),
+                t->gl_gnodes[g].size() * sizeof(int32_t));
+    a += (long)t->gl_gnodes[g].size();
+  }
+  for (size_t l = 0; l < t->gl_lnodes.size(); ++l) {
+    std::memcpy(lnode_ids + b, t->gl_lnodes[l].data(),
+                t->gl_lnodes[l].size() * sizeof(int32_t));
+    b += (long)t->gl_lnodes[l].size();
+    std::memcpy(lleaf_idx + c, t->gl_lleaf[l].data(),
+                t->gl_lleaf[l].size() * sizeof(int32_t));
+    c += (long)t->gl_lleaf[l].size();
+  }
 }
 
 // --- block interaction lists (accelerator handoff) -------------------------

@@ -23,8 +23,9 @@ __version__ = "0.1.0"
 
 from . import log, ops, units
 from .quantity import QArray, qarray
-from .snap import (ParticleView, Snapshot, load_gadget_hdf5,
-                   make_test_galaxy, save_gadget_hdf5)
+from .snap import (ParticleView, Snapshot, from_pynbody,
+                   load_gadget_binary, load_gadget_hdf5, load_via_pynbody,
+                   make_test_galaxy, save_gadget_binary, save_gadget_hdf5)
 from .units import G, Unit, parse_unit
 
 from . import calculate
@@ -41,6 +42,8 @@ __all__ = [
     "QArray", "qarray", "Unit", "parse_unit", "G", "units",
     "Snapshot", "ParticleView",
     "load_gadget_hdf5", "save_gadget_hdf5", "make_test_galaxy",
+    "load_gadget_binary", "save_gadget_binary", "from_pynbody",
+    "load_via_pynbody",
     "ops", "log", "calculate",
     # filters
     "Sphere", "FamilyFilter", "Cuboid", "Disc", "Annulus", "BandPass",

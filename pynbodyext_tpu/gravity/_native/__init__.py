@@ -83,6 +83,13 @@ def _load() -> Optional[ctypes.CDLL]:
     dll.pnx_tree_block_list_sizes.argtypes = [ctypes.c_void_p, lp, lp]
     dll.pnx_tree_block_list_data.argtypes = [ctypes.c_void_p, ip, ip]
     dll.pnx_tree_block_targets.argtypes = [ctypes.c_void_p, ip, ip]
+    dll.pnx_tree_build_group_lists.restype = ctypes.c_long
+    dll.pnx_tree_build_group_lists.argtypes = [ctypes.c_void_p,
+                                               ctypes.c_long,
+                                               ctypes.c_double]
+    dll.pnx_tree_group_list_sizes.argtypes = [ctypes.c_void_p, lp, lp, lp]
+    dll.pnx_tree_group_targets.argtypes = [ctypes.c_void_p, ip, ip]
+    dll.pnx_tree_group_list_data.argtypes = [ctypes.c_void_p, ip, ip, ip]
     dll.pnx_tree_n_leaves.restype = ctypes.c_long
     dll.pnx_tree_n_leaves.argtypes = [ctypes.c_void_p]
     dll.pnx_tree_leaves.argtypes = [ctypes.c_void_p, ip, ip]

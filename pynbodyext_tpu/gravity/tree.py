@@ -165,6 +165,49 @@ class Octree:
                 "node_ids": node_ids, "leaf_idx": leaf_idx,
                 "starts": starts, "counts": counts}
 
+    def group_lists(self, theta: float = 0.7, group_leaves: int = 8):
+        """Two-level interaction lists: group-shared far node lists +
+        residual per-leaf node lists + per-leaf near lists.
+
+        Exact partition of the per-leaf BH interaction set: nodes accepted
+        against a GROUP of ``group_leaves`` consecutive leaves are listed
+        once for the whole group (dividing the device far-field gather
+        volume by ~``group_leaves``); nodes between the leaf and group
+        admissibility scales land in short per-leaf residual lists.
+        """
+        import ctypes
+        nat = self._nat
+        ng = nat.lib.pnx_tree_build_group_lists(self._handle,
+                                                int(group_leaves),
+                                                float(theta))
+        nl = int(nat.lib.pnx_tree_n_leaves(self._handle))
+        gnode_counts = np.zeros(ng, dtype=np.int64)
+        lnode_counts = np.zeros(nl, dtype=np.int64)
+        lleaf_counts = np.zeros(nl, dtype=np.int64)
+        lp = ctypes.POINTER(ctypes.c_long)
+        nat.lib.pnx_tree_group_list_sizes(
+            self._handle, gnode_counts.ctypes.data_as(lp),
+            lnode_counts.ctypes.data_as(lp),
+            lleaf_counts.ctypes.data_as(lp))
+        gnode_ids = np.zeros(int(gnode_counts.sum()), dtype=np.int32)
+        lnode_ids = np.zeros(int(lnode_counts.sum()), dtype=np.int32)
+        lleaf_idx = np.zeros(int(lleaf_counts.sum()), dtype=np.int32)
+        ip = ctypes.POINTER(ctypes.c_int32)
+        nat.lib.pnx_tree_group_list_data(
+            self._handle, gnode_ids.ctypes.data_as(ip),
+            lnode_ids.ctypes.data_as(ip), lleaf_idx.ctypes.data_as(ip))
+        gstarts = np.zeros(ng, dtype=np.int32)
+        gcounts = np.zeros(ng, dtype=np.int32)
+        nat.lib.pnx_tree_group_targets(
+            self._handle, gstarts.ctypes.data_as(ip),
+            gcounts.ctypes.data_as(ip))
+        return {"n_groups": int(ng), "n_leaves": nl,
+                "group_leaves": int(group_leaves),
+                "gnode_counts": gnode_counts, "gnode_ids": gnode_ids,
+                "lnode_counts": lnode_counts, "lnode_ids": lnode_ids,
+                "lleaf_counts": lleaf_counts, "lleaf_idx": lleaf_idx,
+                "gstarts": gstarts, "gcounts": gcounts}
+
     def leaves(self):
         """(starts, counts) particle ranges of every leaf (tree order)."""
         import ctypes

@@ -102,30 +102,34 @@ def _g_from_r2(kernel: str, r2, h):
     raise ValueError(kernel)
 
 
-def _near_potential_kernel(lists_ref, tgt_ref, tile_ref, out_ref, *,
-                           tb, cap, kernel):
+def _near_potential_kernel(lists_ref, tgt_ref, *rest, tb, cap, kernel, k):
+    tile_refs, out_ref = rest[:-1], rest[-1]
     t = pl.program_id(1)
     tx = tgt_ref[0, 0, :].reshape(tb, 1)
     ty = tgt_ref[0, 1, :].reshape(tb, 1)
     tz = tgt_ref[0, 2, :].reshape(tb, 1)
     th = tgt_ref[0, 4, :].reshape(tb, 1)
     to = tgt_ref[0, 5, :].reshape(tb, 1)
-    sx = tile_ref[0, 0, :].reshape(1, cap)
-    sy = tile_ref[0, 1, :].reshape(1, cap)
-    sz = tile_ref[0, 2, :].reshape(1, cap)
-    sm = tile_ref[0, 3, :]
-    sh = tile_ref[0, 4, :].reshape(1, cap)
-    so = tile_ref[0, 5, :].reshape(1, cap)
-    dx = sx - tx
-    dy = sy - ty
-    dz = sz - tz
-    r2 = dx * dx + dy * dy + dz * dz
-    r2 = jnp.where(so == to, jnp.inf, r2)  # exact self exclusion
-    h = jnp.maximum(th, sh)
-    neg_phi = _phi_from_r2(kernel, r2, h)
-    if kernel == KERNEL_SPLINE:
-        neg_phi = jnp.where(jnp.isfinite(r2), neg_phi, 0.0)
-    pot = jnp.dot(neg_phi, sm, preferred_element_type=jnp.float32)
+    pot = jnp.zeros((tb,), jnp.float32)
+    for tile_ref in tile_refs:
+        sx = tile_ref[0, 0, :].reshape(1, cap)
+        sy = tile_ref[0, 1, :].reshape(1, cap)
+        sz = tile_ref[0, 2, :].reshape(1, cap)
+        sm = tile_ref[0, 3, :]
+        sh = tile_ref[0, 4, :].reshape(1, cap)
+        so = tile_ref[0, 5, :].reshape(1, cap)
+        dx = sx - tx
+        dy = sy - ty
+        dz = sz - tz
+        r2 = dx * dx + dy * dy + dz * dz
+        r2 = jnp.where(so == to, jnp.inf, r2)  # exact self exclusion
+        h = jnp.maximum(th, sh)
+        neg_phi = _phi_from_r2(kernel, r2, h)
+        if kernel == KERNEL_SPLINE:
+            neg_phi = jnp.where(jnp.isfinite(r2), neg_phi, 0.0)
+        # VPU row-sum, NOT jnp.dot: Mosaic cannot fuse a dot into a
+        # non-constant accumulator ("only constant accumulators supported")
+        pot = pot + jnp.sum(neg_phi * sm.reshape(1, cap), axis=1)
 
     @pl.when(t == 0)
     def _():
@@ -138,33 +142,37 @@ def _near_potential_kernel(lists_ref, tgt_ref, tile_ref, out_ref, *,
         out_ref[0, 0, :] = out_ref[0, 0, :] + pot
 
 
-def _near_acceleration_kernel(lists_ref, tgt_ref, tile_ref, out_ref, *,
-                              tb, cap, kernel):
+def _near_acceleration_kernel(lists_ref, tgt_ref, *rest, tb, cap, kernel, k):
+    tile_refs, out_ref = rest[:-1], rest[-1]
     t = pl.program_id(1)
     tx = tgt_ref[0, 0, :].reshape(tb, 1)
     ty = tgt_ref[0, 1, :].reshape(tb, 1)
     tz = tgt_ref[0, 2, :].reshape(tb, 1)
     th = tgt_ref[0, 4, :].reshape(tb, 1)
     to = tgt_ref[0, 5, :].reshape(tb, 1)
-    sx = tile_ref[0, 0, :].reshape(1, cap)
-    sy = tile_ref[0, 1, :].reshape(1, cap)
-    sz = tile_ref[0, 2, :].reshape(1, cap)
-    sm = tile_ref[0, 3, :].reshape(1, cap)
-    sh = tile_ref[0, 4, :].reshape(1, cap)
-    so = tile_ref[0, 5, :].reshape(1, cap)
-    dx = sx - tx
-    dy = sy - ty
-    dz = sz - tz
-    r2 = dx * dx + dy * dy + dz * dz
-    r2 = jnp.where(so == to, jnp.inf, r2)
-    h = jnp.maximum(th, sh)
-    g = _g_from_r2(kernel, r2, h)
-    if kernel == KERNEL_SPLINE:
-        g = jnp.where(jnp.isfinite(r2), g, 0.0)
-    w = g * sm
-    ax = jnp.sum(w * dx, axis=1)
-    ay = jnp.sum(w * dy, axis=1)
-    az = jnp.sum(w * dz, axis=1)
+    ax = jnp.zeros((tb,), jnp.float32)
+    ay = jnp.zeros((tb,), jnp.float32)
+    az = jnp.zeros((tb,), jnp.float32)
+    for tile_ref in tile_refs:
+        sx = tile_ref[0, 0, :].reshape(1, cap)
+        sy = tile_ref[0, 1, :].reshape(1, cap)
+        sz = tile_ref[0, 2, :].reshape(1, cap)
+        sm = tile_ref[0, 3, :].reshape(1, cap)
+        sh = tile_ref[0, 4, :].reshape(1, cap)
+        so = tile_ref[0, 5, :].reshape(1, cap)
+        dx = sx - tx
+        dy = sy - ty
+        dz = sz - tz
+        r2 = dx * dx + dy * dy + dz * dz
+        r2 = jnp.where(so == to, jnp.inf, r2)
+        h = jnp.maximum(th, sh)
+        g = _g_from_r2(kernel, r2, h)
+        if kernel == KERNEL_SPLINE:
+            g = jnp.where(jnp.isfinite(r2), g, 0.0)
+        w = g * sm
+        ax = ax + jnp.sum(w * dx, axis=1)
+        ay = ay + jnp.sum(w * dy, axis=1)
+        az = az + jnp.sum(w * dz, axis=1)
 
     @pl.when(t == 0)
     def _():
@@ -181,27 +189,38 @@ def _near_acceleration_kernel(lists_ref, tgt_ref, tile_ref, out_ref, *,
         out_ref[0, 2, :] = out_ref[0, 2, :] + az
 
 
-@functools.partial(jax.jit, static_argnames=("kernel", "accel", "interpret"))
+@functools.partial(jax.jit, static_argnames=("kernel", "accel", "interpret",
+                                             "k"))
 def near_field_eval(lists, tgt_tiles, leaf_tiles, kernel: str = KERNEL_NONE,
-                    accel: bool = False, interpret: bool = False):
+                    accel: bool = False, interpret: bool = False,
+                    k: int = 4):
     """Evaluate the near field for every block.
 
-    lists: (nb, Lmax) int32 leaf ids (padded with the dummy leaf id);
-    tgt_tiles: (nb, 8, TB); leaf_tiles: (n_leaves+1, 8, cap).
+    lists: (nb, Lmax) int32 leaf ids (padded with the dummy leaf id;
+    Lmax a multiple of ``k``); tgt_tiles: (nb, 8, TB); leaf_tiles:
+    (n_leaves+1, 8, cap).  Each grid step streams ``k`` leaf tiles via
+    ``k`` scalar-prefetch source operands — amortizing the ~µs per-step
+    overhead that dominates (128×128) single-tile steps.
     Returns (nb, 8, TB) with φ in row 0 (or a⃗ in rows 0–2).
     """
     nb, lmax = lists.shape
     tb = tgt_tiles.shape[2]
     cap = leaf_tiles.shape[2]
+    k = max(1, min(k, lmax))
+    if lmax % k:
+        raise ValueError(f"list width {lmax} not a multiple of k={k}")
     body = _near_acceleration_kernel if accel else _near_potential_kernel
-    kern = functools.partial(body, tb=tb, cap=cap, kernel=kernel)
+    kern = functools.partial(body, tb=tb, cap=cap, kernel=kernel, k=k)
+
+    def src_spec(i):
+        return pl.BlockSpec((1, 8, cap),
+                            lambda b, t, L, i=i: (L[b, t * k + i], 0, 0))
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(nb, lmax),
-        in_specs=[
-            pl.BlockSpec((1, 8, tb), lambda b, t, L: (b, 0, 0)),
-            pl.BlockSpec((1, 8, cap), lambda b, t, L: (L[b, t], 0, 0)),
-        ],
+        grid=(nb, lmax // k),
+        in_specs=[pl.BlockSpec((1, 8, tb), lambda b, t, L: (b, 0, 0))]
+        + [src_spec(i) for i in range(k)],
         out_specs=pl.BlockSpec((1, 8, tb), lambda b, t, L: (b, 0, 0)),
     )
     return pl.pallas_call(
@@ -211,7 +230,7 @@ def near_field_eval(lists, tgt_tiles, leaf_tiles, kernel: str = KERNEL_NONE,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
-    )(lists, tgt_tiles, leaf_tiles)
+    )(lists, tgt_tiles, *([leaf_tiles] * k))
 
 
 def _far_monopole_kernel(tgt_ref, src_ref, out_ref, *, tb, ts, accel):
@@ -300,11 +319,17 @@ def far_monopole_eval(tgt_tiles, node_payload, accel: bool = False,
     )(tgt_tiles, node_payload)
 
 
+def _k_for(lists) -> int:
+    w = lists.shape[1]
+    return 4 if w % 4 == 0 else (2 if w % 2 == 0 else 1)
+
+
 def near_field_potentials(lists, tgt_tiles, leaf_tiles,
                           kernel: str = KERNEL_NONE,
                           interpret: bool = False):
     out = near_field_eval(lists, tgt_tiles, leaf_tiles, kernel=kernel,
-                          accel=False, interpret=interpret)
+                          accel=False, interpret=interpret,
+                          k=_k_for(lists))
     return out[:, 0, :]
 
 
@@ -312,5 +337,6 @@ def near_field_accelerations(lists, tgt_tiles, leaf_tiles,
                              kernel: str = KERNEL_NONE,
                              interpret: bool = False):
     out = near_field_eval(lists, tgt_tiles, leaf_tiles, kernel=kernel,
-                          accel=True, interpret=interpret)
+                          accel=True, interpret=interpret,
+                          k=_k_for(lists))
     return jnp.moveaxis(out[:, 0:3, :], 1, 2)  # (nb, TB, 3)

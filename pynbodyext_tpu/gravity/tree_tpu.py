@@ -384,10 +384,30 @@ def _far_accelerations(tgt_pos, node_ids, node_com, node_mass, node_moments,
     return jax.vmap(one_block)(tgt_pos, node_ids)
 
 
-def prepare_tree_pallas(tree: Octree, theta: float = 0.7, cap: int = 128):
-    """Prep for the Pallas engine: leaf tiles + int32 lists + far data."""
+def prepare_tree_pallas(tree: Octree, theta: float = 0.7, cap: int = 128,
+                        group_leaves: int = 8):
+    """Prep for the Pallas engine: leaf tiles + int32 lists + far data.
+
+    ``group_leaves > 1`` uses two-level interaction lists: far nodes
+    admissible against a GROUP of consecutive leaves are listed once per
+    group (dividing the far-field gather volume, the measured wall, by
+    ~``group_leaves``); the per-leaf lists hold only the residual nodes.
+    """
+    import time as _time
+    from .tree import _stage
     from .tree_pallas import pack_leaf_tiles
-    lists = tree.block_lists(theta=theta, block_size=0)
+    _t0 = _time.perf_counter()
+    G = max(1, int(group_leaves))
+    if G > 1:
+        gl = tree.group_lists(theta=theta, group_leaves=G)
+        leaf_counts, leaf_idx = gl["lleaf_counts"], gl["lleaf_idx"]
+        node_counts, node_ids = gl["lnode_counts"], gl["lnode_ids"]
+    else:
+        lists = tree.block_lists(theta=theta, block_size=0)
+        leaf_counts, leaf_idx = lists["leaf_counts"], lists["leaf_idx"]
+        node_counts, node_ids = lists["node_counts"], lists["node_ids"]
+        gl = None
+    _stage("prep.lists", _t0); _t0 = _time.perf_counter()
     pos, pmass, psoft, orig = tree.particles_tree_order()
     lstarts, lcounts = tree.leaves()
     n = len(pos)
@@ -397,9 +417,11 @@ def prepare_tree_pallas(tree: Octree, theta: float = 0.7, cap: int = 128):
     sentinel = (pos.mean(0) + 3.0 * max(extent, 1e-3)).astype(np.float64)
     tiles = pack_leaf_tiles(pos, pmass, psoft, orig, lstarts, lcounts,
                             sentinel, cap)
-    leaf_mat = _pad_lists(lists["leaf_counts"], lists["leaf_idx"],
+    _stage("prep.tiles", _t0); _t0 = _time.perf_counter()
+    leaf_mat = _pad_lists(leaf_counts, leaf_idx,
                           fill=n_leaves).astype(np.int32)
-    node_mat = _pad_lists(lists["node_counts"], lists["node_ids"], fill=-1)
+    node_mat = _pad_lists(node_counts, node_ids, fill=-1)
+    _stage("prep.pad", _t0); _t0 = _time.perf_counter()
     com, nmass, _ = tree.node_data()
     com = np.vstack([com, sentinel[None, :]])
     nmass = np.concatenate([nmass, [0.0]])
@@ -418,14 +440,19 @@ def prepare_tree_pallas(tree: Octree, theta: float = 0.7, cap: int = 128):
     nodes_packed[:, 3] = nmass
     tiles_j = jnp.asarray(tiles)
     tgt_pos = jnp.moveaxis(tiles_j[:n_leaves, 0:3, :], 1, 2)  # (nb, cap, 3)
-    return {
-        "n": n, "n_blocks": lists["n_blocks"], "cap": cap,
+
+    prep = {
+        "n": n, "n_blocks": n_leaves, "cap": cap,
         "order": tree.multipole_order, "kernel": tree.kernel,
-        "lists": jnp.asarray(leaf_mat),
+        "lists": leaf_mat,
+        "lists_np": leaf_mat,
+        "near_counts": np.asarray(leaf_counts, np.int64),
         "tiles": tiles_j,
         "tgt_tiles": tiles_j[:n_leaves],
         "tgt_pos": tgt_pos,
-        "node_ids": jnp.asarray(node_mat),
+        "node_ids": node_mat,
+        "node_ids_np": node_mat,
+        "node_counts_np": np.asarray(node_counts, np.int64),
         "node_com": jnp.asarray(com, jnp.float32),
         "node_mass": jnp.asarray(nmass, jnp.float32),
         "node_moments": jnp.asarray(moments, jnp.float32),
@@ -433,11 +460,47 @@ def prepare_tree_pallas(tree: Octree, theta: float = 0.7, cap: int = 128):
         "lstarts": np.asarray(lstarts, np.int64),
         "lcounts": np.asarray(lcounts, np.int64),
         "orig_index": np.asarray(orig),
-        "stats": {"mean_nodes": float(lists["node_counts"].mean()),
-                  "mean_leaf_tiles": float(lists["leaf_counts"].mean()),
-                  "max_leaf_tiles": int(lists["leaf_counts"].max()),
+        "G": G,
+        "stats": {"mean_nodes": float(node_counts.mean()),
+                  "mean_leaf_tiles": float(leaf_counts.mean()),
+                  "max_leaf_tiles": int(leaf_counts.max()),
                   "cap": cap},
     }
+    _stage("prep.upload", _t0); _t0 = _time.perf_counter()
+    dummy_node = len(nmass) - 1
+    tgt_pos_np = np.moveaxis(tiles[:n_leaves, 0:3, :], 1, 2)
+    prep["near_classes"] = _build_classes(
+        leaf_mat, np.asarray(leaf_counts, np.int64), 64, n_leaves,
+        tiles[:n_leaves])
+    _stage("prep.near_classes", _t0); _t0 = _time.perf_counter()
+    prep["far_classes"] = _build_classes(
+        node_mat, np.asarray(node_counts, np.int64), 128, dummy_node,
+        tgt_pos_np)
+    _stage("prep.far_classes", _t0); _t0 = _time.perf_counter()
+    if gl is not None:
+        ng = gl["n_groups"]
+        gnode_mat = _pad_lists(gl["gnode_counts"], gl["gnode_ids"], fill=-1)
+        gnode_mat = np.where(gnode_mat < 0, dummy_node, gnode_mat)
+        # group target positions: G consecutive leaf tiles per group
+        nl_pad = ng * G
+        pad_rows = nl_pad - n_leaves
+        tp_np = tgt_pos_np
+        if pad_rows:
+            tp_np = np.concatenate(
+                [tp_np, np.broadcast_to(np.asarray(sentinel, np.float32),
+                                        (pad_rows, cap, 3))], axis=0)
+        gtgt_np = tp_np.reshape(ng, G * cap, 3)
+        prep["gtgt_pos"] = gtgt_np
+        prep["gnode_ids"] = gnode_mat
+        prep["gfar_classes"] = _build_classes(
+            gnode_mat, np.asarray(gl["gnode_counts"], np.int64), 128,
+            dummy_node, gtgt_np)
+        prep["n_groups"] = ng
+        _stage("prep.gfar_classes", _t0)
+        prep["stats"]["mean_gnodes"] = float(gl["gnode_counts"].mean())
+        prep["stats"]["gather_rows"] = float(
+            gl["gnode_counts"].sum() + node_counts.sum())
+    return prep
 
 
 def _scatter_leaf_blocks(prep, block_vals: np.ndarray, ncols: int):
@@ -455,27 +518,38 @@ def _scatter_leaf_blocks(prep, block_vals: np.ndarray, ncols: int):
     return out[:, 0] if ncols == 1 else out
 
 
-def _near_chunked(fn, prep, kern, interpret, ncols):
-    """Chunk the Pallas near-field call so the scalar-prefetch list slice
-    fits SMEM (~1 MB): chunk_rows · Lmax · 4 B ≤ ~0.7 MB."""
+def _pad_rows(x, rows: int):
+    pad = rows - x.shape[0]
+    if pad <= 0:
+        return x
+    return jnp.concatenate([x, jnp.repeat(x[-1:], pad, axis=0)])
+
+
+def _near_chunked(prep, kern, interpret, accel, k: int = 4):
+    """Chunked near field over the prebuilt width classes.
+
+    Class data (trimmed lists + target tiles) is device-resident from prep;
+    per-chunk slicing is an on-device slice.  Chunk row counts are a
+    deterministic function of the width so XLA compiles one kernel per
+    class, not per chunk.  SMEM budget: rows·width·4 B ≤ ~0.4 MB."""
+    from .tree_pallas import near_field_eval
     nb = prep["n_blocks"]
-    lmax = prep["lists"].shape[1]
-    # SMEM stores the prefetched list with the lane dim padded to 128;
-    # stay well under the 1 MB budget
-    lmax_padded = -(-max(lmax, 1) // 128) * 128
-    chunk = max(1, min(nb, (400_000 // 4) // lmax_padded))
-    outs = []
-    for lo in range(0, nb, chunk):
-        hi = min(nb, lo + chunk)
-        pad = chunk - (hi - lo)
-        li = prep["lists"][lo:hi]
-        tt = prep["tgt_tiles"][lo:hi]
-        if pad:
-            li = jnp.concatenate([li, jnp.repeat(li[-1:], pad, axis=0)])
-            tt = jnp.concatenate([tt, jnp.repeat(tt[-1:], pad, axis=0)])
-        out = fn(li, tt, prep["tiles"], kernel=kern, interpret=interpret)
-        outs.append(np.asarray(out)[:hi - lo])
-    return np.concatenate(outs, axis=0)
+    tb = prep["tgt_tiles"].shape[2]
+    out = np.zeros((nb, 8, tb), np.float32)
+    budget = 100_000  # SMEM words for the prefetched list slice
+    pending = []
+    for w, sel, li_dev, tt_dev in prep["near_classes"]:
+        for lo, hi, rows in _class_chunks(w, len(sel), budget):
+            res = near_field_eval(_pad_rows(li_dev[lo:hi], rows),
+                                  _pad_rows(tt_dev[lo:hi], rows),
+                                  prep["tiles"], kernel=kern, accel=accel,
+                                  interpret=interpret, k=min(k, w))
+            pending.append((sel[lo:hi], hi - lo, res))  # async dispatch
+    for s_idx, cnt, res in pending:
+        out[s_idx] = np.asarray(res)[:cnt]
+    if accel:
+        return np.moveaxis(out[:, 0:3, :], 1, 2)  # (nb, TB, 3)
+    return out[:, 0, :]
 
 
 @partial(jax.jit, static_argnames=())
@@ -484,75 +558,127 @@ def _gather_node_payload(nodes_packed, node_ids_chunk):
     return jnp.moveaxis(g, 1, 2)          # (C, 8, Ln)
 
 
-def _far_eval(prep, accel: bool, interpret: bool, far_chunk: int,
-              row_slice, far_engine: str = "xla"):
-    """Chunked far field.
+def _build_classes(lists_np, lengths, min_width: int, fill: int, targets):
+    """Partition blocks into power-of-two width classes by list length and
+    upload each class's trimmed list matrix + gathered target rows to the
+    device ONCE.
 
-    ``far_engine="pallas"`` (order 0 only) runs the batched-source monopole
-    kernel; measured on v5e it is NOT faster than the XLA path — the cost is
-    the 32 B-per-node gather volume (≈blocks × ⟨nodes⟩ rows), which both
-    engines pay — so XLA stays the default.
-    """
-    from .tree_pallas import far_monopole_eval
+    Eliminates (a) the pad-to-global-max waste (measured up to ~9× on the
+    group residual lists), (b) per-chunk host→device list shipping — fatal
+    under the remote relay, where every transfer pays tunnel latency — and
+    (c) per-chunk device gathers of target rows (TPU row gathers measured
+    ~0.5 GB/s).  Returns [(width, sel_np, lists_dev, targets_dev), …]."""
+    lmax = lists_np.shape[1]
+    lmax4 = -(-lmax // 4) * 4  # widths stay multiples of the near fan-in k
+    classes: dict = {}
+    for b in np.argsort(lengths, kind="stable"):
+        w = min_width
+        while w < lengths[b]:
+            w *= 2
+        w = min(w, max(lmax4, min_width))
+        classes.setdefault(w, []).append(int(b))
+    out = []
+    targets_np = np.asarray(targets)
+    for w, ids in sorted(classes.items()):
+        sel = np.asarray(ids)
+        mat = lists_np[sel][:, :w] if w <= lmax else np.pad(
+            lists_np[sel], ((0, 0), (0, w - lmax)), constant_values=fill)
+        out.append((w, sel, jnp.asarray(mat),
+                    jnp.asarray(targets_np[sel])))
+    return out
+
+
+def _class_chunks(width: int, n_in_class: int, rows_budget: int):
+    """Deterministic chunk row count per width → one compiled shape/class."""
+    rows = max(1, rows_budget // width)
+    for i in range(0, n_in_class, rows):
+        yield i, min(n_in_class, i + rows), rows
+
+
+def _far_eval(prep, accel: bool, interpret: bool, far_chunk: int = 1024,
+              row_slice=slice(0, 1), far_engine: str = "xla"):
+    """Chunked far field over the prebuilt width classes (XLA engine;
+    a batched-source Pallas monopole kernel measured no faster — both pay
+    the same 32 B-per-node gather volume)."""
     nb = prep["n_blocks"]
     order = prep["order"]
-    parts = []
-    for lo in range(0, nb, far_chunk):
-        hi = min(nb, lo + far_chunk)
-        pad = far_chunk - (hi - lo)
-
-        def take(x):
-            part = x[lo:hi]
-            if pad:
-                part = jnp.concatenate(
-                    [part, jnp.repeat(part[-1:], pad, axis=0)])
-            return part
-
-        if order == 0 and far_engine == "pallas":
-            payload = _gather_node_payload(prep["nodes_packed"],
-                                           take(prep["node_ids"]))
-            out = far_monopole_eval(take(prep["tgt_tiles"]), payload,
-                                    accel=accel, interpret=interpret)
-            out = jnp.moveaxis(out[:, row_slice, :], 1, 2) if accel \
-                else out[:, 0, :]
-        else:
-            fn = _far_accelerations if accel else _far_potentials
-            out = fn(take(prep["tgt_pos"]), take(prep["node_ids"]),
+    tb = prep["tgt_pos"].shape[1]
+    out = np.zeros((nb, tb, 3) if accel else (nb, tb), np.float32)
+    fn = _far_accelerations if accel else _far_potentials
+    pending = []
+    for w, sel, li_dev, tp_dev in prep["far_classes"]:
+        for lo, hi, rows in _class_chunks(w, len(sel), far_chunk * 1024):
+            res = fn(_pad_rows(tp_dev[lo:hi], rows),
+                     _pad_rows(li_dev[lo:hi], rows),
                      prep["node_com"], prep["node_mass"],
                      prep["node_moments"], order=order)
-        parts.append(np.asarray(out)[:hi - lo])
-    return np.concatenate(parts, axis=0)
+            pending.append((sel[lo:hi], hi - lo, res))
+    for s_idx, cnt, res in pending:
+        out[s_idx] = np.asarray(res)[:cnt]
+    return out
+
+
+def _group_far_eval(prep, accel: bool, group_chunk: int = 128) -> np.ndarray:
+    """Group-level far field → per-leaf-block (nb, cap[, 3]) array.
+
+    Each group's shared node list is gathered once and evaluated against
+    G·cap targets — ~G× less node-payload gather volume than per-leaf
+    lists (the measured round-1 wall)."""
+    ng = prep["n_groups"]
+    order = prep["order"]
+    G, cap, nb = prep["G"], prep["cap"], prep["n_blocks"]
+    fn = _far_accelerations if accel else _far_potentials
+    res = np.zeros((ng, G * cap, 3) if accel else (ng, G * cap), np.float32)
+    budget = group_chunk * 1024 * 8 // G
+    pending = []
+    for w, sel, li_dev, tp_dev in prep["gfar_classes"]:
+        for lo, hi, rows in _class_chunks(w, len(sel), budget):
+            out = fn(_pad_rows(tp_dev[lo:hi], rows),
+                     _pad_rows(li_dev[lo:hi], rows),
+                     prep["node_com"], prep["node_mass"],
+                     prep["node_moments"], order=order)
+            pending.append((sel[lo:hi], hi - lo, out))
+    for s_idx, cnt, out in pending:
+        res[s_idx] = np.asarray(out)[:cnt]
+    res = res.reshape(ng * G, cap, -1)[:nb]
+    return res[..., 0] if not accel else res
 
 
 def tree_potentials_device_pallas(tree: Octree, theta: float = 0.7,
                                   prep=None, interpret: bool = False,
-                                  far_chunk: int = 4096,
-                                  far_engine: str = "xla") -> np.ndarray:
+                                  far_chunk: int = 1024,
+                                  far_engine: str = "xla",
+                                  group_leaves: int = 8) -> np.ndarray:
     """Device tree with the Pallas near-field engine (original order)."""
-    from .tree_pallas import near_field_potentials
     if prep is None:
-        prep = prepare_tree_pallas(tree, theta=theta)
+        prep = prepare_tree_pallas(tree, theta=theta,
+                                   group_leaves=group_leaves)
     kern = prep["kernel"] or KERNEL_NONE
-    near = _near_chunked(near_field_potentials, prep, kern, interpret, 1)
+    near = _near_chunked(prep, kern, interpret, accel=False)
     far_all = _far_eval(prep, accel=False, interpret=interpret,
                         far_chunk=far_chunk, row_slice=slice(0, 1),
                         far_engine=far_engine)
     total = np.asarray(near) + far_all
+    if "gnode_ids" in prep:
+        total = total + _group_far_eval(prep, accel=False)
     return _scatter_leaf_blocks(prep, total, 1)
 
 
 def tree_accelerations_device_pallas(tree: Octree, theta: float = 0.7,
                                      prep=None, interpret: bool = False,
-                                     far_chunk: int = 4096) -> np.ndarray:
-    from .tree_pallas import near_field_accelerations
+                                     far_chunk: int = 1024,
+                                     group_leaves: int = 8) -> np.ndarray:
     if prep is None:
-        prep = prepare_tree_pallas(tree, theta=theta)
+        prep = prepare_tree_pallas(tree, theta=theta,
+                                   group_leaves=group_leaves)
     kern = prep["kernel"] or KERNEL_NONE
-    near = _near_chunked(near_field_accelerations, prep, kern, interpret, 3)
+    near = _near_chunked(prep, kern, interpret, accel=True)
     far_all = _far_eval(prep, accel=True, interpret=interpret,
                         far_chunk=far_chunk, row_slice=slice(0, 3),
                         far_engine="xla")
     total = np.asarray(near) + far_all
+    if "gnode_ids" in prep:
+        total = total + _group_far_eval(prep, accel=True)
     return _scatter_leaf_blocks(prep, total, 3)
 
 

@@ -35,7 +35,8 @@ __all__ = ["ring_direct_potentials", "ring_direct_accelerations"]
 
 
 def _ring(pos, masses, softenings, mesh: Mesh, kernel: str, accel: bool,
-          tm: int, ts: int, interpret: bool, axis_name: str):
+          tm: int, ts: int, interpret: bool, axis_name: str,
+          targets=None):
     n_dev = mesh.shape[axis_name]
     pos = jnp.asarray(pos, jnp.float32)
     n = pos.shape[0]
@@ -52,13 +53,26 @@ def _ring(pos, masses, softenings, mesh: Mesh, kernel: str, accel: bool,
         m_arr = jnp.pad(m_arr, (0, n_pad - n))
         h_arr = jnp.pad(h_arr, (0, n_pad - n))
 
-    tm_eff = min(tm, L) if L >= 8 else L
+    self_set = targets is None
+    if self_set:
+        tgt, mt, Lt = pos, n, L
+    else:
+        tgt = jnp.asarray(targets, jnp.float32)
+        mt = tgt.shape[0]
+        Lt = -(-mt // n_dev)
+        if Lt * n_dev != mt:
+            tgt = jnp.pad(tgt, ((0, Lt * n_dev - mt), (0, 0)),
+                          constant_values=1e15)
+
+    tm_eff = min(tm, Lt) if Lt >= 8 else Lt
     ts_eff = min(ts, L) if L >= 8 else L
     out_rows = 8 if accel else 1
 
-    def local_fn(pos_l, m_l, h_l):
+    def local_fn(tgt_l, pos_l, m_l, h_l):
         my = jax.lax.axis_index(axis_name)
-        tgt_pack, _ = pack_particles(pos_l, m_l, h_l, tile=tm_eff)
+        tgt_pack, _ = pack_particles(
+            tgt_l, m_l if self_set else None,
+            h_l if self_set else None, tile=tm_eff)
         blk0, _ = pack_particles(pos_l, m_l, h_l, tile=ts_eff)
         m_pad = tgt_pack.shape[1]
         perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
@@ -66,10 +80,10 @@ def _ring(pos, masses, softenings, mesh: Mesh, kernel: str, accel: bool,
         def step(s, carry):
             blk, acc = carry
             owner = (my - s) % n_dev
-            partial = _direct_call(blk, tgt_pack, kernel, True,
+            partial = _direct_call(blk, tgt_pack, kernel, self_set,
                                    tm_eff, ts_eff, accel=accel,
                                    interpret=interpret,
-                                   tgt_offset=my * L, src_offset=owner * L)
+                                   tgt_offset=my * Lt, src_offset=owner * L)
             acc = acc + partial
             blk = jax.lax.cond(
                 s < n_dev - 1,
@@ -82,39 +96,46 @@ def _ring(pos, masses, softenings, mesh: Mesh, kernel: str, accel: bool,
             0, n_dev, step,
             (blk0, jnp.zeros((out_rows, m_pad), jnp.float32)))
         if accel:
-            return acc[0:3, :L].T  # (L, 3)
-        return acc[0, :L]
+            return acc[0:3, :Lt].T  # (Lt, 3)
+        return acc[0, :Lt]
 
     out_spec = P(axis_name, None) if accel else P(axis_name)
+    in_specs = (P(axis_name, None), P(axis_name, None), P(axis_name),
+                P(axis_name))
     try:
-        fn = shard_map(local_fn, mesh=mesh,
-                       in_specs=(P(axis_name, None), P(axis_name),
-                                 P(axis_name)),
+        fn = shard_map(local_fn, mesh=mesh, in_specs=in_specs,
                        out_specs=out_spec, check_vma=False)
     except TypeError:  # older jax: check_rep instead of check_vma
-        fn = shard_map(local_fn, mesh=mesh,
-                       in_specs=(P(axis_name, None), P(axis_name),
-                                 P(axis_name)),
+        fn = shard_map(local_fn, mesh=mesh, in_specs=in_specs,
                        out_specs=out_spec, check_rep=False)
-    out = fn(pos, m_arr, h_arr)
-    return out[:n]
+    out = fn(tgt, pos, m_arr, h_arr)
+    return out[:mt]
 
 
 def ring_direct_potentials(pos, masses=None, softenings=None, *,
                            mesh: Mesh, kernel: str = KERNEL_NONE,
-                           tm: int = 256, ts: int = 1024,
+                           targets=None, tm: int = 256, ts: int = 1024,
                            interpret: bool = False,
                            axis_name: str = PARTICLE_AXIS):
-    """Self-set gravitational potentials, sharded over the mesh ring."""
+    """Gravitational potentials, sharded over the mesh ring.
+
+    ``targets=None`` → self-set (diagonal excluded, pair softening
+    h = max(hᵢ, hⱼ)); otherwise arbitrary target points sharded over the
+    mesh with sources rotating (source softening only — matching the
+    single-chip at-points convention and the reference
+    ``direct.rs:443,526,587``)."""
     return _ring(pos, masses, softenings, mesh, kernel, accel=False,
-                 tm=tm, ts=ts, interpret=interpret, axis_name=axis_name)
+                 tm=tm, ts=ts, interpret=interpret, axis_name=axis_name,
+                 targets=targets)
 
 
 def ring_direct_accelerations(pos, masses=None, softenings=None, *,
                               mesh: Mesh, kernel: str = KERNEL_NONE,
-                              tm: int = 256, ts: int = 1024,
+                              targets=None, tm: int = 256, ts: int = 1024,
                               interpret: bool = False,
                               axis_name: str = PARTICLE_AXIS):
-    """Self-set gravitational accelerations, sharded over the mesh ring."""
+    """Gravitational accelerations, sharded over the mesh ring
+    (``targets`` as in :func:`ring_direct_potentials`)."""
     return _ring(pos, masses, softenings, mesh, kernel, accel=True,
-                 tm=tm, ts=ts, interpret=interpret, axis_name=axis_name)
+                 tm=tm, ts=ts, interpret=interpret, axis_name=axis_name,
+                 targets=targets)

@@ -7,7 +7,9 @@ TPU-native replacement for the reference's pynbody ``SimSnap`` substrate
 from .snapshot import Snapshot, ParticleView, SnapLike, derived_field
 from . import derived as _derived  # noqa: F401  (registers built-in derived fields)
 from .halos import HaloCatalog
+from .gadget_binary import load_gadget_binary, save_gadget_binary
 from .loaders import load_gadget_hdf5, make_test_galaxy, save_gadget_hdf5
+from .pynbody_adapter import from_pynbody, load_via_pynbody
 
 __all__ = [
     "Snapshot",
@@ -16,6 +18,10 @@ __all__ = [
     "derived_field",
     "HaloCatalog",
     "load_gadget_hdf5",
+    "load_gadget_binary",
+    "save_gadget_binary",
+    "from_pynbody",
+    "load_via_pynbody",
     "save_gadget_hdf5",
     "make_test_galaxy",
 ]
