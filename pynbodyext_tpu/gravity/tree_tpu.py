@@ -418,20 +418,15 @@ def prepare_tree_pallas(tree: Octree, theta: float = 0.7, cap: int = 128,
     tiles = pack_leaf_tiles(pos, pmass, psoft, orig, lstarts, lcounts,
                             sentinel, cap)
     _stage("prep.tiles", _t0); _t0 = _time.perf_counter()
+    # near lists stay as one small padded matrix (~cap·n_leaves ints);
+    # far/group lists go ragged → per-class matrices inside _build_classes
+    # (a global pad-to-max matrix measured ~60 s of prep at 10M)
     leaf_mat = _pad_lists(leaf_counts, leaf_idx,
                           fill=n_leaves).astype(np.int32)
-    node_mat = _pad_lists(node_counts, node_ids, fill=-1)
     _stage("prep.pad", _t0); _t0 = _time.perf_counter()
     com, nmass, _ = tree.node_data()
     com = np.vstack([com, sentinel[None, :]])
     nmass = np.concatenate([nmass, [0.0]])
-    node_mat = np.where(node_mat < 0, len(nmass) - 1, node_mat)
-    # pad the node-list width to a lane multiple for the Pallas far field
-    wn = node_mat.shape[1]
-    wn_pad = -(-max(wn, 1) // 128) * 128
-    if wn_pad != wn:
-        node_mat = np.pad(node_mat, ((0, 0), (0, wn_pad - wn)),
-                          constant_values=len(nmass) - 1)
     moments = tree.node_moments()
     moments = np.vstack([moments, np.zeros((1, moments.shape[1]))])
     # packed node payload rows [x, y, z, mass, 0…] for the Pallas far field
@@ -450,8 +445,6 @@ def prepare_tree_pallas(tree: Octree, theta: float = 0.7, cap: int = 128,
         "tiles": tiles_j,
         "tgt_tiles": tiles_j[:n_leaves],
         "tgt_pos": tgt_pos,
-        "node_ids": node_mat,
-        "node_ids_np": node_mat,
         "node_counts_np": np.asarray(node_counts, np.int64),
         "node_com": jnp.asarray(com, jnp.float32),
         "node_mass": jnp.asarray(nmass, jnp.float32),
@@ -470,17 +463,13 @@ def prepare_tree_pallas(tree: Octree, theta: float = 0.7, cap: int = 128,
     dummy_node = len(nmass) - 1
     tgt_pos_np = np.moveaxis(tiles[:n_leaves, 0:3, :], 1, 2)
     prep["near_classes"] = _build_classes(
-        leaf_mat, np.asarray(leaf_counts, np.int64), 64, n_leaves,
-        tiles[:n_leaves])
+        leaf_counts, leaf_idx, 64, n_leaves, tiles[:n_leaves])
     _stage("prep.near_classes", _t0); _t0 = _time.perf_counter()
     prep["far_classes"] = _build_classes(
-        node_mat, np.asarray(node_counts, np.int64), 128, dummy_node,
-        tgt_pos_np)
+        node_counts, node_ids, 128, dummy_node, tgt_pos_np)
     _stage("prep.far_classes", _t0); _t0 = _time.perf_counter()
     if gl is not None:
         ng = gl["n_groups"]
-        gnode_mat = _pad_lists(gl["gnode_counts"], gl["gnode_ids"], fill=-1)
-        gnode_mat = np.where(gnode_mat < 0, dummy_node, gnode_mat)
         # group target positions: G consecutive leaf tiles per group
         nl_pad = ng * G
         pad_rows = nl_pad - n_leaves
@@ -491,10 +480,8 @@ def prepare_tree_pallas(tree: Octree, theta: float = 0.7, cap: int = 128,
                                         (pad_rows, cap, 3))], axis=0)
         gtgt_np = tp_np.reshape(ng, G * cap, 3)
         prep["gtgt_pos"] = gtgt_np
-        prep["gnode_ids"] = gnode_mat
         prep["gfar_classes"] = _build_classes(
-            gnode_mat, np.asarray(gl["gnode_counts"], np.int64), 128,
-            dummy_node, gtgt_np)
+            gl["gnode_counts"], gl["gnode_ids"], 128, dummy_node, gtgt_np)
         prep["n_groups"] = ng
         _stage("prep.gfar_classes", _t0)
         prep["stats"]["mean_gnodes"] = float(gl["gnode_counts"].mean())
@@ -558,32 +545,38 @@ def _gather_node_payload(nodes_packed, node_ids_chunk):
     return jnp.moveaxis(g, 1, 2)          # (C, 8, Ln)
 
 
-def _build_classes(lists_np, lengths, min_width: int, fill: int, targets):
+def _build_classes(counts, flat_ids, min_width: int, fill: int, targets):
     """Partition blocks into power-of-two width classes by list length and
-    upload each class's trimmed list matrix + gathered target rows to the
-    device ONCE.
+    upload each class's padded list matrix + gathered target rows to the
+    device ONCE — built straight from the ragged (counts, flat ids) data,
+    never materializing a global pad-to-max matrix (at 10M that matrix and
+    its per-class row copies dominated prep: ~60 s of _pad_lists alone).
 
-    Eliminates (a) the pad-to-global-max waste (measured up to ~9× on the
-    group residual lists), (b) per-chunk host→device list shipping — fatal
-    under the remote relay, where every transfer pays tunnel latency — and
-    (c) per-chunk device gathers of target rows (TPU row gathers measured
-    ~0.5 GB/s).  Returns [(width, sel_np, lists_dev, targets_dev), …]."""
-    lmax = lists_np.shape[1]
-    lmax4 = -(-lmax // 4) * 4  # widths stay multiples of the near fan-in k
-    classes: dict = {}
-    for b in np.argsort(lengths, kind="stable"):
-        w = min_width
-        while w < lengths[b]:
-            w *= 2
-        w = min(w, max(lmax4, min_width))
-        classes.setdefault(w, []).append(int(b))
+    Eliminates (a) pad-to-global-max compute waste (up to ~9× on the group
+    residual lists), (b) per-chunk host→device list shipping — fatal under
+    the remote relay — and (c) per-chunk device gathers of target rows.
+    Returns [(width, sel_np, lists_dev, targets_dev), …]."""
+    counts = np.asarray(counts, np.int64)
+    flat_ids = np.asarray(flat_ids, np.int32)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    lmax = int(counts.max()) if len(counts) else 1
+    lmax4 = -(-max(lmax, 1) // 4) * 4  # widths stay multiples of fan-in k
+    # vectorized width class per block
+    expo = np.ceil(np.log2(np.maximum(counts, 1) / min_width))
+    widths = min_width * (2 ** np.clip(expo, 0, None)).astype(np.int64)
+    widths = np.minimum(np.maximum(widths, min_width), max(lmax4, min_width))
     out = []
     targets_np = np.asarray(targets)
-    for w, ids in sorted(classes.items()):
-        sel = np.asarray(ids)
-        mat = lists_np[sel][:, :w] if w <= lmax else np.pad(
-            lists_np[sel], ((0, 0), (0, w - lmax)), constant_values=fill)
-        out.append((w, sel, jnp.asarray(mat),
+    for w in np.unique(widths):
+        sel = np.nonzero(widths == w)[0]
+        c = counts[sel]
+        mat = np.full((len(sel), int(w)), fill, np.int32)
+        row = np.repeat(np.arange(len(sel), dtype=np.int64), c)
+        within = (np.arange(row.size, dtype=np.int64)
+                  - np.repeat(np.cumsum(c) - c, c))
+        src = np.repeat(starts[sel], c) + within
+        mat[row, within] = flat_ids[src]
+        out.append((int(w), sel, jnp.asarray(mat),
                     jnp.asarray(targets_np[sel])))
     return out
 
@@ -659,7 +652,7 @@ def tree_potentials_device_pallas(tree: Octree, theta: float = 0.7,
                         far_chunk=far_chunk, row_slice=slice(0, 1),
                         far_engine=far_engine)
     total = np.asarray(near) + far_all
-    if "gnode_ids" in prep:
+    if "gfar_classes" in prep:
         total = total + _group_far_eval(prep, accel=False)
     return _scatter_leaf_blocks(prep, total, 1)
 
@@ -677,7 +670,7 @@ def tree_accelerations_device_pallas(tree: Octree, theta: float = 0.7,
                         far_chunk=far_chunk, row_slice=slice(0, 3),
                         far_engine="xla")
     total = np.asarray(near) + far_all
-    if "gnode_ids" in prep:
+    if "gfar_classes" in prep:
         total = total + _group_far_eval(prep, accel=True)
     return _scatter_leaf_blocks(prep, total, 3)
 
