@@ -81,6 +81,41 @@ def main():
         ptimes.append(time.perf_counter() - t0)
     pipe_ms = sorted(ptimes)[len(ptimes) // 2] * 1e3
 
+    # -- tree-device potentials at 10M (the BASELINE.json headline N) -------
+    # dense at 10M would be N²/rate ≈ 950 s; the two-level-list device tree
+    # is the production path there.  Skipped off-TPU (hours in interpret).
+    tree_detail = {}
+    if on_tpu:
+        try:
+            from pynbodyext_tpu.gravity.tree import Octree
+            from pynbodyext_tpu.gravity.tree_tpu import (
+                prepare_tree_pallas, tree_potentials_device_pallas)
+            n_tree = 10_000_000
+            rt = rng.exponential(3.0, n_tree)
+            vt = rng.normal(size=(n_tree, 3))
+            vt /= np.linalg.norm(vt, axis=1, keepdims=True)
+            pos_t = vt * rt[:, None]
+            m_t = rng.uniform(0.5, 2.0, n_tree)
+            t0 = time.perf_counter()
+            tree = Octree(pos_t, m_t, leaf_capacity=128, multipole_order=0)
+            prep = prepare_tree_pallas(tree, theta=0.7, group_leaves=8)
+            prep_s = time.perf_counter() - t0
+            phi = tree_potentials_device_pallas(tree, prep=prep)  # warm
+            t0 = time.perf_counter()
+            phi = tree_potentials_device_pallas(tree, prep=prep)
+            eval_s = time.perf_counter() - t0
+            dense_equiv_s = n_tree * n_tree / pair_rate
+            tree_detail = {
+                "tree10m_eval_s": round(eval_s, 2),
+                "tree10m_particles_per_s": round(n_tree / eval_s),
+                "tree10m_prep_s": round(prep_s, 2),
+                "tree10m_theta": 0.7,
+                "tree10m_vs_dense": round(dense_equiv_s / eval_s, 1),
+                "tree10m_phi0": float(phi[0]),
+            }
+        except Exception as e:  # never fail the whole bench on the tree leg
+            tree_detail = {"tree10m_error": f"{type(e).__name__}: {e}"}
+
     print(json.dumps({
         "metric": "gravity_pair_interactions_per_sec",
         "value": round(pair_rate / 1e9, 3),
@@ -93,6 +128,7 @@ def main():
             "kappa_pipeline_N": n_pipe,
             "kappa_pipeline_ms": round(pipe_ms, 2),
             "kappa_value": round(float(k), 5),
+            **tree_detail,
         },
     }))
 
