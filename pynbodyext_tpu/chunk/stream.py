@@ -493,16 +493,34 @@ class ChunkedSnapshot:
     def map_reduce(self, fields: Sequence[str],
                    chunk_fn: Callable[..., Any],
                    combine: Callable[[Any, Any], Any],
-                   init: Any):
+                   init: Any, mesh=None):
         """Stream chunks: ``acc = combine(acc, chunk_fn(*field_chunks))``.
 
         ``chunk_fn`` runs on-device per chunk (jit it for speed); only one
-        chunk is resident at a time.
+        chunk is resident at a time.  With ``mesh``, each chunk is placed
+        particle-sharded across the mesh so ``chunk_fn``'s reductions
+        parallelize over chips via GSPMD — the TPU-native analogue of the
+        reference shipping chunks to remote dask workers
+        (``chunk/chunk.py:124-151``): out-of-core over the host axis,
+        data-parallel over the device axis.
         """
+        sharding = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            import jax
+            axis = mesh.axis_names[0]
+
+            def put(a):
+                spec = PartitionSpec(axis) if a.ndim == 1 else \
+                    PartitionSpec(axis, *([None] * (a.ndim - 1)))
+                return jax.device_put(a, NamedSharding(mesh, spec))
+            sharding = put
         acc = init
         for i in range(self.store.n_chunks):
             arrays = [jnp.asarray(self.store.load_chunk(f, i))
                       for f in fields]
+            if sharding is not None:
+                arrays = [sharding(a) for a in arrays]
             acc = combine(acc, chunk_fn(*arrays))
         return acc
 

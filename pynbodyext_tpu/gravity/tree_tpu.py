@@ -588,7 +588,7 @@ def _class_chunks(width: int, n_in_class: int, rows_budget: int):
         yield i, min(n_in_class, i + rows), rows
 
 
-def _far_eval(prep, accel: bool, interpret: bool, far_chunk: int = 1024,
+def _far_eval(prep, accel: bool, interpret: bool, far_chunk: int = 2048,
               row_slice=slice(0, 1), far_engine: str = "xla"):
     """Chunked far field over the prebuilt width classes (XLA engine;
     a batched-source Pallas monopole kernel measured no faster — both pay
@@ -611,7 +611,7 @@ def _far_eval(prep, accel: bool, interpret: bool, far_chunk: int = 1024,
     return out
 
 
-def _group_far_eval(prep, accel: bool, group_chunk: int = 128) -> np.ndarray:
+def _group_far_eval(prep, accel: bool, group_chunk: int = 256) -> np.ndarray:
     """Group-level far field → per-leaf-block (nb, cap[, 3]) array.
 
     Each group's shared node list is gathered once and evaluated against
@@ -639,7 +639,7 @@ def _group_far_eval(prep, accel: bool, group_chunk: int = 128) -> np.ndarray:
 
 def tree_potentials_device_pallas(tree: Octree, theta: float = 0.7,
                                   prep=None, interpret: bool = False,
-                                  far_chunk: int = 1024,
+                                  far_chunk: int = 2048,
                                   far_engine: str = "xla",
                                   group_leaves: int = 8) -> np.ndarray:
     """Device tree with the Pallas near-field engine (original order)."""
@@ -659,7 +659,7 @@ def tree_potentials_device_pallas(tree: Octree, theta: float = 0.7,
 
 def tree_accelerations_device_pallas(tree: Octree, theta: float = 0.7,
                                      prep=None, interpret: bool = False,
-                                     far_chunk: int = 1024,
+                                     far_chunk: int = 2048,
                                      group_leaves: int = 8) -> np.ndarray:
     if prep is None:
         prep = prepare_tree_pallas(tree, theta=theta,

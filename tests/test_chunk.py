@@ -172,3 +172,20 @@ def test_profile_consumes_streaming_input(chunked, centered_snap):
     np.testing.assert_allclose(np.asarray(snap2["vr"].value),
                                np.asarray(centered_snap["vr"].value),
                                rtol=1e-6)
+
+
+def test_map_reduce_sharded(chunked, centered_snap):
+    """Out-of-core over the host axis + data-parallel over the device mesh
+    (the reference's remote-dask-workers analogue, chunk.py:124-151)."""
+    import jax
+    import jax.numpy as jnp
+    from pynbodyext_tpu.parallel import make_mesh
+    mesh = make_mesh()
+    total = chunked.map_reduce(
+        ["mass", "pos"],
+        jax.jit(lambda m, p: jnp.sum(m[:, None] * p, axis=0)),
+        lambda a, b: a + b, 0.0, mesh=mesh)
+    m = np.asarray(centered_snap["mass"], dtype=np.float64)
+    p = np.asarray(centered_snap["pos"], dtype=np.float64)
+    np.testing.assert_allclose(np.asarray(total), (m[:, None] * p).sum(0),
+                               rtol=1e-4)
