@@ -319,6 +319,119 @@ def far_monopole_eval(tgt_tiles, node_payload, accel: bool = False,
     )(tgt_tiles, node_payload)
 
 
+def _near_dma_kernel(offs_ref, cnts_ref, lists_ref, tgt_ref, tiles_hbm,
+                     out_ref, *, tb, cap, kernel, accel, nbuf):
+    """Near field with a manual ``nbuf``-deep DMA pipeline.
+
+    The BlockSpec scalar-prefetch path measured ~7 µs per (8,128) leaf-tile
+    fetch — pure DMA latency, unoverlapped.  Here the leaf-tile table stays
+    in HBM; each target block walks its OWN ragged list (flat SMEM array +
+    offsets — zero padding) keeping ``nbuf`` tile DMAs in flight while the
+    VPU computes the current tile (pallas guide: Patterns/Double Buffering).
+    """
+    b = pl.program_id(0)
+    base = offs_ref[b]
+    cnt = cnts_ref[b]
+    tx = tgt_ref[0, 0, :].reshape(tb, 1)
+    ty = tgt_ref[0, 1, :].reshape(tb, 1)
+    tz = tgt_ref[0, 2, :].reshape(tb, 1)
+    th = tgt_ref[0, 4, :].reshape(tb, 1)
+    to = tgt_ref[0, 5, :].reshape(tb, 1)
+
+    def body(scratch, sem):
+        def get_dma(slot, j):
+            return pltpu.make_async_copy(
+                tiles_hbm.at[lists_ref[base + j]],
+                scratch.at[slot], sem.at[slot])
+
+        for i in range(nbuf):  # warm-up: fill the pipeline
+            @pl.when(i < cnt)
+            def _(i=i):
+                get_dma(i, i).start()
+
+        def step(j, acc):
+            slot = jax.lax.rem(j, nbuf)
+            get_dma(slot, j).wait()
+            sx = scratch[slot, 0, :].reshape(1, cap)
+            sy = scratch[slot, 1, :].reshape(1, cap)
+            sz = scratch[slot, 2, :].reshape(1, cap)
+            sm = scratch[slot, 3, :].reshape(1, cap)
+            sh = scratch[slot, 4, :].reshape(1, cap)
+            so = scratch[slot, 5, :].reshape(1, cap)
+            dx = sx - tx
+            dy = sy - ty
+            dz = sz - tz
+            r2 = dx * dx + dy * dy + dz * dz
+            r2 = jnp.where(so == to, jnp.inf, r2)  # exact self exclusion
+
+            # refill the slot before the compute retires
+            @pl.when(j + nbuf < cnt)
+            def _():
+                get_dma(slot, j + nbuf).start()
+
+            h = jnp.maximum(th, sh)
+            if accel:
+                g = _g_from_r2(kernel, r2, h)
+                if kernel == KERNEL_SPLINE:
+                    g = jnp.where(jnp.isfinite(r2), g, 0.0)
+                w = g * sm
+                ax, ay, az = acc
+                return (ax + jnp.sum(w * dx, axis=1),
+                        ay + jnp.sum(w * dy, axis=1),
+                        az + jnp.sum(w * dz, axis=1))
+            neg_phi = _phi_from_r2(kernel, r2, h)
+            if kernel == KERNEL_SPLINE:
+                neg_phi = jnp.where(jnp.isfinite(r2), neg_phi, 0.0)
+            return (acc[0] + jnp.sum(neg_phi * sm, axis=1),) + acc[1:]
+
+        zero = jnp.zeros((tb,), jnp.float32)
+        init = (zero, zero, zero) if accel else (zero,)
+        acc = jax.lax.fori_loop(0, cnt, step, init)
+        rows = 3 if accel else 1
+        for row in range(rows):
+            out_ref[0, row, :] = acc[row]
+        for row in range(rows, 8):
+            out_ref[0, row, :] = zero
+
+    pl.run_scoped(body,
+                  scratch=pltpu.VMEM((nbuf, 8, cap), jnp.float32),
+                  sem=pltpu.SemaphoreType.DMA((nbuf,)))
+
+
+@functools.partial(jax.jit, static_argnames=("kernel", "accel", "interpret",
+                                             "nbuf"))
+def near_field_eval_dma(offsets, counts, flat_lists, tgt_tiles, leaf_tiles,
+                        kernel: str = KERNEL_NONE, accel: bool = False,
+                        interpret: bool = False, nbuf: int = 8):
+    """Ragged near field with manual DMA pipelining.
+
+    offsets/counts: (nb,) int32 into flat_lists; flat_lists: (F,) int32
+    leaf ids; tgt_tiles: (nb, 8, TB); leaf_tiles: (n_leaves+1, 8, cap) —
+    stays in HBM, tiles are DMA'd on demand.  Returns (nb, 8, TB)."""
+    nb = counts.shape[0]
+    tb = tgt_tiles.shape[2]
+    cap = leaf_tiles.shape[2]
+    kern = functools.partial(_near_dma_kernel, tb=tb, cap=cap,
+                             kernel=kernel, accel=accel, nbuf=nbuf)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, 8, tb), lambda b, O, C, L: (b, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # tiles stay in HBM
+        ],
+        out_specs=pl.BlockSpec((1, 8, tb), lambda b, O, C, L: (b, 0, 0)),
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nb, 8, tb), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(offsets, counts, flat_lists, tgt_tiles, leaf_tiles)
+
+
 def _k_for(lists) -> int:
     w = lists.shape[1]
     return 4 if w % 4 == 0 else (2 if w % 2 == 0 else 1)

@@ -442,6 +442,9 @@ def prepare_tree_pallas(tree: Octree, theta: float = 0.7, cap: int = 128,
         "lists": leaf_mat,
         "lists_np": leaf_mat,
         "near_counts": np.asarray(leaf_counts, np.int64),
+        "near_offsets": np.concatenate(
+            [[0], np.cumsum(leaf_counts)[:-1]]).astype(np.int32),
+        "near_flat": np.asarray(leaf_idx, np.int32),
         "tiles": tiles_j,
         "tgt_tiles": tiles_j[:n_leaves],
         "tgt_pos": tgt_pos,
@@ -510,6 +513,49 @@ def _pad_rows(x, rows: int):
     if pad <= 0:
         return x
     return jnp.concatenate([x, jnp.repeat(x[-1:], pad, axis=0)])
+
+
+def _near_dma(prep, kern, interpret, accel, nbuf: int = 8,
+              nb_chunk: int = 2048, flat_cap: int = 196_608):
+    """Near field via the manual-DMA ragged kernel (zero list padding).
+
+    Chunks are bounded by the SMEM budget for the flat list slice
+    (~0.75 MB) and padded to fixed shapes (one compile total)."""
+    from .tree_pallas import near_field_eval_dma
+    nb = prep["n_blocks"]
+    tb = prep["tgt_tiles"].shape[2]
+    offs = prep["near_offsets"]
+    cnts = prep["near_counts"].astype(np.int32)
+    flat = prep["near_flat"]
+    out = np.zeros((nb, 8, tb), np.float32)
+    pending = []
+    start = 0
+    while start < nb:
+        end, tot = start, 0
+        while (end < nb and end - start < nb_chunk
+               and tot + cnts[end] <= flat_cap):
+            tot += int(cnts[end])
+            end += 1
+        rows = end - start
+        off_local = np.zeros(nb_chunk, np.int32)
+        cnt_local = np.zeros(nb_chunk, np.int32)
+        off_local[:rows] = offs[start:end] - offs[start]
+        cnt_local[:rows] = cnts[start:end]
+        flat_local = np.zeros(flat_cap, np.int32)
+        flat_local[:tot] = flat[offs[start]:offs[start] + tot]
+        tt = _pad_rows(prep["tgt_tiles"][start:end], nb_chunk)
+        res = near_field_eval_dma(jnp.asarray(off_local),
+                                  jnp.asarray(cnt_local),
+                                  jnp.asarray(flat_local), tt,
+                                  prep["tiles"], kernel=kern, accel=accel,
+                                  interpret=interpret, nbuf=nbuf)
+        pending.append((start, end, res))
+        start = end
+    for s, e, res in pending:
+        out[s:e] = np.asarray(res)[:e - s]
+    if accel:
+        return np.moveaxis(out[:, 0:3, :], 1, 2)
+    return out[:, 0, :]
 
 
 def _near_chunked(prep, kern, interpret, accel, k: int = 4):
@@ -641,13 +687,24 @@ def tree_potentials_device_pallas(tree: Octree, theta: float = 0.7,
                                   prep=None, interpret: bool = False,
                                   far_chunk: int = 2048,
                                   far_engine: str = "xla",
-                                  group_leaves: int = 8) -> np.ndarray:
-    """Device tree with the Pallas near-field engine (original order)."""
+                                  group_leaves: int = 8,
+                                  near_engine: str = "classes") -> np.ndarray:
+    """Device tree with the Pallas near-field engine (original order).
+
+    ``near_engine``: "classes" (scalar-prefetch width classes, default —
+    measured 3.1 s near field at 1M) or "dma" (manual-DMA ragged kernel,
+    zero padding — measured 4.5 s: the scalar-prefetch pipeline already
+    overlaps tile DMAs at ~0.74 µs/fetch, and the per-iteration semaphore
+    overhead of the manual loop costs more than the padding it saves)."""
     if prep is None:
         prep = prepare_tree_pallas(tree, theta=theta,
                                    group_leaves=group_leaves)
     kern = prep["kernel"] or KERNEL_NONE
-    near = _near_chunked(prep, kern, interpret, accel=False)
+    if near_engine not in ("classes", "dma"):
+        raise ValueError(f"near_engine must be 'classes' or 'dma', "
+                         f"got {near_engine!r}")
+    near_fn = _near_dma if near_engine == "dma" else _near_chunked
+    near = near_fn(prep, kern, interpret, accel=False)
     far_all = _far_eval(prep, accel=False, interpret=interpret,
                         far_chunk=far_chunk, row_slice=slice(0, 1),
                         far_engine=far_engine)
@@ -660,12 +717,17 @@ def tree_potentials_device_pallas(tree: Octree, theta: float = 0.7,
 def tree_accelerations_device_pallas(tree: Octree, theta: float = 0.7,
                                      prep=None, interpret: bool = False,
                                      far_chunk: int = 2048,
-                                     group_leaves: int = 8) -> np.ndarray:
+                                     group_leaves: int = 8,
+                                     near_engine: str = "classes") -> np.ndarray:
     if prep is None:
         prep = prepare_tree_pallas(tree, theta=theta,
                                    group_leaves=group_leaves)
     kern = prep["kernel"] or KERNEL_NONE
-    near = _near_chunked(prep, kern, interpret, accel=True)
+    if near_engine not in ("classes", "dma"):
+        raise ValueError(f"near_engine must be 'classes' or 'dma', "
+                         f"got {near_engine!r}")
+    near_fn = _near_dma if near_engine == "dma" else _near_chunked
+    near = near_fn(prep, kern, interpret, accel=True)
     far_all = _far_eval(prep, accel=True, interpret=interpret,
                         far_chunk=far_chunk, row_slice=slice(0, 3),
                         far_engine="xla")
