@@ -23,9 +23,10 @@ __version__ = "0.1.0"
 
 from . import log, ops, units
 from .quantity import QArray, qarray
-from .snap import (ParticleView, Snapshot, from_pynbody,
-                   load_gadget_binary, load_gadget_hdf5, load_via_pynbody,
-                   make_test_galaxy, save_gadget_binary, save_gadget_hdf5)
+from .snap import (ParticleView, Snapshot, SubfindCatalog, from_pynbody,
+                   load_gadget_binary, load_gadget_hdf5, load_subfind_hdf5,
+                   load_via_pynbody, make_test_galaxy, save_gadget_binary,
+                   save_gadget_hdf5)
 from .units import G, Unit, parse_unit
 
 from . import calculate
@@ -43,6 +44,7 @@ __all__ = [
     "Snapshot", "ParticleView",
     "load_gadget_hdf5", "save_gadget_hdf5", "make_test_galaxy",
     "load_gadget_binary", "save_gadget_binary", "from_pynbody",
+    "SubfindCatalog", "load_subfind_hdf5",
     "load_via_pynbody",
     "ops", "log", "calculate",
     # filters

@@ -10,6 +10,7 @@ from .halos import HaloCatalog
 from .gadget_binary import load_gadget_binary, save_gadget_binary
 from .loaders import load_gadget_hdf5, make_test_galaxy, save_gadget_hdf5
 from .pynbody_adapter import from_pynbody, load_via_pynbody
+from .subfind import SubfindCatalog, load_subfind_hdf5
 
 __all__ = [
     "Snapshot",
@@ -21,6 +22,8 @@ __all__ = [
     "load_gadget_binary",
     "save_gadget_binary",
     "from_pynbody",
+    "SubfindCatalog",
+    "load_subfind_hdf5",
     "load_via_pynbody",
     "save_gadget_hdf5",
     "make_test_galaxy",

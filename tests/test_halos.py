@@ -65,3 +65,66 @@ def test_out_of_range(halo_snap):
     cat = HaloCatalog(snap)
     with pytest.raises(IndexError):
         cat[99]
+
+
+def test_subfind_catalog_roundtrip(tmp_path):
+    """Synthetic fof_subhalo_tab → SubfindCatalog → HaloCatalog: masses,
+    counts, and halo views match the construction (reference loads subfind
+    via pynbody, conftest.py:45-56)."""
+    import h5py
+    import pynbodyext_tpu as px
+    from pynbodyext_tpu.snap.subfind import load_subfind_hdf5
+
+    rng = np.random.default_rng(4)
+    # 3 groups; per type (gas=pt0, dm=pt1) lengths, fuzz at the end
+    glen = np.array([[30, 50, 0, 0, 10, 0],
+                     [20, 25, 0, 0, 5, 0],
+                     [10, 15, 0, 0, 5, 0]], np.int64)
+    slen = np.array([[25, 40, 0, 0, 8, 0],
+                     [5, 10, 0, 0, 2, 0],
+                     [20, 25, 0, 0, 5, 0],
+                     [10, 15, 0, 0, 5, 0]], np.int64)
+    sgrnr = np.array([0, 0, 1, 2], np.int64)
+    path = str(tmp_path / "fof_subhalo_tab_000.hdf5")
+    with h5py.File(path, "w") as f:
+        hdr = f.create_group("Header")
+        hdr.attrs["Time"] = 1.0
+        hdr.attrs["Redshift"] = 0.0
+        g = f.create_group("Group")
+        g.create_dataset("GroupLenType", data=glen)
+        s = f.create_group("Subhalo")
+        s.create_dataset("SubhaloLenType", data=slen)
+        s.create_dataset("SubhaloGrNr", data=sgrnr)
+
+    cat = load_subfind_hdf5(path)
+    assert cat.n_groups == 3 and cat.n_subhalos == 4
+
+    # group-ordered snapshot: gas 70 grouped + 10 fuzz, dm 90 + 10,
+    # star 20 + 4
+    n_gas, n_dm, n_star = 80, 100, 24
+    n = n_gas + n_dm + n_star
+    fields = {"pos": px.QArray(rng.normal(0, 1, (n, 3)).astype(np.float32),
+                               "kpc"),
+              "mass": px.QArray(np.ones(n, np.float32), "Msol")}
+    snap = px.Snapshot(fields, {"gas": slice(0, n_gas),
+                                "dm": slice(n_gas, n_gas + n_dm),
+                                "star": slice(n_gas + n_dm, n)},
+                       {"a": 1.0, "h": 0.7})
+    halos = cat.halos(snap)
+    assert len(halos) == 3
+    np.testing.assert_array_equal(halos.counts, [90, 50, 30])
+    # masses per halo: one segment reduction
+    msum = np.asarray(halos.stat("mass", "sum").value)
+    np.testing.assert_allclose(msum, [90.0, 50.0, 30.0])
+    # halo view composes with filters/engine
+    m0 = float(px.ParamSum("mass")(halos[0]).value)
+    assert m0 == pytest.approx(90.0)
+    # subhalo catalog
+    subs = cat.halos(snap, subhalos=True)
+    assert len(subs) == 4
+    np.testing.assert_array_equal(subs.counts, [73, 17, 50, 30])
+    # mismatched snapshot → clear error
+    bad = px.Snapshot(fields, {"gas": slice(0, 10), "dm": slice(10, n)},
+                      {"a": 1.0, "h": 0.7})
+    with pytest.raises(ValueError, match="mismatch"):
+        cat.attach(bad)
