@@ -205,6 +205,10 @@ struct Tree {
   std::vector<std::vector<int32_t>> gl_lnodes;    // per-leaf residual nodes
   std::vector<std::vector<int32_t>> gl_lleaf;     // per-leaf near LEAF seqs
   std::vector<int32_t> gl_gstart, gl_gcount;      // particle range per group
+  // per-group UNION near lists: each entry is a leaf seq + a bitmask of
+  // which member leaves list it (device fetches each tile once per GROUP)
+  std::vector<std::vector<int32_t>> gl_gnear;     // per-group leaf seqs
+  std::vector<std::vector<int32_t>> gl_gnearbits; // matching member bitmasks
 };
 
 // recursive builder: subdivide [start,end) of the reorder buffer
@@ -672,6 +676,8 @@ void build_group_lists(Tree &t, long group_leaves, double theta) {
   t.gl_lleaf.assign(n_leaves, {});
   t.gl_gstart.assign(n_groups, 0);
   t.gl_gcount.assign(n_groups, 0);
+  t.gl_gnear.assign(n_groups, {});
+  t.gl_gnearbits.assign(n_groups, {});
   // gflag: node accepted at group level (leaf traversal skips its subtree).
   // aflag: node whose subtree CONTAINS a group-accepted node — the leaf
   // traversal must descend through it, never accept it (leaf admissibility
@@ -796,6 +802,26 @@ void build_group_lists(Tree &t, long group_leaves, double theta) {
     }
     for (int32_t id : glist) gflag[id] = 0;
     for (int32_t id : marked) aflag[id] = 0;
+
+    // union near list: tile fetched once per group, bit i set when member
+    // leaf l0+i lists it (device masks contributions per 128-row band)
+    {
+      std::vector<std::pair<int32_t, int32_t>> merged;  // (seq, bits)
+      for (long l = l0; l < l1; ++l)
+        for (int32_t seq : t.gl_lleaf[l])
+          merged.emplace_back(seq, 1 << (int)(l - l0));
+      std::sort(merged.begin(), merged.end());
+      std::vector<int32_t> &useq = t.gl_gnear[g];
+      std::vector<int32_t> &ubits = t.gl_gnearbits[g];
+      for (auto &pr : merged) {
+        if (!useq.empty() && useq.back() == pr.first)
+          ubits.back() |= pr.second;
+        else {
+          useq.push_back(pr.first);
+          ubits.push_back(pr.second);
+        }
+      }
+    }
   }
   t.gl_group_leaves = group_leaves;
   t.gl_theta = theta;
@@ -939,6 +965,24 @@ void pnx_tree_group_list_sizes(void *h, long *gnode_counts,
   for (size_t l = 0; l < t->gl_lnodes.size(); ++l) {
     lnode_counts[l] = (long)t->gl_lnodes[l].size();
     lleaf_counts[l] = (long)t->gl_lleaf[l].size();
+  }
+}
+
+void pnx_tree_group_near_sizes(void *h, long *gnear_counts) {
+  Tree *t = (Tree *)h;
+  for (size_t g = 0; g < t->gl_gnear.size(); ++g)
+    gnear_counts[g] = (long)t->gl_gnear[g].size();
+}
+
+void pnx_tree_group_near_data(void *h, int32_t *seqs, int32_t *bits) {
+  Tree *t = (Tree *)h;
+  long o = 0;
+  for (size_t g = 0; g < t->gl_gnear.size(); ++g) {
+    std::memcpy(seqs + o, t->gl_gnear[g].data(),
+                t->gl_gnear[g].size() * sizeof(int32_t));
+    std::memcpy(bits + o, t->gl_gnearbits[g].data(),
+                t->gl_gnearbits[g].size() * sizeof(int32_t));
+    o += (long)t->gl_gnear[g].size();
   }
 }
 

@@ -90,6 +90,8 @@ def _load() -> Optional[ctypes.CDLL]:
     dll.pnx_tree_group_list_sizes.argtypes = [ctypes.c_void_p, lp, lp, lp]
     dll.pnx_tree_group_targets.argtypes = [ctypes.c_void_p, ip, ip]
     dll.pnx_tree_group_list_data.argtypes = [ctypes.c_void_p, ip, ip, ip]
+    dll.pnx_tree_group_near_sizes.argtypes = [ctypes.c_void_p, lp]
+    dll.pnx_tree_group_near_data.argtypes = [ctypes.c_void_p, ip, ip]
     dll.pnx_tree_n_leaves.restype = ctypes.c_long
     dll.pnx_tree_n_leaves.argtypes = [ctypes.c_void_p]
     dll.pnx_tree_leaves.argtypes = [ctypes.c_void_p, ip, ip]

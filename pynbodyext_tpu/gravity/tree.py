@@ -201,11 +201,21 @@ class Octree:
         nat.lib.pnx_tree_group_targets(
             self._handle, gstarts.ctypes.data_as(ip),
             gcounts.ctypes.data_as(ip))
+        gnear_counts = np.zeros(ng, dtype=np.int64)
+        nat.lib.pnx_tree_group_near_sizes(
+            self._handle, gnear_counts.ctypes.data_as(lp))
+        gnear_seqs = np.zeros(int(gnear_counts.sum()), dtype=np.int32)
+        gnear_bits = np.zeros(int(gnear_counts.sum()), dtype=np.int32)
+        nat.lib.pnx_tree_group_near_data(
+            self._handle, gnear_seqs.ctypes.data_as(ip),
+            gnear_bits.ctypes.data_as(ip))
         return {"n_groups": int(ng), "n_leaves": nl,
                 "group_leaves": int(group_leaves),
                 "gnode_counts": gnode_counts, "gnode_ids": gnode_ids,
                 "lnode_counts": lnode_counts, "lnode_ids": lnode_ids,
                 "lleaf_counts": lleaf_counts, "lleaf_idx": lleaf_idx,
+                "gnear_counts": gnear_counts, "gnear_seqs": gnear_seqs,
+                "gnear_bits": gnear_bits,
                 "gstarts": gstarts, "gcounts": gcounts}
 
     def leaves(self):

@@ -319,6 +319,220 @@ def far_monopole_eval(tgt_tiles, node_payload, accel: bool = False,
     )(tgt_tiles, node_payload)
 
 
+def _near_group_kernel(lists_ref, bits_ref, tgt_ref, *rest, tb, cap,
+                       kernel, accel, k, G):
+    """Group-union near field: each source tile is fetched ONCE for a
+    group of ``G`` consecutive leaf blocks; a per-entry bitmask selects
+    which member leaves' 128-row bands actually interact with it
+    (exactness: a tile outside a leaf's own list is covered by that
+    leaf's far terms, so its rows must be masked out)."""
+    tile_refs, out_ref = rest[:-1], rest[-1]
+    g = pl.program_id(0)
+    t = pl.program_id(1)
+    tx = tgt_ref[0, 0, :].reshape(tb, 1)
+    ty = tgt_ref[0, 1, :].reshape(tb, 1)
+    tz = tgt_ref[0, 2, :].reshape(tb, 1)
+    th = tgt_ref[0, 4, :].reshape(tb, 1)
+    to = tgt_ref[0, 5, :].reshape(tb, 1)
+    band = jax.lax.broadcasted_iota(jnp.int32, (tb,), 0) // cap  # leaf idx
+    zero = jnp.zeros((tb,), jnp.float32)
+    acc = (zero, zero, zero) if accel else (zero,)
+    for i, tile_ref in enumerate(tile_refs):
+        bits = bits_ref[g, t * k + i]  # SMEM scalar
+        incl = ((jax.lax.shift_right_logical(bits, band) & 1)
+                .astype(jnp.float32))
+        sx = tile_ref[0, 0, :].reshape(1, cap)
+        sy = tile_ref[0, 1, :].reshape(1, cap)
+        sz = tile_ref[0, 2, :].reshape(1, cap)
+        sm = tile_ref[0, 3, :].reshape(1, cap)
+        sh = tile_ref[0, 4, :].reshape(1, cap)
+        so = tile_ref[0, 5, :].reshape(1, cap)
+        dx = sx - tx
+        dy = sy - ty
+        dz = sz - tz
+        r2 = dx * dx + dy * dy + dz * dz
+        r2 = jnp.where(so == to, jnp.inf, r2)  # exact self exclusion
+        h = jnp.maximum(th, sh)
+        if accel:
+            gg = _g_from_r2(kernel, r2, h)
+            if kernel == KERNEL_SPLINE:
+                gg = jnp.where(jnp.isfinite(r2), gg, 0.0)
+            w = gg * sm
+            ax, ay, az = acc
+            acc = (ax + incl * jnp.sum(w * dx, axis=1),
+                   ay + incl * jnp.sum(w * dy, axis=1),
+                   az + incl * jnp.sum(w * dz, axis=1))
+        else:
+            neg_phi = _phi_from_r2(kernel, r2, h)
+            if kernel == KERNEL_SPLINE:
+                neg_phi = jnp.where(jnp.isfinite(r2), neg_phi, 0.0)
+            acc = (acc[0] + incl * jnp.sum(neg_phi * sm, axis=1),)
+
+    rows = 3 if accel else 1
+
+    @pl.when(t == 0)
+    def _():
+        for row in range(rows):
+            out_ref[0, row, :] = acc[row]
+        for row in range(rows, 8):
+            out_ref[0, row, :] = zero
+
+    @pl.when(t != 0)
+    def _():
+        for row in range(rows):
+            out_ref[0, row, :] = out_ref[0, row, :] + acc[row]
+
+
+@functools.partial(jax.jit, static_argnames=("kernel", "accel", "interpret",
+                                             "k", "G"))
+def near_field_group_eval(lists, bits, gtgt_tiles, leaf_tiles,
+                          kernel: str = KERNEL_NONE, accel: bool = False,
+                          interpret: bool = False, k: int = 4, G: int = 8):
+    """Union near field over leaf GROUPS (~G/2× fewer tile fetches — the
+    measured near-field wall is the per-fetch DMA cost, invariant to
+    batching and pipelining).
+
+    lists/bits: (ng, Umax) int32 leaf ids + member bitmasks (padded with
+    the dummy leaf / zero bits); gtgt_tiles: (ng, 8, G·cap);
+    leaf_tiles: (n_leaves+1, 8, cap).  Returns (ng, 8, G·cap)."""
+    ng, umax = lists.shape
+    tb = gtgt_tiles.shape[2]
+    cap = leaf_tiles.shape[2]
+    k = max(1, min(k, umax))
+    if umax % k:
+        raise ValueError(f"union width {umax} not a multiple of k={k}")
+    kern = functools.partial(_near_group_kernel, tb=tb, cap=cap,
+                             kernel=kernel, accel=accel, k=k, G=G)
+
+    def src_spec(i):
+        return pl.BlockSpec((1, 8, cap),
+                            lambda g, t, L, B, i=i: (L[g, t * k + i], 0, 0))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(ng, umax // k),
+        in_specs=[pl.BlockSpec((1, 8, tb), lambda g, t, L, B: (g, 0, 0))]
+        + [src_spec(i) for i in range(k)],
+        out_specs=pl.BlockSpec((1, 8, tb), lambda g, t, L, B: (g, 0, 0)),
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((ng, 8, tb), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=interpret,
+    )(lists, bits, gtgt_tiles, *([leaf_tiles] * k))
+
+
+def _near_gdma_kernel(offs_ref, cnts_ref, lists_ref, bits_ref, tgt_ref,
+                      tiles_hbm, out_ref, *, tb, cap, kernel, accel, nbuf):
+    """Group-union near field with register accumulation + manual DMA
+    pipeline: one grid step per GROUP, fori_loop over its ragged union
+    (no padding), ``nbuf`` tile DMAs in flight, bitmask per entry."""
+    g = pl.program_id(0)
+    base = offs_ref[g]
+    cnt = cnts_ref[g]
+    tx = tgt_ref[0, 0, :].reshape(tb, 1)
+    ty = tgt_ref[0, 1, :].reshape(tb, 1)
+    tz = tgt_ref[0, 2, :].reshape(tb, 1)
+    th = tgt_ref[0, 4, :].reshape(tb, 1)
+    to = tgt_ref[0, 5, :].reshape(tb, 1)
+    band = jax.lax.broadcasted_iota(jnp.int32, (tb,), 0) // cap
+
+    def body(scratch, sem):
+        def get_dma(slot, j):
+            return pltpu.make_async_copy(
+                tiles_hbm.at[lists_ref[base + j]],
+                scratch.at[slot], sem.at[slot])
+
+        for i in range(nbuf):
+            @pl.when(i < cnt)
+            def _(i=i):
+                get_dma(i, i).start()
+
+        def step(j, acc):
+            slot = jax.lax.rem(j, nbuf)
+            get_dma(slot, j).wait()
+            incl = ((jax.lax.shift_right_logical(bits_ref[base + j], band)
+                     & 1).astype(jnp.float32))
+            sx = scratch[slot, 0, :].reshape(1, cap)
+            sy = scratch[slot, 1, :].reshape(1, cap)
+            sz = scratch[slot, 2, :].reshape(1, cap)
+            sm = scratch[slot, 3, :].reshape(1, cap)
+            sh = scratch[slot, 4, :].reshape(1, cap)
+            so = scratch[slot, 5, :].reshape(1, cap)
+            dx = sx - tx
+            dy = sy - ty
+            dz = sz - tz
+            r2 = dx * dx + dy * dy + dz * dz
+            r2 = jnp.where(so == to, jnp.inf, r2)
+
+            @pl.when(j + nbuf < cnt)
+            def _():
+                get_dma(slot, j + nbuf).start()
+
+            h = jnp.maximum(th, sh)
+            if accel:
+                gg = _g_from_r2(kernel, r2, h)
+                if kernel == KERNEL_SPLINE:
+                    gg = jnp.where(jnp.isfinite(r2), gg, 0.0)
+                w = gg * sm
+                ax, ay, az = acc
+                return (ax + incl * jnp.sum(w * dx, axis=1),
+                        ay + incl * jnp.sum(w * dy, axis=1),
+                        az + incl * jnp.sum(w * dz, axis=1))
+            neg_phi = _phi_from_r2(kernel, r2, h)
+            if kernel == KERNEL_SPLINE:
+                neg_phi = jnp.where(jnp.isfinite(r2), neg_phi, 0.0)
+            return (acc[0] + incl * jnp.sum(neg_phi * sm, axis=1),)
+
+        zero = jnp.zeros((tb,), jnp.float32)
+        init = (zero, zero, zero) if accel else (zero,)
+        acc = jax.lax.fori_loop(0, cnt, step, init)
+        rows = 3 if accel else 1
+        for row in range(rows):
+            out_ref[0, row, :] = acc[row]
+        for row in range(rows, 8):
+            out_ref[0, row, :] = zero
+
+    pl.run_scoped(body,
+                  scratch=pltpu.VMEM((nbuf, 8, cap), jnp.float32),
+                  sem=pltpu.SemaphoreType.DMA((nbuf,)))
+
+
+@functools.partial(jax.jit, static_argnames=("kernel", "accel", "interpret",
+                                             "nbuf"))
+def near_field_group_dma(offsets, counts, flat_lists, flat_bits, gtgt_tiles,
+                         leaf_tiles, kernel: str = KERNEL_NONE,
+                         accel: bool = False, interpret: bool = False,
+                         nbuf: int = 8):
+    """Ragged group-union near field, register-accumulated, DMA-pipelined.
+    Returns (ng, 8, G·cap)."""
+    ng = counts.shape[0]
+    tb = gtgt_tiles.shape[2]
+    cap = leaf_tiles.shape[2]
+    kern = functools.partial(_near_gdma_kernel, tb=tb, cap=cap,
+                             kernel=kernel, accel=accel, nbuf=nbuf)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(ng,),
+        in_specs=[
+            pl.BlockSpec((1, 8, tb), lambda g, O, C, L, B: (g, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # tiles stay in HBM
+        ],
+        out_specs=pl.BlockSpec((1, 8, tb), lambda g, O, C, L, B: (g, 0, 0)),
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((ng, 8, tb), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(offsets, counts, flat_lists, flat_bits, gtgt_tiles, leaf_tiles)
+
+
 def _near_dma_kernel(offs_ref, cnts_ref, lists_ref, tgt_ref, tiles_hbm,
                      out_ref, *, tb, cap, kernel, accel, nbuf):
     """Near field with a manual ``nbuf``-deep DMA pipeline.

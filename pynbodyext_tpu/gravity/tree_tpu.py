@@ -485,6 +485,23 @@ def prepare_tree_pallas(tree: Octree, theta: float = 0.7, cap: int = 128,
         prep["gtgt_pos"] = gtgt_np
         prep["gfar_classes"] = _build_classes(
             gl["gnode_counts"], gl["gnode_ids"], 128, dummy_node, gtgt_np)
+        # group target TILES (all 8 rows) for the union near engine
+        tiles_pad = tiles[:n_leaves]
+        if pad_rows:
+            tiles_pad = np.concatenate(
+                [tiles_pad, np.broadcast_to(tiles[-1], (pad_rows, 8, cap))],
+                axis=0)
+        gtt_np = (tiles_pad.reshape(ng, G, 8, cap)
+                  .transpose(0, 2, 1, 3).reshape(ng, 8, G * cap))
+        prep["gnear_classes"] = _build_classes(
+            gl["gnear_counts"], gl["gnear_seqs"], 64, n_leaves, gtt_np,
+            flat_aux=gl["gnear_bits"])
+        prep["gtt_tiles"] = jnp.asarray(gtt_np)
+        prep["gnear_offsets"] = np.concatenate(
+            [[0], np.cumsum(gl["gnear_counts"])[:-1]]).astype(np.int32)
+        prep["gnear_counts"] = np.asarray(gl["gnear_counts"], np.int32)
+        prep["gnear_flat"] = np.asarray(gl["gnear_seqs"], np.int32)
+        prep["gnear_bits_flat"] = np.asarray(gl["gnear_bits"], np.int32)
         prep["n_groups"] = ng
         _stage("prep.gfar_classes", _t0)
         prep["stats"]["mean_gnodes"] = float(gl["gnode_counts"].mean())
@@ -558,6 +575,83 @@ def _near_dma(prep, kern, interpret, accel, nbuf: int = 8,
     return out[:, 0, :]
 
 
+def _near_group(prep, kern, interpret, accel, k: int = 4):
+    """Union near field over leaf groups (see near_field_group_eval):
+    ~G/2× fewer tile fetches than per-leaf lists — the near wall is the
+    per-fetch DMA cost (measured invariant to fan-in and manual
+    pipelining)."""
+    from .tree_pallas import near_field_group_eval
+    nb, cap, G = prep["n_blocks"], prep["cap"], prep["G"]
+    ng = prep["n_groups"]
+    tb = G * cap
+    out_g = np.zeros((ng, 8, tb), np.float32)
+    budget = 50_000  # two SMEM-prefetched arrays share the ~0.4 MB budget
+    pending = []
+    for w, sel, li_dev, tt_dev, bits_dev in prep["gnear_classes"]:
+        for lo, hi, rows in _class_chunks(w, len(sel), budget):
+            res = near_field_group_eval(_pad_rows(li_dev[lo:hi], rows),
+                                        _pad_rows(bits_dev[lo:hi], rows),
+                                        _pad_rows(tt_dev[lo:hi], rows),
+                                        prep["tiles"], kernel=kern,
+                                        accel=accel, interpret=interpret,
+                                        k=min(k, w), G=G)
+            pending.append((sel[lo:hi], hi - lo, res))
+    for s_idx, cnt, res in pending:
+        out_g[s_idx] = np.asarray(res)[:cnt]
+    out = (out_g.reshape(ng, 8, G, cap).transpose(0, 2, 1, 3)
+           .reshape(ng * G, 8, cap)[:nb])
+    if accel:
+        return np.moveaxis(out[:, 0:3, :], 1, 2)
+    return out[:, 0, :]
+
+
+def _near_gdma(prep, kern, interpret, accel, nbuf: int = 8,
+               ng_chunk: int = 1024, flat_cap: int = 98_304):
+    """Group-union near field via the register-accumulating manual-DMA
+    kernel (zero padding; one grid step per group)."""
+    from .tree_pallas import near_field_group_dma
+    nb, cap, G = prep["n_blocks"], prep["cap"], prep["G"]
+    ng = prep["n_groups"]
+    tb = G * cap
+    offs = prep["gnear_offsets"]
+    cnts = prep["gnear_counts"]
+    flat = prep["gnear_flat"]
+    bits = prep["gnear_bits_flat"]
+    out_g = np.zeros((ng, 8, tb), np.float32)
+    pending = []
+    start = 0
+    while start < ng:
+        end, tot = start, 0
+        while (end < ng and end - start < ng_chunk
+               and tot + cnts[end] <= flat_cap):
+            tot += int(cnts[end])
+            end += 1
+        rows = end - start
+        off_l = np.zeros(ng_chunk, np.int32)
+        cnt_l = np.zeros(ng_chunk, np.int32)
+        off_l[:rows] = offs[start:end] - offs[start]
+        cnt_l[:rows] = cnts[start:end]
+        flat_l = np.zeros(flat_cap, np.int32)
+        bits_l = np.zeros(flat_cap, np.int32)
+        flat_l[:tot] = flat[offs[start]:offs[start] + tot]
+        bits_l[:tot] = bits[offs[start]:offs[start] + tot]
+        tt = _pad_rows(prep["gtt_tiles"][start:end], ng_chunk)
+        res = near_field_group_dma(jnp.asarray(off_l), jnp.asarray(cnt_l),
+                                   jnp.asarray(flat_l), jnp.asarray(bits_l),
+                                   tt, prep["tiles"], kernel=kern,
+                                   accel=accel, interpret=interpret,
+                                   nbuf=nbuf)
+        pending.append((start, end, res))
+        start = end
+    for s, e, res in pending:
+        out_g[s:e] = np.asarray(res)[:e - s]
+    out = (out_g.reshape(ng, 8, G, cap).transpose(0, 2, 1, 3)
+           .reshape(ng * G, 8, cap)[:nb])
+    if accel:
+        return np.moveaxis(out[:, 0:3, :], 1, 2)
+    return out[:, 0, :]
+
+
 def _near_chunked(prep, kern, interpret, accel, k: int = 4):
     """Chunked near field over the prebuilt width classes.
 
@@ -591,7 +685,8 @@ def _gather_node_payload(nodes_packed, node_ids_chunk):
     return jnp.moveaxis(g, 1, 2)          # (C, 8, Ln)
 
 
-def _build_classes(counts, flat_ids, min_width: int, fill: int, targets):
+def _build_classes(counts, flat_ids, min_width: int, fill: int, targets,
+                   flat_aux=None):
     """Partition blocks into power-of-two width classes by list length and
     upload each class's padded list matrix + gathered target rows to the
     device ONCE — built straight from the ragged (counts, flat ids) data,
@@ -622,8 +717,13 @@ def _build_classes(counts, flat_ids, min_width: int, fill: int, targets):
                   - np.repeat(np.cumsum(c) - c, c))
         src = np.repeat(starts[sel], c) + within
         mat[row, within] = flat_ids[src]
-        out.append((int(w), sel, jnp.asarray(mat),
-                    jnp.asarray(targets_np[sel])))
+        entry = [int(w), sel, jnp.asarray(mat),
+                 jnp.asarray(targets_np[sel])]
+        if flat_aux is not None:
+            aux = np.zeros((len(sel), int(w)), np.int32)
+            aux[row, within] = np.asarray(flat_aux, np.int32)[src]
+            entry.append(jnp.asarray(aux))
+        out.append(tuple(entry))
     return out
 
 
@@ -700,10 +800,13 @@ def tree_potentials_device_pallas(tree: Octree, theta: float = 0.7,
         prep = prepare_tree_pallas(tree, theta=theta,
                                    group_leaves=group_leaves)
     kern = prep["kernel"] or KERNEL_NONE
-    if near_engine not in ("classes", "dma"):
-        raise ValueError(f"near_engine must be 'classes' or 'dma', "
-                         f"got {near_engine!r}")
-    near_fn = _near_dma if near_engine == "dma" else _near_chunked
+    if near_engine not in ("classes", "dma", "group", "gdma"):
+        raise ValueError(f"near_engine must be 'classes', 'dma', 'group' "
+                         f"or 'gdma', got {near_engine!r}")
+    if near_engine in ("group", "gdma") and "gnear_classes" not in prep:
+        near_engine = "classes"  # group lists absent (G=1 prep)
+    near_fn = {"classes": _near_chunked, "dma": _near_dma,
+               "group": _near_group, "gdma": _near_gdma}[near_engine]
     near = near_fn(prep, kern, interpret, accel=False)
     far_all = _far_eval(prep, accel=False, interpret=interpret,
                         far_chunk=far_chunk, row_slice=slice(0, 1),
@@ -723,10 +826,13 @@ def tree_accelerations_device_pallas(tree: Octree, theta: float = 0.7,
         prep = prepare_tree_pallas(tree, theta=theta,
                                    group_leaves=group_leaves)
     kern = prep["kernel"] or KERNEL_NONE
-    if near_engine not in ("classes", "dma"):
-        raise ValueError(f"near_engine must be 'classes' or 'dma', "
-                         f"got {near_engine!r}")
-    near_fn = _near_dma if near_engine == "dma" else _near_chunked
+    if near_engine not in ("classes", "dma", "group", "gdma"):
+        raise ValueError(f"near_engine must be 'classes', 'dma', 'group' "
+                         f"or 'gdma', got {near_engine!r}")
+    if near_engine in ("group", "gdma") and "gnear_classes" not in prep:
+        near_engine = "classes"  # group lists absent (G=1 prep)
+    near_fn = {"classes": _near_chunked, "dma": _near_dma,
+               "group": _near_group, "gdma": _near_gdma}[near_engine]
     near = near_fn(prep, kern, interpret, accel=True)
     far_all = _far_eval(prep, accel=True, interpret=interpret,
                         far_chunk=far_chunk, row_slice=slice(0, 3),

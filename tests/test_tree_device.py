@@ -175,3 +175,20 @@ def test_far_monopole_eval_nonmultiple_width():
         r = np.sqrt(dx * dx + dy * dy + dz * dz)
         ref = -(payload[b, 3][None, :] / r).sum(axis=1)
         np.testing.assert_allclose(out[b, 0], ref, rtol=1e-4)
+
+
+def test_near_engines_agree(clustered):
+    """All near-field engines (classes / dma / group / gdma) produce the
+    same potentials (four independent schedules of the same lists)."""
+    pos, m, h = clustered
+    tree = Octree(pos, m, leaf_capacity=128, multipole_order=0,
+                  softenings=h, kernel="plummer")
+    from pynbodyext_tpu.gravity.tree_tpu import (
+        prepare_tree_pallas, tree_potentials_device_pallas)
+    prep = prepare_tree_pallas(tree, theta=0.5, group_leaves=8)
+    ref = tree_potentials_device_pallas(tree, prep=prep, interpret=True,
+                                        near_engine="classes")
+    for eng in ("dma", "group", "gdma"):
+        got = tree_potentials_device_pallas(tree, prep=prep, interpret=True,
+                                            near_engine=eng)
+        np.testing.assert_allclose(got, ref, rtol=2e-5)
