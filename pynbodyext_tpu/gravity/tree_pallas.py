@@ -646,6 +646,162 @@ def near_field_eval_dma(offsets, counts, flat_lists, tgt_tiles, leaf_tiles,
     )(offsets, counts, flat_lists, tgt_tiles, leaf_tiles)
 
 
+def _near_banded_kernel(gs_ref, gf_ref, blk_ref, bits_ref, tgt_ref, src_ref,
+                        out_ref, *, tb, cap, kernel, accel, R, Gn, ng_out):
+    """Banded union near field, WIDE-LANE layout: one grid step streams R
+    CONSECUTIVE leaf tiles as a single (8, R·cap) lane-major block (tree
+    order keeps a group's near set in short consecutive runs, so aligned
+    R-tile windows cover it with bounded waste) and evaluates them against
+    the Gn·cap targets of one leaf group at dense-kernel lane widths.
+
+    Measured drivers (v5e, 1M clustered):
+    * the scattered near engines are COMPUTE bound at ~8 Gpairs/s — cap=128
+      source lanes waste the VPU (same math at 1024 lanes: ~68 Gpairs/s);
+    * an output BlockSpec whose index depends on prefetched scalars stalls
+      the pipeline (~60–70 µs/step vs 3.8 µs grid-indexed), so each window
+      writes its own output row and a sorted segment-sum reduces to groups;
+    * window fetches do not overlap compute (~2 µs/fetch serialized, flat
+      in the number of operands per step).
+
+    Exactness needs no far-list changes: window slots outside the union
+    carry bits=0 and are masked off — at Gn=1 the mask is target-
+    independent and folds into the source mass row (zero broadcast cost).
+
+    Scalar operands are 1-D (SMEM pads a 2-D array's last dim to 128
+    lanes): gf = local group id (padding rows: ng_out), blk = window block
+    index, bits flat (W·R,)."""
+    i = pl.program_id(0)
+    S = R * cap
+    tx = tgt_ref[0, :].reshape(tb, 1)
+    ty = tgt_ref[1, :].reshape(tb, 1)
+    tz = tgt_ref[2, :].reshape(tb, 1)
+    th = tgt_ref[4, :].reshape(tb, 1)
+    to = tgt_ref[5, :].reshape(tb, 1)
+    sx = src_ref[0, :].reshape(1, S)
+    sy = src_ref[1, :].reshape(1, S)
+    sz = src_ref[2, :].reshape(1, S)
+    sm = src_ref[3, :].reshape(1, S)
+    sh = src_ref[4, :].reshape(1, S)
+    so = src_ref[5, :].reshape(1, S)
+    # member bitmask per window slot → per-lane mask
+    slot = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1) // cap
+    bl = jnp.zeros((1, S), jnp.int32)
+    for r in range(R):
+        bl = jnp.where(slot == r, bits_ref[i * R + r], bl)
+    if Gn == 1:
+        # mask is target-independent: fold into the source masses
+        sm = sm * (bl & 1).astype(jnp.float32)
+        incl2 = None
+    else:
+        band = jax.lax.broadcasted_iota(jnp.int32, (tb, 1), 0) // cap
+        incl2 = ((jax.lax.shift_right_logical(bl, band) & 1)
+                 .astype(jnp.float32))
+    dx = sx - tx
+    dy = sy - ty
+    dz = sz - tz
+    r2 = dx * dx + dy * dy + dz * dz
+    r2 = jnp.where(so == to, jnp.inf, r2)  # exact self exclusion
+    h = jnp.maximum(th, sh)
+    if accel:
+        gg = _g_from_r2(kernel, r2, h)
+        if kernel == KERNEL_SPLINE:
+            gg = jnp.where(jnp.isfinite(r2), gg, 0.0)
+        w = gg * sm
+        if incl2 is not None:
+            w = w * incl2
+        out_ref[0, 0, :] = jnp.sum(w * dx, axis=1)
+        out_ref[0, 1, :] = jnp.sum(w * dy, axis=1)
+        out_ref[0, 2, :] = jnp.sum(w * dz, axis=1)
+    else:
+        neg_phi = _phi_from_r2(kernel, r2, h)
+        if kernel == KERNEL_SPLINE:
+            neg_phi = jnp.where(jnp.isfinite(r2), neg_phi, 0.0)
+        summand = neg_phi * sm
+        if incl2 is not None:
+            summand = summand * incl2
+        out_ref[0, 0, :] = jnp.sum(summand, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("kernel", "accel", "interpret",
+                                             "R", "Gn", "ng_out", "cap"))
+def near_field_banded_eval(gf, blk, bits, gstart, tiles_wide,
+                           kernel: str = KERNEL_NONE, accel: bool = False,
+                           interpret: bool = False, R: int = 8, Gn: int = 1,
+                           ng_out: int = 1024, cap: int = 128):
+    """Banded union near field over one chunk of ``ng_out`` Gn-leaf groups.
+
+    gf: (W,) int32 local group ids, sorted ascending (rows past the
+    chunk hold later groups and are clamped to ng_out — their sums land
+    in the spill segment and are discarded); blk: (W,) window block
+    indices; bits: (W·R,) flat member bitmasks (0 = slot outside the
+    union); gstart: (1,) first group of the chunk; tiles_wide:
+    (8, n_tiles·cap) lane-major leaf-tile table, n_tiles a multiple of
+    32 — BOTH the source windows and the group target blocks are lane
+    slices of it.
+    Returns (ng_out, rows, Gn·cap) with rows = 3 when accel else 1."""
+    nw = gf.shape[0]
+    ncols = tiles_wide.shape[1]
+    S = R * cap
+    tb = Gn * cap
+    ngb = ncols // tb  # total target blocks available
+    rows = 3 if accel else 1
+    kern = functools.partial(_near_banded_kernel, tb=tb, cap=cap,
+                             kernel=kernel, accel=accel, R=R, Gn=Gn,
+                             ng_out=ng_out)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(nw,),
+        in_specs=[
+            pl.BlockSpec((8, tb),
+                         lambda i, GS, GF, BLK, BITS: (
+                             0, jnp.minimum(
+                                 jnp.minimum(GF[i], ng_out - 1) + GS[0],
+                                 ngb - 1))),
+            pl.BlockSpec((8, S),
+                         lambda i, GS, GF, BLK, BITS: (0, BLK[i])),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 8, tb), lambda i, GS, GF, BLK, BITS: (i, 0, 0)),
+    )
+    per_window = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nw, 8, tb), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(gstart, gf, blk, bits, tiles_wide, tiles_wide)
+    # per-window rows → per-group sums (gf sorted; pads land in ng_out)
+    seg = jax.ops.segment_sum(per_window[:, :rows, :], gf,
+                              num_segments=ng_out + 1,
+                              indices_are_sorted=True)
+    return seg[:ng_out]
+
+
+@functools.partial(jax.jit, static_argnames=("kernel", "accel",
+                                             "interpret", "R", "Gn",
+                                             "ng_out", "cap", "W"))
+def near_field_banded_chunk(gf_all, blk_all, bits_all, wstart, gstart,
+                            tiles_wide, kernel: str = KERNEL_NONE,
+                            accel: bool = False, interpret: bool = False,
+                            R: int = 8, Gn: int = 1, ng_out: int = 1024,
+                            cap: int = 128, W: int = 8192):
+    """Device-side chunking for the banded near field: slice W windows at
+    ``wstart`` out of the ONCE-uploaded global window arrays and localize
+    group ids on device — per-chunk host work and uploads were the wall
+    (~50 ms/chunk through the remote relay)."""
+    ws = wstart[0]
+    gf = jax.lax.dynamic_slice(gf_all, (ws,), (W,))
+    gf = jnp.minimum(gf - gstart[0], ng_out)  # localize; spill → ng_out
+    blk = jax.lax.dynamic_slice(blk_all, (ws,), (W,))
+    bits = jax.lax.dynamic_slice(bits_all, (ws * R,), (W * R,))
+    return near_field_banded_eval(gf, blk, bits, gstart, tiles_wide,
+                                  kernel=kernel, accel=accel,
+                                  interpret=interpret, R=R, Gn=Gn,
+                                  ng_out=ng_out, cap=cap)
+
+
 def _k_for(lists) -> int:
     w = lists.shape[1]
     return 4 if w % 4 == 0 else (2 if w % 2 == 0 else 1)

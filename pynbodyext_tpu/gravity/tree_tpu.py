@@ -417,6 +417,12 @@ def prepare_tree_pallas(tree: Octree, theta: float = 0.7, cap: int = 128,
     sentinel = (pos.mean(0) + 3.0 * max(extent, 1e-3)).astype(np.float64)
     tiles = pack_leaf_tiles(pos, pmass, psoft, orig, lstarts, lcounts,
                             sentinel, cap)
+    # pad the tile table to a multiple of 32 rows (all-dummy rows) so the
+    # banded engine's (R, 8, cap) window BlockSpec divides it for any
+    # R ∈ {4, 8, 16, 32}; leaf ids (incl. the dummy id n_leaves) unchanged
+    pad32 = (-len(tiles)) % 32
+    if pad32:
+        tiles = np.concatenate([tiles, np.repeat(tiles[-1:], pad32, axis=0)])
     _stage("prep.tiles", _t0); _t0 = _time.perf_counter()
     # near lists stay as one small padded matrix (~cap·n_leaves ints);
     # far/group lists go ragged → per-class matrices inside _build_classes
@@ -679,6 +685,105 @@ def _near_chunked(prep, kern, interpret, accel, k: int = 4):
     return out[:, 0, :]
 
 
+def _build_banded_windows(prep, R: int, Gn: int):
+    """Aligned R-tile windows covering each Gn-leaf group's union near set.
+
+    Built straight from the PER-LEAF lists, so the near-field group size
+    ``Gn`` is decoupled from the far-field group size ``prep['G']`` —
+    smaller Gn trades masked-compute waste (each window slot evaluates
+    against all Gn·cap targets) against fetch count.  Each window is one
+    sequential (R·8, cap) DMA; slots inside a window but outside the
+    union get bits=0 (masked off in-kernel), so exactness never needs
+    far-list changes.  Returns (grp (nw,), blk (nw,), bits (nw·R,),
+    windows-per-group (ngn,)), sorted by (grp, blk)."""
+    key = ("banded", R, Gn)
+    if key in prep:
+        return prep[key]
+    nb = prep["n_blocks"]
+    counts = prep["near_counts"].astype(np.int64)
+    seqs = prep["near_flat"].astype(np.int64)
+    ngn = -(-nb // Gn)
+    nwb = prep["tiles"].shape[0] // R
+    leaf = np.repeat(np.arange(nb, dtype=np.int64), counts)
+    grp = leaf // Gn
+    member_bit = np.int32(1) << (leaf % Gn).astype(np.int32)
+    k = grp * nwb + seqs // R
+    uk = np.unique(k)                     # sorted → grp-major, blk ascending
+    win = np.searchsorted(uk, k)          # window index per entry
+    nw = len(uk)
+    wgrp = (uk // nwb).astype(np.int32)
+    wblk = (uk % nwb).astype(np.int32)
+    bits = np.zeros(nw * R, np.int32)
+    np.bitwise_or.at(bits, win * R + (seqs % R).astype(np.int64), member_bit)
+    wcounts = np.bincount(wgrp, minlength=ngn).astype(np.int64)
+    # upload once, padded by the max chunk width (device-side slicing;
+    # per-chunk host shipping measured ~50 ms/chunk through the relay).
+    # pad group id = ngn → clamps into the spill segment, never collected
+    pad = 16384
+    gf_dev = jnp.asarray(np.concatenate([wgrp, np.full(pad, ngn, np.int32)]))
+    blk_dev = jnp.asarray(np.concatenate([wblk, np.zeros(pad, np.int32)]))
+    bits_dev = jnp.asarray(np.concatenate([bits,
+                                           np.zeros(pad * R, np.int32)]))
+    prep[key] = (gf_dev, blk_dev, bits_dev, wcounts)
+    return prep[key]
+
+
+def _tiles_wide(prep):
+    """(8, n_tiles·cap) lane-major leaf-tile table (one device transpose,
+    cached): row p holds attribute p of every tree-order particle, padded
+    per leaf to cap — source windows AND target blocks are lane slices."""
+    if "tiles_wide" not in prep:
+        t = prep["tiles"]  # (ntiles, 8, cap)
+        prep["tiles_wide"] = jnp.transpose(t, (1, 0, 2)).reshape(
+            8, t.shape[0] * t.shape[2])
+    return prep["tiles_wide"]
+
+
+def _near_banded(prep, kern, interpret, accel, R: int = 8, Gn: int = 1,
+                 w_budget: int = 16384, gcap: int = 4096):
+    """Banded union near field (see _build_banded_windows): one grid step
+    per aligned R-tile window, evaluated at dense-kernel lane widths
+    (S = R·cap source lanes) against one Gn-leaf target group."""
+    from .tree_pallas import near_field_banded_chunk
+    nb, cap = prep["n_blocks"], prep["cap"]
+    ngn = -(-nb // Gn)
+    tb = Gn * cap
+    gf, wblk, bits, wcounts = _build_banded_windows(prep, R, Gn)
+    tw = _tiles_wide(prep)
+    # adapt chunk shapes to the problem (padding a toy problem to a 16k-
+    # step grid is pure waste, fatal in interpret mode); shapes stay
+    # uniform across chunks → one compile per (wb, gcap) pair.  SMEM holds
+    # gf+blk (2·wb) and bits (wb·R) int32 words per chunk: ≤ ~0.4 MB.
+    gcap = min(gcap, ngn)
+    w_budget = min(w_budget, 98_304 // (R + 2))
+    w_budget = max(min(w_budget, int(wcounts.sum())), int(wcounts.max()), 1)
+    woffs = np.concatenate([[0], np.cumsum(wcounts)]).astype(np.int64)
+    pending = []
+    gs = 0
+    while gs < ngn:
+        ge = gs
+        while (ge < ngn and ge - gs < gcap
+               and woffs[ge + 1] - woffs[gs] <= w_budget):
+            ge += 1
+        wb = w_budget  # ≥ wcounts.max(), so every chunk advances ≥1 group
+        res = near_field_banded_chunk(
+            gf, wblk, bits, jnp.asarray([int(woffs[gs])], np.int32),
+            jnp.asarray([gs], np.int32), tw, kernel=kern, accel=accel,
+            interpret=interpret, R=R, Gn=Gn, ng_out=gcap, cap=cap, W=wb)
+        pending.append((gs, ge, res))
+        gs = ge
+    rows = 3 if accel else 1
+    out_g = np.zeros((ngn, rows, tb), np.float32)
+    for s, e, res in pending:
+        out_g[s:e] = np.asarray(res)[:e - s]
+    # (ngn, rows, Gn·cap) → per-leaf-block (nb, rows, cap)
+    out = (out_g.reshape(ngn, rows, Gn, cap).transpose(0, 2, 1, 3)
+           .reshape(ngn * Gn, rows, cap)[:nb])
+    if accel:
+        return np.moveaxis(out, 1, 2)  # (nb, cap, 3)
+    return out[:, 0, :]
+
+
 @partial(jax.jit, static_argnames=())
 def _gather_node_payload(nodes_packed, node_ids_chunk):
     g = nodes_packed[node_ids_chunk]      # (C, Ln, 8)
@@ -791,22 +896,28 @@ def tree_potentials_device_pallas(tree: Octree, theta: float = 0.7,
                                   near_engine: str = "classes") -> np.ndarray:
     """Device tree with the Pallas near-field engine (original order).
 
-    ``near_engine``: "classes" (scalar-prefetch width classes, default —
-    measured 3.1 s near field at 1M) or "dma" (manual-DMA ragged kernel,
-    zero padding — measured 4.5 s: the scalar-prefetch pipeline already
-    overlaps tile DMAs at ~0.74 µs/fetch, and the per-iteration semaphore
-    overhead of the manual loop costs more than the padding it saves)."""
+    ``near_engine``:
+    * "banded" — aligned R-tile windows over the group-union lists: one
+      SEQUENTIAL (R·8, cap) DMA per window with R·G·cap·cap pairs of
+      compute to hide it (tree order keeps near sets contiguous);
+    * "classes" (scalar-prefetch width classes — measured 3.1 s near
+      field at 1M, wall = per-tile fetch latency);
+    * "dma" / "group" / "gdma" — scattered-fetch variants, all measured
+      3.1–4.5 s at 1M (invariant to fan-in/pipelining: the wall is the
+      per-fetch cost the banded layout amortizes away)."""
     if prep is None:
         prep = prepare_tree_pallas(tree, theta=theta,
                                    group_leaves=group_leaves)
     kern = prep["kernel"] or KERNEL_NONE
-    if near_engine not in ("classes", "dma", "group", "gdma"):
-        raise ValueError(f"near_engine must be 'classes', 'dma', 'group' "
-                         f"or 'gdma', got {near_engine!r}")
-    if near_engine in ("group", "gdma") and "gnear_classes" not in prep:
+    if near_engine not in ("classes", "dma", "group", "gdma", "banded"):
+        raise ValueError(f"near_engine must be 'classes', 'dma', 'group', "
+                         f"'gdma' or 'banded', got {near_engine!r}")
+    if (near_engine in ("group", "gdma")
+            and "gnear_classes" not in prep):
         near_engine = "classes"  # group lists absent (G=1 prep)
     near_fn = {"classes": _near_chunked, "dma": _near_dma,
-               "group": _near_group, "gdma": _near_gdma}[near_engine]
+               "group": _near_group, "gdma": _near_gdma,
+               "banded": _near_banded}[near_engine]
     near = near_fn(prep, kern, interpret, accel=False)
     far_all = _far_eval(prep, accel=False, interpret=interpret,
                         far_chunk=far_chunk, row_slice=slice(0, 1),
@@ -826,13 +937,15 @@ def tree_accelerations_device_pallas(tree: Octree, theta: float = 0.7,
         prep = prepare_tree_pallas(tree, theta=theta,
                                    group_leaves=group_leaves)
     kern = prep["kernel"] or KERNEL_NONE
-    if near_engine not in ("classes", "dma", "group", "gdma"):
-        raise ValueError(f"near_engine must be 'classes', 'dma', 'group' "
-                         f"or 'gdma', got {near_engine!r}")
-    if near_engine in ("group", "gdma") and "gnear_classes" not in prep:
+    if near_engine not in ("classes", "dma", "group", "gdma", "banded"):
+        raise ValueError(f"near_engine must be 'classes', 'dma', 'group', "
+                         f"'gdma' or 'banded', got {near_engine!r}")
+    if (near_engine in ("group", "gdma")
+            and "gnear_classes" not in prep):
         near_engine = "classes"  # group lists absent (G=1 prep)
     near_fn = {"classes": _near_chunked, "dma": _near_dma,
-               "group": _near_group, "gdma": _near_gdma}[near_engine]
+               "group": _near_group, "gdma": _near_gdma,
+               "banded": _near_banded}[near_engine]
     near = near_fn(prep, kern, interpret, accel=True)
     far_all = _far_eval(prep, accel=True, interpret=interpret,
                         far_chunk=far_chunk, row_slice=slice(0, 3),

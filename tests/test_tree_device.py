@@ -177,18 +177,84 @@ def test_far_monopole_eval_nonmultiple_width():
         np.testing.assert_allclose(out[b, 0], ref, rtol=1e-4)
 
 
-def test_near_engines_agree(clustered):
-    """All near-field engines (classes / dma / group / gdma) produce the
-    same potentials (four independent schedules of the same lists)."""
+def test_near_engines_agree():
+    """All near-field engines (classes / dma / group / gdma / banded)
+    produce the same near field (independent schedules of the same exact
+    interaction set) — small N: interpret-mode grid steps cost ~0.5 s."""
+    rng = np.random.default_rng(3)
+    n = 600
+    r = rng.exponential(3.0, n)
+    vec = rng.normal(size=(n, 3))
+    vec /= np.linalg.norm(vec, axis=1, keepdims=True)
+    pos = vec * r[:, None]
+    m = rng.uniform(0.5, 2, n)
+    h = rng.uniform(0.02, 0.08, n)
+    tree = Octree(pos, m, leaf_capacity=64, multipole_order=0,
+                  softenings=h, kernel="plummer")
+    from pynbodyext_tpu.gravity import tree_tpu
+    prep = tree_tpu.prepare_tree_pallas(tree, theta=0.5, group_leaves=8)
+    kern = prep["kernel"]
+    ref = _near_ref_numpy(prep, accel=False)
+    scale = np.abs(ref).max()
+    for eng, fn in (("classes", tree_tpu._near_chunked),
+                    ("dma", tree_tpu._near_dma),
+                    ("group", tree_tpu._near_group),
+                    ("gdma", tree_tpu._near_gdma),
+                    ("banded", tree_tpu._near_banded)):
+        got = fn(prep, kern, True, False)
+        np.testing.assert_allclose(got, ref, rtol=2e-4, atol=scale * 2e-6,
+                                   err_msg=eng)
+
+
+def _near_ref_numpy(prep, accel):
+    """Near field from the per-leaf lists in plain numpy (plummer)."""
+    tiles = np.asarray(prep["tiles"], np.float64)
+    nb, cap = prep["n_blocks"], prep["cap"]
+    offs, cnts = prep["near_offsets"], prep["near_counts"]
+    flat = prep["near_flat"]
+    out = np.zeros((nb, cap, 3) if accel else (nb, cap))
+    for b in range(nb):
+        src = tiles[flat[offs[b]:offs[b] + cnts[b]]]  # (L, 8, cap)
+        sx = src[:, 0].ravel()[None, :]
+        sy = src[:, 1].ravel()[None, :]
+        sz = src[:, 2].ravel()[None, :]
+        sm = src[:, 3].ravel()[None, :]
+        sh = src[:, 4].ravel()[None, :]
+        so = src[:, 5].ravel()[None, :]
+        t = tiles[b]
+        dx = sx - t[0][:, None]
+        dy = sy - t[1][:, None]
+        dz = sz - t[2][:, None]
+        r2 = dx * dx + dy * dy + dz * dz
+        r2 = np.where(so == t[5][:, None], np.inf, r2)
+        hh = np.maximum(sh, t[4][:, None])
+        if accel:
+            g = (r2 + hh * hh) ** -1.5 * sm
+            out[b] = np.stack([(g * dx).sum(1), (g * dy).sum(1),
+                               (g * dz).sum(1)], axis=1)
+        else:
+            out[b] = -(sm / np.sqrt(r2 + hh * hh)).sum(1)
+    return out
+
+
+def test_banded_engine_vs_numpy_and_chunking(clustered):
+    """Banded near engine vs a plain-numpy near-field reference, for both
+    potentials and accelerations, across window sizes R and chunk
+    boundaries (tiny w_budget/gcap force many chunks)."""
     pos, m, h = clustered
     tree = Octree(pos, m, leaf_capacity=128, multipole_order=0,
                   softenings=h, kernel="plummer")
-    from pynbodyext_tpu.gravity.tree_tpu import (
-        prepare_tree_pallas, tree_potentials_device_pallas)
+    from pynbodyext_tpu.gravity.tree_tpu import (_near_banded,
+                                                 prepare_tree_pallas)
     prep = prepare_tree_pallas(tree, theta=0.5, group_leaves=8)
-    ref = tree_potentials_device_pallas(tree, prep=prep, interpret=True,
-                                        near_engine="classes")
-    for eng in ("dma", "group", "gdma"):
-        got = tree_potentials_device_pallas(tree, prep=prep, interpret=True,
-                                            near_engine=eng)
-        np.testing.assert_allclose(got, ref, rtol=2e-5)
+    kern = prep["kernel"]
+    for accel in (False, True):
+        ref = _near_ref_numpy(prep, accel)
+        scale = np.abs(ref).max()
+        for R, Gn, wb, gc in ((8, 4, 8192, 1024), (4, 8, 4, 2),
+                              (16, 2, 64, 3), (8, 1, 16, 2)):
+            got = _near_banded(prep, kern, True, accel=accel, R=R, Gn=Gn,
+                               w_budget=wb, gcap=gc)
+            np.testing.assert_allclose(
+                got, ref, rtol=2e-4, atol=scale * 2e-6,
+                err_msg=f"accel={accel} R={R} Gn={Gn} wb={wb} gcap={gc}")
