@@ -319,6 +319,91 @@ def far_monopole_eval(tgt_tiles, node_payload, accel: bool = False,
     )(tgt_tiles, node_payload)
 
 
+def _far_payload_kernel(tgt_ref, src_ref, out_ref, *, tb, ts, accel):
+    """Monopole far field from PRE-GATHERED per-block payload rows
+    (x, y, z, mass) — the far analogue of the dense kernel: no gathers,
+    node lanes stream at full width."""
+    j = pl.program_id(1)
+    tx = tgt_ref[0, 0, :].reshape(tb, 1)
+    ty = tgt_ref[0, 1, :].reshape(tb, 1)
+    tz = tgt_ref[0, 2, :].reshape(tb, 1)
+    sx = src_ref[0, 0, :].reshape(1, ts)
+    sy = src_ref[0, 1, :].reshape(1, ts)
+    sz = src_ref[0, 2, :].reshape(1, ts)
+    sm = src_ref[0, 3, :]
+    dx = sx - tx
+    dy = sy - ty
+    dz = sz - tz
+    r2 = dx * dx + dy * dy + dz * dz
+    if accel:
+        invr = jax.lax.rsqrt(r2 + _TINY2)
+        w = (invr * invr * invr) * sm.reshape(1, ts)
+        ax = jnp.sum(w * dx, axis=1)
+        ay = jnp.sum(w * dy, axis=1)
+        az = jnp.sum(w * dz, axis=1)
+
+        @pl.when(j == 0)
+        def _():
+            out_ref[0, 0, :] = ax
+            out_ref[0, 1, :] = ay
+            out_ref[0, 2, :] = az
+            for row in range(3, 8):
+                out_ref[0, row, :] = jnp.zeros_like(ax)
+
+        @pl.when(j != 0)
+        def _():
+            out_ref[0, 0, :] = out_ref[0, 0, :] + ax
+            out_ref[0, 1, :] = out_ref[0, 1, :] + ay
+            out_ref[0, 2, :] = out_ref[0, 2, :] + az
+    else:
+        neg_phi = -jax.lax.rsqrt(r2 + _TINY2)
+        pot = jnp.dot(neg_phi, sm, preferred_element_type=jnp.float32)
+
+        @pl.when(j == 0)
+        def _():
+            out_ref[0, 0, :] = pot
+            for row in range(1, 8):
+                out_ref[0, row, :] = jnp.zeros_like(pot)
+
+        @pl.when(j != 0)
+        def _():
+            out_ref[0, 0, :] = out_ref[0, 0, :] + pot
+
+
+@functools.partial(jax.jit, static_argnames=("accel", "interpret"))
+def far_payload_eval(tgt_tiles, payload, accel: bool = False,
+                     interpret: bool = False):
+    """Dense far field over pre-gathered payload.
+
+    tgt_tiles: (C, 8, TB) leaf/group tiles; payload: (C, 4, W) node rows
+    x, y, z, mass (padded nodes carry zero mass).  Monopole only.
+    Returns (C, 8, TB): φ in row 0 (or a⃗ in rows 0–2)."""
+    c, _, tb = tgt_tiles.shape
+    w = payload.shape[2]
+    ts = min(w, 2048)
+    rem = w % ts
+    if rem:
+        payload = jnp.pad(payload, ((0, 0), (0, 0), (0, ts - rem)))
+        w += ts - rem
+    kern = functools.partial(_far_payload_kernel, tb=tb, ts=ts, accel=accel)
+    return pl.pallas_call(
+        kern,
+        grid=(c, w // ts),
+        in_specs=[
+            pl.BlockSpec((1, 8, tb), lambda b, j: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, ts), lambda b, j: (b, 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 8, tb), lambda b, j: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((c, 8, tb), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=interpret,
+    )(tgt_tiles, payload)
+
+
 def _near_group_kernel(lists_ref, bits_ref, tgt_ref, *rest, tb, cap,
                        kernel, accel, k, G):
     """Group-union near field: each source tile is fetched ONCE for a

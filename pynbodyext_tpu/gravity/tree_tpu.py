@@ -384,6 +384,50 @@ def _far_accelerations(tgt_pos, node_ids, node_com, node_mass, node_moments,
     return jax.vmap(one_block)(tgt_pos, node_ids)
 
 
+@partial(jax.jit, static_argnames=("order",))
+def _far_potentials_pre(tgt_tiles, payload, order: int):
+    """Far potentials from PRE-GATHERED node payload (rows, 4+nmom, w):
+    rows x, y, z, mass[, moments·w] — no device gathers, 2-D component
+    math (3-D (tb, w, 3) intermediates measured ~3 Gpairs/s).  Targets
+    come as (rows, 8, TB) tiles (same operand as the pallas kernel)."""
+    def one_block(tt, pay):
+        if order == 0:
+            dx = pay[0][None, :] - tt[0][:, None]
+            dy = pay[1][None, :] - tt[1][:, None]
+            dz = pay[2][None, :] - tt[2][:, None]
+            r2 = dx * dx + dy * dy + dz * dz + _TINY2
+            return -jnp.sum(pay[3][None, :] * jax.lax.rsqrt(r2), axis=1)
+        d = tt[0:3].T[:, None, :] - pay[0:3].T[None, :, :]
+        return -jnp.sum(_phi_multipole_jnp(d, pay[4:].T[None, :, :], order),
+                        axis=1)
+    return jax.vmap(one_block)(tgt_tiles, payload)
+
+
+@partial(jax.jit, static_argnames=("order",))
+def _far_accelerations_pre(tgt_tiles, payload, order: int):
+    def one_block(tt, pay):
+        if order == 0:
+            dx = pay[0][None, :] - tt[0][:, None]
+            dy = pay[1][None, :] - tt[1][:, None]
+            dz = pay[2][None, :] - tt[2][:, None]
+            r2 = dx * dx + dy * dy + dz * dz + _TINY2
+            invr = jax.lax.rsqrt(r2)
+            g = pay[3][None, :] * invr * invr * invr
+            return jnp.stack([jnp.sum(g * dx, axis=1),
+                              jnp.sum(g * dy, axis=1),
+                              jnp.sum(g * dz, axis=1)], axis=-1)
+        dt = tt[0:3].T[:, None, :] - pay[0:3].T[None, :, :]
+        return jnp.sum(_acc_multipole_jnp(dt, pay[4:].T[None, :, :], order),
+                       axis=1)
+    return jax.vmap(one_block)(tgt_tiles, payload)
+
+
+# pre-gathered far payload budget (bytes); above it fall back to device
+# gathers (order-5 moments at 10M would need ~9 GB).  ~2.1 GB at 10M
+# order 0 — fine in 16 GB HBM next to the tile tables.
+_FAR_PREGATHER_BUDGET = 6_000_000_000
+
+
 def prepare_tree_pallas(tree: Octree, theta: float = 0.7, cap: int = 128,
                         group_leaves: int = 8):
     """Prep for the Pallas engine: leaf tiles + int32 lists + far data.
@@ -474,8 +518,29 @@ def prepare_tree_pallas(tree: Octree, theta: float = 0.7, cap: int = 128,
     prep["near_classes"] = _build_classes(
         leaf_counts, leaf_idx, 64, n_leaves, tiles[:n_leaves])
     _stage("prep.near_classes", _t0); _t0 = _time.perf_counter()
+    # pre-gather node payload per class on the host when it fits HBM
+    # (order 0: 16 B/entry; moments push it over budget at large N)
+    order = tree.multipole_order
+    pcols = 4 + (moments.shape[1] if order > 0 else 0)
+    far_rows = int(node_counts.sum()) + (int(gl["gnode_counts"].sum())
+                                         if gl is not None else 0)
+    far_pre = 2 * far_rows * pcols * 4 <= _FAR_PREGATHER_BUDGET
+    if far_pre:
+        payload_np = np.concatenate(
+            [com, nmass[:, None]]
+            + ([moments] if order > 0 else []), axis=1).astype(np.float32)
+    else:
+        payload_np = None
+    prep["far_pre"] = far_pre
+    # the payload-fed pallas far kernel measured SLOWER than the fused XLA
+    # pre evaluators (0.90 vs 0.57 s leaf-far at 1M) — keep XLA default
+    prep["far_pallas"] = False
+    # pre-gathered paths (pallas kernel AND the XLA pre evaluators) take
+    # (C, 8, TB) tile targets; the gather path takes (C, TB, 3) positions
     prep["far_classes"] = _build_classes(
-        node_counts, node_ids, 128, dummy_node, tgt_pos_np)
+        node_counts, node_ids, 128, dummy_node,
+        tiles[:n_leaves] if far_pre else tgt_pos_np,
+        payload=payload_np)
     _stage("prep.far_classes", _t0); _t0 = _time.perf_counter()
     if gl is not None:
         ng = gl["n_groups"]
@@ -489,9 +554,8 @@ def prepare_tree_pallas(tree: Octree, theta: float = 0.7, cap: int = 128,
                                         (pad_rows, cap, 3))], axis=0)
         gtgt_np = tp_np.reshape(ng, G * cap, 3)
         prep["gtgt_pos"] = gtgt_np
-        prep["gfar_classes"] = _build_classes(
-            gl["gnode_counts"], gl["gnode_ids"], 128, dummy_node, gtgt_np)
-        # group target TILES (all 8 rows) for the union near engine
+        # group target TILES (all 8 rows) for the union near engine and
+        # the pallas far kernel
         tiles_pad = tiles[:n_leaves]
         if pad_rows:
             tiles_pad = np.concatenate(
@@ -499,6 +563,10 @@ def prepare_tree_pallas(tree: Octree, theta: float = 0.7, cap: int = 128,
                 axis=0)
         gtt_np = (tiles_pad.reshape(ng, G, 8, cap)
                   .transpose(0, 2, 1, 3).reshape(ng, 8, G * cap))
+        prep["gfar_classes"] = _build_classes(
+            gl["gnode_counts"], gl["gnode_ids"], 128, dummy_node,
+            gtt_np if far_pre else gtgt_np,
+            payload=payload_np)
         prep["gnear_classes"] = _build_classes(
             gl["gnear_counts"], gl["gnear_seqs"], 64, n_leaves, gtt_np,
             flat_aux=gl["gnear_bits"])
@@ -739,7 +807,7 @@ def _tiles_wide(prep):
     return prep["tiles_wide"]
 
 
-def _near_banded(prep, kern, interpret, accel, R: int = 8, Gn: int = 1,
+def _near_banded(prep, kern, interpret, accel, R: int = 4, Gn: int = 1,
                  w_budget: int = 16384, gcap: int = 4096):
     """Banded union near field (see _build_banded_windows): one grid step
     per aligned R-tile window, evaluated at dense-kernel lane widths
@@ -791,7 +859,7 @@ def _gather_node_payload(nodes_packed, node_ids_chunk):
 
 
 def _build_classes(counts, flat_ids, min_width: int, fill: int, targets,
-                   flat_aux=None):
+                   flat_aux=None, payload=None):
     """Partition blocks into power-of-two width classes by list length and
     upload each class's padded list matrix + gathered target rows to the
     device ONCE — built straight from the ragged (counts, flat ids) data,
@@ -801,7 +869,11 @@ def _build_classes(counts, flat_ids, min_width: int, fill: int, targets,
     Eliminates (a) pad-to-global-max compute waste (up to ~9× on the group
     residual lists), (b) per-chunk host→device list shipping — fatal under
     the remote relay — and (c) per-chunk device gathers of target rows.
-    Returns [(width, sel_np, lists_dev, targets_dev), …]."""
+    ``payload`` (n_items, P) f32: pre-gather payload[ids] on the HOST and
+    upload the dense (rows, w, P) matrix INSTEAD of the id matrix — device
+    row gathers measured ~1.3 s of the 2.9 s far field at 1M (row-granular
+    ~0.23 GB/s); streaming a pre-gathered payload is free by comparison.
+    Returns [(width, sel_np, lists_or_payload_dev, targets_dev), …]."""
     counts = np.asarray(counts, np.int64)
     flat_ids = np.asarray(flat_ids, np.int32)
     starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
@@ -822,8 +894,15 @@ def _build_classes(counts, flat_ids, min_width: int, fill: int, targets,
                   - np.repeat(np.cumsum(c) - c, c))
         src = np.repeat(starts[sel], c) + within
         mat[row, within] = flat_ids[src]
-        entry = [int(w), sel, jnp.asarray(mat),
-                 jnp.asarray(targets_np[sel])]
+        if payload is not None:
+            # (ns, P, w): node lanes last — feeds both the pallas far
+            # kernel ((1, 4, ts) blocks) and the XLA pre evaluators
+            entry = [int(w), sel,
+                     jnp.asarray(payload[mat].transpose(0, 2, 1)),
+                     jnp.asarray(targets_np[sel])]
+        else:
+            entry = [int(w), sel, jnp.asarray(mat),
+                     jnp.asarray(targets_np[sel])]
         if flat_aux is not None:
             aux = np.zeros((len(sel), int(w)), np.int32)
             aux[row, within] = np.asarray(flat_aux, np.int32)[src]
@@ -848,21 +927,39 @@ def _far_eval(prep, accel: bool, interpret: bool, far_chunk: int = 2048,
     order = prep["order"]
     tb = prep["tgt_pos"].shape[1]
     out = np.zeros((nb, tb, 3) if accel else (nb, tb), np.float32)
-    fn = _far_accelerations if accel else _far_potentials
+    pre = prep.get("far_pre", False)
+    # interpret-mode pallas pays per-grid-step python cost — tests use XLA
+    pallas_far = prep.get("far_pallas", False) and not interpret
+    if pre:
+        fn = _far_accelerations_pre if accel else _far_potentials_pre
+    else:
+        fn = _far_accelerations if accel else _far_potentials
     pending = []
     for w, sel, li_dev, tp_dev in prep["far_classes"]:
         for lo, hi, rows in _class_chunks(w, len(sel), far_chunk * 1024):
-            res = fn(_pad_rows(tp_dev[lo:hi], rows),
-                     _pad_rows(li_dev[lo:hi], rows),
-                     prep["node_com"], prep["node_mass"],
-                     prep["node_moments"], order=order)
+            if pallas_far:
+                from .tree_pallas import far_payload_eval
+                r8 = far_payload_eval(_pad_rows(tp_dev[lo:hi], rows),
+                                      _pad_rows(li_dev[lo:hi], rows),
+                                      accel=accel, interpret=interpret)
+                res = (jnp.moveaxis(r8[:, 0:3, :], 1, 2) if accel
+                       else r8[:, 0, :])
+            elif pre:
+                res = fn(_pad_rows(tp_dev[lo:hi], rows),
+                         _pad_rows(li_dev[lo:hi], rows), order=order)
+            else:
+                res = fn(_pad_rows(tp_dev[lo:hi], rows),
+                         _pad_rows(li_dev[lo:hi], rows),
+                         prep["node_com"], prep["node_mass"],
+                         prep["node_moments"], order=order)
             pending.append((sel[lo:hi], hi - lo, res))
     for s_idx, cnt, res in pending:
         out[s_idx] = np.asarray(res)[:cnt]
     return out
 
 
-def _group_far_eval(prep, accel: bool, group_chunk: int = 256) -> np.ndarray:
+def _group_far_eval(prep, accel: bool, group_chunk: int = 256,
+                    interpret: bool = False) -> np.ndarray:
     """Group-level far field → per-leaf-block (nb, cap[, 3]) array.
 
     Each group's shared node list is gathered once and evaluated against
@@ -871,16 +968,32 @@ def _group_far_eval(prep, accel: bool, group_chunk: int = 256) -> np.ndarray:
     ng = prep["n_groups"]
     order = prep["order"]
     G, cap, nb = prep["G"], prep["cap"], prep["n_blocks"]
-    fn = _far_accelerations if accel else _far_potentials
+    pre = prep.get("far_pre", False)
+    pallas_far = prep.get("far_pallas", False) and not interpret
+    if pre:
+        fn = _far_accelerations_pre if accel else _far_potentials_pre
+    else:
+        fn = _far_accelerations if accel else _far_potentials
     res = np.zeros((ng, G * cap, 3) if accel else (ng, G * cap), np.float32)
     budget = group_chunk * 1024 * 8 // G
     pending = []
     for w, sel, li_dev, tp_dev in prep["gfar_classes"]:
         for lo, hi, rows in _class_chunks(w, len(sel), budget):
-            out = fn(_pad_rows(tp_dev[lo:hi], rows),
-                     _pad_rows(li_dev[lo:hi], rows),
-                     prep["node_com"], prep["node_mass"],
-                     prep["node_moments"], order=order)
+            if pallas_far:
+                from .tree_pallas import far_payload_eval
+                r8 = far_payload_eval(_pad_rows(tp_dev[lo:hi], rows),
+                                      _pad_rows(li_dev[lo:hi], rows),
+                                      accel=accel, interpret=interpret)
+                out = (jnp.moveaxis(r8[:, 0:3, :], 1, 2) if accel
+                       else r8[:, 0, :])
+            elif pre:
+                out = fn(_pad_rows(tp_dev[lo:hi], rows),
+                         _pad_rows(li_dev[lo:hi], rows), order=order)
+            else:
+                out = fn(_pad_rows(tp_dev[lo:hi], rows),
+                         _pad_rows(li_dev[lo:hi], rows),
+                         prep["node_com"], prep["node_mass"],
+                         prep["node_moments"], order=order)
             pending.append((sel[lo:hi], hi - lo, out))
     for s_idx, cnt, out in pending:
         res[s_idx] = np.asarray(out)[:cnt]
@@ -893,18 +1006,18 @@ def tree_potentials_device_pallas(tree: Octree, theta: float = 0.7,
                                   far_chunk: int = 2048,
                                   far_engine: str = "xla",
                                   group_leaves: int = 8,
-                                  near_engine: str = "classes") -> np.ndarray:
+                                  near_engine: str = "banded") -> np.ndarray:
     """Device tree with the Pallas near-field engine (original order).
 
     ``near_engine``:
-    * "banded" — aligned R-tile windows over the group-union lists: one
-      SEQUENTIAL (R·8, cap) DMA per window with R·G·cap·cap pairs of
-      compute to hide it (tree order keeps near sets contiguous);
-    * "classes" (scalar-prefetch width classes — measured 3.1 s near
-      field at 1M, wall = per-tile fetch latency);
-    * "dma" / "group" / "gdma" — scattered-fetch variants, all measured
-      3.1–4.5 s at 1M (invariant to fan-in/pipelining: the wall is the
-      per-fetch cost the banded layout amortizes away)."""
+    * "banded" (default) — aligned R-tile windows over the union near
+      lists, evaluated at dense-kernel lane widths with grid-indexed
+      per-window outputs + sorted segment_sum (v5e: 3.7 s at 1M, 32 s at
+      10M with R=4);
+    * "classes" (scalar-prefetch width classes — 2.7–3.5 s at 1M but
+      73 s at 10M);
+    * "dma" / "group" / "gdma" — scattered-fetch variants, 3.1–4.5 s at
+      1M (kept for cross-validation; see CLAUDE.md kernel economics)."""
     if prep is None:
         prep = prepare_tree_pallas(tree, theta=theta,
                                    group_leaves=group_leaves)
@@ -924,7 +1037,8 @@ def tree_potentials_device_pallas(tree: Octree, theta: float = 0.7,
                         far_engine=far_engine)
     total = np.asarray(near) + far_all
     if "gfar_classes" in prep:
-        total = total + _group_far_eval(prep, accel=False)
+        total = total + _group_far_eval(prep, accel=False,
+                                        interpret=interpret)
     return _scatter_leaf_blocks(prep, total, 1)
 
 
@@ -932,7 +1046,7 @@ def tree_accelerations_device_pallas(tree: Octree, theta: float = 0.7,
                                      prep=None, interpret: bool = False,
                                      far_chunk: int = 2048,
                                      group_leaves: int = 8,
-                                     near_engine: str = "classes") -> np.ndarray:
+                                     near_engine: str = "banded") -> np.ndarray:
     if prep is None:
         prep = prepare_tree_pallas(tree, theta=theta,
                                    group_leaves=group_leaves)
@@ -952,7 +1066,8 @@ def tree_accelerations_device_pallas(tree: Octree, theta: float = 0.7,
                         far_engine="xla")
     total = np.asarray(near) + far_all
     if "gfar_classes" in prep:
-        total = total + _group_far_eval(prep, accel=True)
+        total = total + _group_far_eval(prep, accel=True,
+                                        interpret=interpret)
     return _scatter_leaf_blocks(prep, total, 3)
 
 

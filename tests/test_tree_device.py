@@ -258,3 +258,34 @@ def test_banded_engine_vs_numpy_and_chunking(clustered):
             np.testing.assert_allclose(
                 got, ref, rtol=2e-4, atol=scale * 2e-6,
                 err_msg=f"accel={accel} R={R} Gn={Gn} wb={wb} gcap={gc}")
+
+
+def test_far_payload_eval_kernel():
+    """Pre-gathered pallas far kernel vs numpy (potentials + accel),
+    incl. non-multiple-of-ts widths."""
+    import jax.numpy as jnp
+    from pynbodyext_tpu.gravity.tree_pallas import far_payload_eval
+    rng = np.random.default_rng(7)
+    c, tb, w = 3, 128, 2176  # 2176 % 2048 != 0 → exercises padding
+    tgt = np.zeros((c, 8, tb), np.float32)
+    tgt[:, 0:3] = rng.normal(0, 5, (c, 3, tb))
+    pay = np.zeros((c, 4, w), np.float32)
+    pay[:, 0:3] = rng.normal(0, 50, (c, 3, w)) + 100.0  # far away
+    pay[:, 3] = rng.uniform(1, 2, (c, w))
+    for accel in (False, True):
+        out = np.asarray(far_payload_eval(jnp.asarray(tgt), jnp.asarray(pay),
+                                          accel=accel, interpret=True))
+        for b in range(c):
+            dx = pay[b, 0][None, :] - tgt[b, 0][:, None]
+            dy = pay[b, 1][None, :] - tgt[b, 1][:, None]
+            dz = pay[b, 2][None, :] - tgt[b, 2][:, None]
+            r2 = (dx * dx + dy * dy + dz * dz).astype(np.float64)
+            if accel:
+                g = pay[b, 3][None, :] * r2 ** -1.5
+                np.testing.assert_allclose(out[b, 0], (g * dx).sum(1),
+                                           rtol=2e-4)
+                np.testing.assert_allclose(out[b, 2], (g * dz).sum(1),
+                                           rtol=2e-4)
+            else:
+                ref = -(pay[b, 3][None, :] / np.sqrt(r2)).sum(1)
+                np.testing.assert_allclose(out[b, 0], ref, rtol=1e-4)
