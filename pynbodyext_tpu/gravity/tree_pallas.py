@@ -757,17 +757,17 @@ def _near_banded_kernel(gs_ref, gf_ref, blk_ref, bits_ref, tgt_ref, src_ref,
     index, bits flat (W·R,)."""
     i = pl.program_id(0)
     S = R * cap
-    tx = tgt_ref[0, :].reshape(tb, 1)
-    ty = tgt_ref[1, :].reshape(tb, 1)
-    tz = tgt_ref[2, :].reshape(tb, 1)
-    th = tgt_ref[4, :].reshape(tb, 1)
-    to = tgt_ref[5, :].reshape(tb, 1)
-    sx = src_ref[0, :].reshape(1, S)
-    sy = src_ref[1, :].reshape(1, S)
-    sz = src_ref[2, :].reshape(1, S)
-    sm = src_ref[3, :].reshape(1, S)
-    sh = src_ref[4, :].reshape(1, S)
-    so = src_ref[5, :].reshape(1, S)
+    tx = tgt_ref[0, 0, :].reshape(tb, 1)
+    ty = tgt_ref[0, 1, :].reshape(tb, 1)
+    tz = tgt_ref[0, 2, :].reshape(tb, 1)
+    th = tgt_ref[0, 4, :].reshape(tb, 1)
+    to = tgt_ref[0, 5, :].reshape(tb, 1)
+    sx = src_ref[0, 0, :].reshape(1, S)
+    sy = src_ref[0, 1, :].reshape(1, S)
+    sz = src_ref[0, 2, :].reshape(1, S)
+    sm = src_ref[0, 3, :].reshape(1, S)
+    sh = src_ref[0, 4, :].reshape(1, S)
+    so = src_ref[0, 5, :].reshape(1, S)
     # member bitmask per window slot → per-lane mask
     slot = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1) // cap
     bl = jnp.zeros((1, S), jnp.int32)
@@ -805,11 +805,12 @@ def _near_banded_kernel(gs_ref, gf_ref, blk_ref, bits_ref, tgt_ref, src_ref,
         if incl2 is not None:
             summand = summand * incl2
         out_ref[0, 0, :] = jnp.sum(summand, axis=1)
+    # only `rows` output rows exist (out block is (1, rows, tb))
 
 
 @functools.partial(jax.jit, static_argnames=("kernel", "accel", "interpret",
                                              "R", "Gn", "ng_out", "cap"))
-def near_field_banded_eval(gf, blk, bits, gstart, tiles_wide,
+def near_field_banded_eval(gf, blk, bits, gstart, tgt_blk, src_blk,
                            kernel: str = KERNEL_NONE, accel: bool = False,
                            interpret: bool = False, R: int = 8, Gn: int = 1,
                            ng_out: int = 1024, cap: int = 128):
@@ -819,16 +820,16 @@ def near_field_banded_eval(gf, blk, bits, gstart, tiles_wide,
     chunk hold later groups and are clamped to ng_out — their sums land
     in the spill segment and are discarded); blk: (W,) window block
     indices; bits: (W·R,) flat member bitmasks (0 = slot outside the
-    union); gstart: (1,) first group of the chunk; tiles_wide:
-    (8, n_tiles·cap) lane-major leaf-tile table, n_tiles a multiple of
-    32 — BOTH the source windows and the group target blocks are lane
-    slices of it.
+    union); gstart: (1,) first group of the chunk; tgt_blk:
+    (ngb, 8, Gn·cap) blocked target tiles; src_blk: (nwb, 8, R·cap)
+    blocked source windows — every fetch is ONE contiguous block (the
+    lane-sliced wide-array layout cost 8 strided ~2 KB segments and
+    ~3.5 µs fixed time per window).
     Returns (ng_out, rows, Gn·cap) with rows = 3 when accel else 1."""
     nw = gf.shape[0]
-    ncols = tiles_wide.shape[1]
+    ngb = tgt_blk.shape[0]
     S = R * cap
     tb = Gn * cap
-    ngb = ncols // tb  # total target blocks available
     rows = 3 if accel else 1
     kern = functools.partial(_near_banded_kernel, tb=tb, cap=cap,
                              kernel=kernel, accel=accel, R=R, Gn=Gn,
@@ -838,27 +839,27 @@ def near_field_banded_eval(gf, blk, bits, gstart, tiles_wide,
         num_scalar_prefetch=4,
         grid=(nw,),
         in_specs=[
-            pl.BlockSpec((8, tb),
+            pl.BlockSpec((1, 8, tb),
                          lambda i, GS, GF, BLK, BITS: (
-                             0, jnp.minimum(
+                             jnp.minimum(
                                  jnp.minimum(GF[i], ng_out - 1) + GS[0],
-                                 ngb - 1))),
-            pl.BlockSpec((8, S),
-                         lambda i, GS, GF, BLK, BITS: (0, BLK[i])),
+                                 ngb - 1), 0, 0)),
+            pl.BlockSpec((1, 8, S),
+                         lambda i, GS, GF, BLK, BITS: (BLK[i], 0, 0)),
         ],
         out_specs=pl.BlockSpec(
-            (1, 8, tb), lambda i, GS, GF, BLK, BITS: (i, 0, 0)),
+            (1, rows, tb), lambda i, GS, GF, BLK, BITS: (i, 0, 0)),
     )
     per_window = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nw, 8, tb), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nw, rows, tb), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(gstart, gf, blk, bits, tiles_wide, tiles_wide)
+    )(gstart, gf, blk, bits, tgt_blk, src_blk)
     # per-window rows → per-group sums (gf sorted; pads land in ng_out)
-    seg = jax.ops.segment_sum(per_window[:, :rows, :], gf,
+    seg = jax.ops.segment_sum(per_window, gf,
                               num_segments=ng_out + 1,
                               indices_are_sorted=True)
     return seg[:ng_out]
@@ -868,7 +869,7 @@ def near_field_banded_eval(gf, blk, bits, gstart, tiles_wide,
                                              "interpret", "R", "Gn",
                                              "ng_out", "cap", "W"))
 def near_field_banded_chunk(gf_all, blk_all, bits_all, wstart, gstart,
-                            tiles_wide, kernel: str = KERNEL_NONE,
+                            tgt_blk, src_blk, kernel: str = KERNEL_NONE,
                             accel: bool = False, interpret: bool = False,
                             R: int = 8, Gn: int = 1, ng_out: int = 1024,
                             cap: int = 128, W: int = 8192):
@@ -881,7 +882,7 @@ def near_field_banded_chunk(gf_all, blk_all, bits_all, wstart, gstart,
     gf = jnp.minimum(gf - gstart[0], ng_out)  # localize; spill → ng_out
     blk = jax.lax.dynamic_slice(blk_all, (ws,), (W,))
     bits = jax.lax.dynamic_slice(bits_all, (ws * R,), (W * R,))
-    return near_field_banded_eval(gf, blk, bits, gstart, tiles_wide,
+    return near_field_banded_eval(gf, blk, bits, gstart, tgt_blk, src_blk,
                                   kernel=kernel, accel=accel,
                                   interpret=interpret, R=R, Gn=Gn,
                                   ng_out=ng_out, cap=cap)

@@ -796,15 +796,31 @@ def _build_banded_windows(prep, R: int, Gn: int):
     return prep[key]
 
 
-def _tiles_wide(prep):
-    """(8, n_tiles·cap) lane-major leaf-tile table (one device transpose,
-    cached): row p holds attribute p of every tree-order particle, padded
-    per leaf to cap — source windows AND target blocks are lane slices."""
-    if "tiles_wide" not in prep:
-        t = prep["tiles"]  # (ntiles, 8, cap)
-        prep["tiles_wide"] = jnp.transpose(t, (1, 0, 2)).reshape(
-            8, t.shape[0] * t.shape[2])
-    return prep["tiles_wide"]
+def _tiles_blocked(prep, R: int):
+    """(n_tiles/R, 8, R·cap) blocked source windows (device reshape,
+    cached per R): window w holds leaves [wR, wR+R) with attribute rows
+    concatenated along lanes — one CONTIGUOUS block per fetch."""
+    key = ("tiles_blk", R)
+    if key not in prep:
+        t = prep["tiles"]  # (ntiles, 8, cap); ntiles % 32 == 0
+        nt, _, cap = t.shape
+        prep[key] = (t.reshape(nt // R, R, 8, cap).transpose(0, 2, 1, 3)
+                     .reshape(nt // R, 8, R * cap))
+    return prep[key]
+
+
+def _tgt_blocked(prep, Gn: int):
+    """(ngb, 8, Gn·cap) blocked target tiles (Gn=1: the tile table)."""
+    if Gn == 1:
+        return prep["tiles"]
+    key = ("tgt_blk", Gn)
+    if key not in prep:
+        t = prep["tiles"]
+        nt, _, cap = t.shape
+        ngb = nt // Gn
+        prep[key] = (t[:ngb * Gn].reshape(ngb, Gn, 8, cap)
+                     .transpose(0, 2, 1, 3).reshape(ngb, 8, Gn * cap))
+    return prep[key]
 
 
 def _near_banded(prep, kern, interpret, accel, R: int = 4, Gn: int = 1,
@@ -817,7 +833,8 @@ def _near_banded(prep, kern, interpret, accel, R: int = 4, Gn: int = 1,
     ngn = -(-nb // Gn)
     tb = Gn * cap
     gf, wblk, bits, wcounts = _build_banded_windows(prep, R, Gn)
-    tw = _tiles_wide(prep)
+    tgt_blk = _tgt_blocked(prep, Gn)
+    src_blk = _tiles_blocked(prep, R)
     # adapt chunk shapes to the problem (padding a toy problem to a 16k-
     # step grid is pure waste, fatal in interpret mode); shapes stay
     # uniform across chunks → one compile per (wb, gcap) pair.  SMEM holds
@@ -836,8 +853,9 @@ def _near_banded(prep, kern, interpret, accel, R: int = 4, Gn: int = 1,
         wb = w_budget  # ≥ wcounts.max(), so every chunk advances ≥1 group
         res = near_field_banded_chunk(
             gf, wblk, bits, jnp.asarray([int(woffs[gs])], np.int32),
-            jnp.asarray([gs], np.int32), tw, kernel=kern, accel=accel,
-            interpret=interpret, R=R, Gn=Gn, ng_out=gcap, cap=cap, W=wb)
+            jnp.asarray([gs], np.int32), tgt_blk, src_blk, kernel=kern,
+            accel=accel, interpret=interpret, R=R, Gn=Gn, ng_out=gcap,
+            cap=cap, W=wb)
         pending.append((gs, ge, res))
         gs = ge
     rows = 3 if accel else 1
@@ -1006,7 +1024,7 @@ def tree_potentials_device_pallas(tree: Octree, theta: float = 0.7,
                                   far_chunk: int = 2048,
                                   far_engine: str = "xla",
                                   group_leaves: int = 8,
-                                  near_engine: str = "banded") -> np.ndarray:
+                                  near_engine: str = "auto") -> np.ndarray:
     """Device tree with the Pallas near-field engine (original order).
 
     ``near_engine``:
@@ -1022,6 +1040,11 @@ def tree_potentials_device_pallas(tree: Octree, theta: float = 0.7,
         prep = prepare_tree_pallas(tree, theta=theta,
                                    group_leaves=group_leaves)
     kern = prep["kernel"] or KERNEL_NONE
+    if near_engine == "auto":
+        # classes wins below ~100k leaves (2.8 vs 3.7 s at 1M), banded
+        # above (32 vs 73 s at 10M): scattered per-tile fetch cost grows
+        # with the tile table while banded stays ~4.4 µs/window
+        near_engine = "banded" if prep["n_blocks"] >= 65536 else "classes"
     if near_engine not in ("classes", "dma", "group", "gdma", "banded"):
         raise ValueError(f"near_engine must be 'classes', 'dma', 'group', "
                          f"'gdma' or 'banded', got {near_engine!r}")
@@ -1046,11 +1069,16 @@ def tree_accelerations_device_pallas(tree: Octree, theta: float = 0.7,
                                      prep=None, interpret: bool = False,
                                      far_chunk: int = 2048,
                                      group_leaves: int = 8,
-                                     near_engine: str = "banded") -> np.ndarray:
+                                     near_engine: str = "auto") -> np.ndarray:
     if prep is None:
         prep = prepare_tree_pallas(tree, theta=theta,
                                    group_leaves=group_leaves)
     kern = prep["kernel"] or KERNEL_NONE
+    if near_engine == "auto":
+        # classes wins below ~100k leaves (2.8 vs 3.7 s at 1M), banded
+        # above (32 vs 73 s at 10M): scattered per-tile fetch cost grows
+        # with the tile table while banded stays ~4.4 µs/window
+        near_engine = "banded" if prep["n_blocks"] >= 65536 else "classes"
     if near_engine not in ("classes", "dma", "group", "gdma", "banded"):
         raise ValueError(f"near_engine must be 'classes', 'dma', 'group', "
                          f"'gdma' or 'banded', got {near_engine!r}")
