@@ -404,6 +404,85 @@ def far_payload_eval(tgt_tiles, payload, accel: bool = False,
     )(tgt_tiles, payload)
 
 
+def _far_batch_kernel(tgt_ref, src_ref, out_ref, *, tb, ts, accel, B):
+    """Row-batched monopole far field: each grid step evaluates B target
+    blocks against their (1, 4, ts) payload chunks — amortizing the
+    ~3 µs/step fixed cost that walls one-row-per-step schedules (the
+    whole-class XLA path measured 2.3 Gpairs/s at 10M for the same
+    reason: effectively row-at-a-time scheduling)."""
+    j = pl.program_id(1)
+    rows = 3 if accel else 1
+    for b in range(B):
+        tx = tgt_ref[b, 0, :].reshape(tb, 1)
+        ty = tgt_ref[b, 1, :].reshape(tb, 1)
+        tz = tgt_ref[b, 2, :].reshape(tb, 1)
+        sx = src_ref[b, 0, :].reshape(1, ts)
+        sy = src_ref[b, 1, :].reshape(1, ts)
+        sz = src_ref[b, 2, :].reshape(1, ts)
+        sm = src_ref[b, 3, :]
+        dx = sx - tx
+        dy = sy - ty
+        dz = sz - tz
+        r2 = dx * dx + dy * dy + dz * dz
+        if accel:
+            invr = jax.lax.rsqrt(r2 + _TINY2)
+            w = (invr * invr * invr) * sm.reshape(1, ts)
+            vals = (jnp.sum(w * dx, axis=1), jnp.sum(w * dy, axis=1),
+                    jnp.sum(w * dz, axis=1))
+        else:
+            neg_phi = -jax.lax.rsqrt(r2 + _TINY2)
+            vals = (jnp.dot(neg_phi, sm,
+                            preferred_element_type=jnp.float32),)
+
+        @pl.when(j == 0)
+        def _(b=b, vals=vals):
+            for row in range(rows):
+                out_ref[b, row, :] = vals[row]
+
+        @pl.when(j != 0)
+        def _(b=b, vals=vals):
+            for row in range(rows):
+                out_ref[b, row, :] = out_ref[b, row, :] + vals[row]
+
+
+@functools.partial(jax.jit, static_argnames=("accel", "interpret", "B"))
+def far_payload_batch_eval(tgt_tiles, payload, accel: bool = False,
+                           interpret: bool = False, B: int = 8):
+    """Row-batched dense far field over pre-gathered payload.
+
+    tgt_tiles: (C, 8, TB); payload: (C, 4, W) node rows x, y, z, mass
+    (padded nodes carry zero mass); C must be a multiple of B.
+    Returns (C, rows, TB) with rows = 3 when accel else 1."""
+    c, _, tb = tgt_tiles.shape
+    w = payload.shape[2]
+    if c % B:
+        raise ValueError(f"C={c} not a multiple of B={B}")
+    ts = min(w, 2048)
+    rem = w % ts
+    if rem:
+        payload = jnp.pad(payload, ((0, 0), (0, 0), (0, ts - rem)))
+        w += ts - rem
+    rows = 3 if accel else 1
+    kern = functools.partial(_far_batch_kernel, tb=tb, ts=ts, accel=accel,
+                             B=B)
+    return pl.pallas_call(
+        kern,
+        grid=(c // B, w // ts),
+        in_specs=[
+            pl.BlockSpec((B, 8, tb), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 4, ts), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((B, rows, tb), lambda i, j: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((c, rows, tb), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=interpret,
+    )(tgt_tiles, payload)
+
+
 def _near_group_kernel(lists_ref, bits_ref, tgt_ref, *rest, tb, cap,
                        kernel, accel, k, G):
     """Group-union near field: each source tile is fetched ONCE for a

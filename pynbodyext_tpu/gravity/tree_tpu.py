@@ -532,9 +532,9 @@ def prepare_tree_pallas(tree: Octree, theta: float = 0.7, cap: int = 128,
     else:
         payload_np = None
     prep["far_pre"] = far_pre
-    # the payload-fed pallas far kernel measured SLOWER than the fused XLA
-    # pre evaluators (0.90 vs 0.57 s leaf-far at 1M) — keep XLA default
-    prep["far_pallas"] = False
+    # row-batched pallas far kernel (monopole): amortizes the ~3 µs
+    # per-step fixed cost the one-row-per-step schedules pay
+    prep["far_pallas"] = far_pre and order == 0
     # pre-gathered paths (pallas kernel AND the XLA pre evaluators) take
     # (C, 8, TB) tile targets; the gather path takes (C, TB, 3) positions
     prep["far_classes"] = _build_classes(
@@ -929,14 +929,28 @@ def _build_classes(counts, flat_ids, min_width: int, fill: int, targets,
     return out
 
 
-def _class_chunks(width: int, n_in_class: int, rows_budget: int):
-    """Deterministic chunk row count per width → one compiled shape/class."""
+def _class_chunks(width: int, n_in_class: int, rows_budget: int,
+                  multiple: int = 1):
+    """Deterministic chunk row count per width → one compiled shape/class.
+    ``multiple``: round the chunk row count up to this (batched kernels)."""
     rows = max(1, rows_budget // width)
+    # never pad a chunk beyond the class size (budget-width chunks padded
+    # a 7.3k-row class to 65k rows — 9× wasted compute)
+    rows = min(rows, n_in_class)
+    rows = -(-rows // multiple) * multiple
     for i in range(0, n_in_class, rows):
         yield i, min(n_in_class, i + rows), rows
 
 
-def _far_eval(prep, accel: bool, interpret: bool, far_chunk: int = 2048,
+def _far_batch_B(tb: int, w: int) -> int:
+    """Rows per grid step for the batched far kernel: aim ≥~0.5 Mpairs of
+    compute per step, power of two, ≤16."""
+    ts = min(w, 2048)
+    b = max(1, min(16, 524288 // max(tb * ts, 1)))
+    return 1 << (b.bit_length() - 1)
+
+
+def _far_eval(prep, accel: bool, interpret: bool, far_chunk: int = 8192,
               row_slice=slice(0, 1), far_engine: str = "xla"):
     """Chunked far field over the prebuilt width classes (XLA engine;
     a batched-source Pallas monopole kernel measured no faster — both pay
@@ -954,14 +968,16 @@ def _far_eval(prep, accel: bool, interpret: bool, far_chunk: int = 2048,
         fn = _far_accelerations if accel else _far_potentials
     pending = []
     for w, sel, li_dev, tp_dev in prep["far_classes"]:
-        for lo, hi, rows in _class_chunks(w, len(sel), far_chunk * 1024):
+        B = _far_batch_B(tb, int(w))
+        for lo, hi, rows in _class_chunks(w, len(sel), far_chunk * 1024,
+                                          multiple=B):
             if pallas_far:
-                from .tree_pallas import far_payload_eval
-                r8 = far_payload_eval(_pad_rows(tp_dev[lo:hi], rows),
-                                      _pad_rows(li_dev[lo:hi], rows),
-                                      accel=accel, interpret=interpret)
-                res = (jnp.moveaxis(r8[:, 0:3, :], 1, 2) if accel
-                       else r8[:, 0, :])
+                from .tree_pallas import far_payload_batch_eval
+                rb = far_payload_batch_eval(_pad_rows(tp_dev[lo:hi], rows),
+                                            _pad_rows(li_dev[lo:hi], rows),
+                                            accel=accel, interpret=interpret,
+                                            B=B)
+                res = (jnp.moveaxis(rb, 1, 2) if accel else rb[:, 0, :])
             elif pre:
                 res = fn(_pad_rows(tp_dev[lo:hi], rows),
                          _pad_rows(li_dev[lo:hi], rows), order=order)
@@ -996,14 +1012,15 @@ def _group_far_eval(prep, accel: bool, group_chunk: int = 256,
     budget = group_chunk * 1024 * 8 // G
     pending = []
     for w, sel, li_dev, tp_dev in prep["gfar_classes"]:
-        for lo, hi, rows in _class_chunks(w, len(sel), budget):
+        B = _far_batch_B(G * cap, int(w))
+        for lo, hi, rows in _class_chunks(w, len(sel), budget, multiple=B):
             if pallas_far:
-                from .tree_pallas import far_payload_eval
-                r8 = far_payload_eval(_pad_rows(tp_dev[lo:hi], rows),
-                                      _pad_rows(li_dev[lo:hi], rows),
-                                      accel=accel, interpret=interpret)
-                out = (jnp.moveaxis(r8[:, 0:3, :], 1, 2) if accel
-                       else r8[:, 0, :])
+                from .tree_pallas import far_payload_batch_eval
+                rb = far_payload_batch_eval(_pad_rows(tp_dev[lo:hi], rows),
+                                            _pad_rows(li_dev[lo:hi], rows),
+                                            accel=accel, interpret=interpret,
+                                            B=B)
+                out = (jnp.moveaxis(rb, 1, 2) if accel else rb[:, 0, :])
             elif pre:
                 out = fn(_pad_rows(tp_dev[lo:hi], rows),
                          _pad_rows(li_dev[lo:hi], rows), order=order)
@@ -1021,7 +1038,7 @@ def _group_far_eval(prep, accel: bool, group_chunk: int = 256,
 
 def tree_potentials_device_pallas(tree: Octree, theta: float = 0.7,
                                   prep=None, interpret: bool = False,
-                                  far_chunk: int = 2048,
+                                  far_chunk: int = 8192,
                                   far_engine: str = "xla",
                                   group_leaves: int = 8,
                                   near_engine: str = "auto") -> np.ndarray:
@@ -1067,7 +1084,7 @@ def tree_potentials_device_pallas(tree: Octree, theta: float = 0.7,
 
 def tree_accelerations_device_pallas(tree: Octree, theta: float = 0.7,
                                      prep=None, interpret: bool = False,
-                                     far_chunk: int = 2048,
+                                     far_chunk: int = 8192,
                                      group_leaves: int = 8,
                                      near_engine: str = "auto") -> np.ndarray:
     if prep is None:

@@ -289,3 +289,34 @@ def test_far_payload_eval_kernel():
             else:
                 ref = -(pay[b, 3][None, :] / np.sqrt(r2)).sum(1)
                 np.testing.assert_allclose(out[b, 0], ref, rtol=1e-4)
+
+
+def test_far_payload_batch_eval_kernel():
+    """Row-batched pre-gathered far kernel vs numpy."""
+    import jax.numpy as jnp
+    from pynbodyext_tpu.gravity.tree_pallas import far_payload_batch_eval
+    rng = np.random.default_rng(9)
+    c, tb, w, B = 8, 128, 384, 4
+    tgt = np.zeros((c, 8, tb), np.float32)
+    tgt[:, 0:3] = rng.normal(0, 5, (c, 3, tb))
+    pay = np.zeros((c, 4, w), np.float32)
+    pay[:, 0:3] = rng.normal(0, 50, (c, 3, w)) + 100.0
+    pay[:, 3] = rng.uniform(1, 2, (c, w))
+    for accel in (False, True):
+        out = np.asarray(far_payload_batch_eval(
+            jnp.asarray(tgt), jnp.asarray(pay), accel=accel,
+            interpret=True, B=B))
+        for b in range(c):
+            dx = pay[b, 0][None, :] - tgt[b, 0][:, None]
+            dy = pay[b, 1][None, :] - tgt[b, 1][:, None]
+            dz = pay[b, 2][None, :] - tgt[b, 2][:, None]
+            r2 = (dx * dx + dy * dy + dz * dz).astype(np.float64)
+            if accel:
+                g = pay[b, 3][None, :] * r2 ** -1.5
+                np.testing.assert_allclose(out[b, 0], (g * dx).sum(1),
+                                           rtol=2e-4)
+                np.testing.assert_allclose(out[b, 2], (g * dz).sum(1),
+                                           rtol=2e-4)
+            else:
+                ref = -(pay[b, 3][None, :] / np.sqrt(r2)).sum(1)
+                np.testing.assert_allclose(out[b, 0], ref, rtol=1e-4)
