@@ -811,7 +811,8 @@ def near_field_eval_dma(offsets, counts, flat_lists, tgt_tiles, leaf_tiles,
 
 
 def _near_banded_kernel(gs_ref, gf_ref, blk_ref, bits_ref, tgt_ref, src_ref,
-                        out_ref, *, tb, cap, kernel, accel, R, Gn, ng_out):
+                        out_ref, *, tb, cap, kernel, accel, R, Gn, ng_out,
+                        packed_K=0):
     """Banded union near field, WIDE-LANE layout: one grid step streams R
     CONSECUTIVE leaf tiles as a single (8, R·cap) lane-major block (tree
     order keeps a group's near set in short consecutive runs, so aligned
@@ -852,7 +853,16 @@ def _near_banded_kernel(gs_ref, gf_ref, blk_ref, bits_ref, tgt_ref, src_ref,
     bl = jnp.zeros((1, S), jnp.int32)
     for r in range(R):
         bl = jnp.where(slot == r, bits_ref[i * R + r], bl)
-    if Gn == 1:
+    if packed_K:
+        # dense multi-leaf tiles: row 7 carries the sub-leaf index; bit
+        # (tgt_sub·K + src_sub) of the slot mask says whether that leaf
+        # pair interacts (near sets are leaf-granular, tiles aren't)
+        tsub = tgt_ref[0, 7, :].reshape(tb, 1).astype(jnp.int32)
+        ssub = src_ref[0, 7, :].reshape(1, S).astype(jnp.int32)
+        idx = tsub * packed_K + ssub
+        incl2 = ((jax.lax.shift_right_logical(bl, idx) & 1)
+                 .astype(jnp.float32))
+    elif Gn == 1:
         # mask is target-independent: fold into the source masses
         sm = sm * (bl & 1).astype(jnp.float32)
         incl2 = None
@@ -888,11 +898,13 @@ def _near_banded_kernel(gs_ref, gf_ref, blk_ref, bits_ref, tgt_ref, src_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("kernel", "accel", "interpret",
-                                             "R", "Gn", "ng_out", "cap"))
+                                             "R", "Gn", "ng_out", "cap",
+                                             "packed_K"))
 def near_field_banded_eval(gf, blk, bits, gstart, tgt_blk, src_blk,
                            kernel: str = KERNEL_NONE, accel: bool = False,
                            interpret: bool = False, R: int = 8, Gn: int = 1,
-                           ng_out: int = 1024, cap: int = 128):
+                           ng_out: int = 1024, cap: int = 128,
+                           packed_K: int = 0):
     """Banded union near field over one chunk of ``ng_out`` Gn-leaf groups.
 
     gf: (W,) int32 local group ids, sorted ascending (rows past the
@@ -912,7 +924,7 @@ def near_field_banded_eval(gf, blk, bits, gstart, tgt_blk, src_blk,
     rows = 3 if accel else 1
     kern = functools.partial(_near_banded_kernel, tb=tb, cap=cap,
                              kernel=kernel, accel=accel, R=R, Gn=Gn,
-                             ng_out=ng_out)
+                             ng_out=ng_out, packed_K=packed_K)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
@@ -946,12 +958,13 @@ def near_field_banded_eval(gf, blk, bits, gstart, tgt_blk, src_blk,
 
 @functools.partial(jax.jit, static_argnames=("kernel", "accel",
                                              "interpret", "R", "Gn",
-                                             "ng_out", "cap", "W"))
+                                             "ng_out", "cap", "W",
+                                             "packed_K"))
 def near_field_banded_chunk(gf_all, blk_all, bits_all, wstart, gstart,
                             tgt_blk, src_blk, kernel: str = KERNEL_NONE,
                             accel: bool = False, interpret: bool = False,
                             R: int = 8, Gn: int = 1, ng_out: int = 1024,
-                            cap: int = 128, W: int = 8192):
+                            cap: int = 128, W: int = 8192, packed_K: int = 0):
     """Device-side chunking for the banded near field: slice W windows at
     ``wstart`` out of the ONCE-uploaded global window arrays and localize
     group ids on device — per-chunk host work and uploads were the wall
@@ -964,7 +977,8 @@ def near_field_banded_chunk(gf_all, blk_all, bits_all, wstart, gstart,
     return near_field_banded_eval(gf, blk, bits, gstart, tgt_blk, src_blk,
                                   kernel=kernel, accel=accel,
                                   interpret=interpret, R=R, Gn=Gn,
-                                  ng_out=ng_out, cap=cap)
+                                  ng_out=ng_out, cap=cap,
+                                  packed_K=packed_K)
 
 
 def _k_for(lists) -> int:

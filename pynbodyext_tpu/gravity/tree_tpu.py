@@ -454,6 +454,7 @@ def prepare_tree_pallas(tree: Octree, theta: float = 0.7, cap: int = 128,
     _stage("prep.lists", _t0); _t0 = _time.perf_counter()
     pos, pmass, psoft, orig = tree.particles_tree_order()
     lstarts, lcounts = tree.leaves()
+    # kept for the dense-packed near engine (packer rebuilds tile rows)
     n = len(pos)
     n_leaves = len(lstarts)
     cap = max(cap, int(lcounts.max()) if n_leaves else 1)
@@ -506,6 +507,8 @@ def prepare_tree_pallas(tree: Octree, theta: float = 0.7, cap: int = 128,
         "lstarts": np.asarray(lstarts, np.int64),
         "lcounts": np.asarray(lcounts, np.int64),
         "orig_index": np.asarray(orig),
+        "_particles": (pos, pmass, psoft, orig),
+        "_sentinel": np.asarray(sentinel, np.float64),
         "G": G,
         "stats": {"mean_nodes": float(node_counts.mean()),
                   "mean_leaf_tiles": float(leaf_counts.mean()),
@@ -823,6 +826,192 @@ def _tgt_blocked(prep, Gn: int):
     return prep[key]
 
 
+def _pack_dense_tiles(prep, K: int):
+    """Greedily pack CONSECUTIVE leaves into dense cap-lane tiles.
+
+    Leaf tiles are only ~30–40 % occupied (octant splitting leaves leaves
+    far below capacity), so every engine computes ~3× padding.  Packing
+    up to ``K`` consecutive leaves per tile (particles stay one contiguous
+    tree-order run) restores ~90 % occupancy; tile row 7 carries each
+    lane's sub-leaf index so the kernel can mask leaf-pair membership
+    (near sets are leaf-granular).  K² must fit an int32 bitmask (K ≤ 5).
+    Returns dict with pstarts/pcounts (particle ranges), tile_of/sub_of
+    (leaf → packed slot), ptiles_dev, n_ptiles."""
+    key = ("packed", K)
+    if key in prep:
+        return prep[key]
+    if K * K > 32:
+        raise ValueError("packed tiles need K*K <= 32")
+    cap = prep["cap"]
+    lstarts = np.asarray(prep["lstarts"], np.int64)
+    lcounts = np.asarray(prep["lcounts"], np.int64)
+    nb = prep["n_blocks"]
+    # plain-list greedy walk (numpy scalar indexing in a 264k-iteration
+    # loop measured ~79 s on the single host core; lists: <0.2 s)
+    ls_l = lstarts.tolist()
+    lc_l = lcounts.tolist()
+    tile_of_l = [0] * nb
+    sub_of_l = [0] * nb
+    pstarts, pcounts = [], []
+    cur_start = ls_l[0] if nb else 0
+    cur_count, cur_k = 0, 0
+    for i in range(nb):
+        c = lc_l[i]
+        if cur_k and (cur_count + c > cap or cur_k >= K):
+            pstarts.append(cur_start)
+            pcounts.append(cur_count)
+            cur_start, cur_count, cur_k = ls_l[i], 0, 0
+        tile_of_l[i] = len(pstarts)
+        sub_of_l[i] = cur_k
+        cur_count += c
+        cur_k += 1
+    if cur_k:
+        pstarts.append(cur_start)
+        pcounts.append(cur_count)
+    tile_of = np.asarray(tile_of_l, np.int32)
+    sub_of = np.asarray(sub_of_l, np.int32)
+    pstarts = np.asarray(pstarts, np.int64)
+    pcounts = np.asarray(pcounts, np.int64)
+    npt = len(pstarts)
+    # packed tile table: x, y, z, mass, soft, orig, 1, subleaf
+    n = prep["n"]
+    k = np.arange(cap)[None, :]
+    idx = pstarts[:, None] + k
+    valid = k < pcounts[:, None]
+    idx = np.where(valid, idx, n)
+    # per-particle sub-leaf index (particle → leaf → sub slot)
+    leaf_of_p = np.searchsorted(lstarts, np.arange(n), side="right") - 1
+    sub_p = np.concatenate([sub_of[leaf_of_p], [0]])
+    pos, pmass, psoft, orig = prep["_particles"]
+    sentinel = prep["_sentinel"]
+    pos_pad = np.vstack([pos, sentinel[None, :]])
+    m_pad = np.concatenate([pmass, [0.0]])
+    h_pad = np.concatenate([psoft, [0.0]])
+    o_pad = np.concatenate([orig, [-2]])
+    pt = np.zeros((npt, 8, cap), np.float32)
+    pt[:, 0] = pos_pad[idx, 0]
+    pt[:, 1] = pos_pad[idx, 1]
+    pt[:, 2] = pos_pad[idx, 2]
+    pt[:, 3] = m_pad[idx]
+    pt[:, 4] = h_pad[idx]
+    pt[:, 5] = o_pad[idx]
+    pt[:, 6] = 1.0
+    pt[:, 7] = sub_p[idx]
+    pad32 = (-npt) % 32
+    if pad32:
+        dummy = np.zeros((1, 8, cap), np.float32)
+        dummy[0, 0:3] = sentinel[:, None]
+        dummy[0, 5] = -2.0
+        pt = np.concatenate([pt, np.repeat(dummy, pad32, axis=0)])
+    out = {"pstarts": pstarts, "pcounts": pcounts, "tile_of": tile_of,
+           "sub_of": sub_of, "n_ptiles": npt,
+           "ptiles": jnp.asarray(pt)}
+    prep[key] = out
+    return out
+
+
+def _build_packed_windows(prep, R: int, K: int):
+    """Aligned R-tile windows over DENSE packed tiles with K×K leaf-pair
+    adjacency bits per slot (see _pack_dense_tiles)."""
+    key = ("pwin", R, K)
+    if key in prep:
+        return prep[key]
+    pk = _pack_dense_tiles(prep, K)
+    nb = prep["n_blocks"]
+    counts = prep["near_counts"].astype(np.int64)
+    seqs = prep["near_flat"].astype(np.int64)
+    t_leaf = np.repeat(np.arange(nb, dtype=np.int64), counts)
+    T = pk["tile_of"][t_leaf].astype(np.int64)
+    u = pk["sub_of"][t_leaf].astype(np.int64)
+    St = pk["tile_of"][seqs].astype(np.int64)
+    v = pk["sub_of"][seqs].astype(np.int64)
+    ntp = pk["ptiles"].shape[0]
+    nwb = ntp // R
+    kkey = T * nwb + St // R
+    uk = np.unique(kkey)
+    win = np.searchsorted(uk, kkey)
+    nw = len(uk)
+    wgrp = (uk // nwb).astype(np.int32)
+    wblk = (uk % nwb).astype(np.int32)
+    bits = np.zeros(nw * R, np.int32)
+    np.bitwise_or.at(bits, win * R + St % R,
+                     (np.int32(1) << (u * K + v)).astype(np.int32))
+    npt = pk["n_ptiles"]
+    wcounts = np.bincount(wgrp, minlength=npt).astype(np.int64)
+    pad = 16384
+    gf_dev = jnp.asarray(np.concatenate([wgrp, np.full(pad, npt, np.int32)]))
+    blk_dev = jnp.asarray(np.concatenate([wblk, np.zeros(pad, np.int32)]))
+    bits_dev = jnp.asarray(np.concatenate([bits,
+                                           np.zeros(pad * R, np.int32)]))
+    prep[key] = (gf_dev, blk_dev, bits_dev, wcounts)
+    return prep[key]
+
+
+def _ptiles_blocked(prep, R: int, K: int):
+    key = ("ptiles_blk", R, K)
+    if key not in prep:
+        t = _pack_dense_tiles(prep, K)["ptiles"]
+        nt, _, cap = t.shape
+        prep[key] = (t.reshape(nt // R, R, 8, cap).transpose(0, 2, 1, 3)
+                     .reshape(nt // R, 8, R * cap))
+    return prep[key]
+
+
+def _scatter_packed(prep, pk, out_packed, accel: bool):
+    """(npt, rows, cap) packed-tile results → per-particle original order."""
+    n = prep["n"]
+    cap = prep["cap"]
+    rows = 3 if accel else 1
+    idx = _range_index_matrix(pk["pstarts"], pk["pcounts"], cap, fill=n)
+    flat_idx = idx.reshape(-1)
+    flat = (np.moveaxis(np.asarray(out_packed), 1, 2)
+            .reshape(-1, rows))
+    valid = flat_idx < n
+    tree_order = np.zeros((n, rows))
+    tree_order[flat_idx[valid]] = flat[valid]
+    out = np.zeros((n, rows))
+    out[prep["orig_index"]] = tree_order
+    return out[:, 0] if rows == 1 else out
+
+
+def _near_packed(prep, kern, interpret, accel, R: int = 4, K: int = 5,
+                 w_budget: int = 16384, gcap: int = 4096):
+    """Banded near field over DENSE packed tiles (K consecutive leaves per
+    cap-lane tile, K×K adjacency bits): ~3× fewer windows than per-leaf
+    banded at the same exactness.  Returns PARTICLE-space results
+    (original order)."""
+    from .tree_pallas import near_field_banded_chunk
+    cap = prep["cap"]
+    pk = _pack_dense_tiles(prep, K)
+    npt = pk["n_ptiles"]
+    gf, wblk, bits, wcounts = _build_packed_windows(prep, R, K)
+    tgt_blk = pk["ptiles"]
+    src_blk = _ptiles_blocked(prep, R, K)
+    gcap = min(gcap, npt)
+    w_budget = min(w_budget, 98_304 // (R + 2))
+    w_budget = max(min(w_budget, int(wcounts.sum())), int(wcounts.max()), 1)
+    woffs = np.concatenate([[0], np.cumsum(wcounts)]).astype(np.int64)
+    pending = []
+    gs = 0
+    while gs < npt:
+        ge = gs
+        while (ge < npt and ge - gs < gcap
+               and woffs[ge + 1] - woffs[gs] <= w_budget):
+            ge += 1
+        res = near_field_banded_chunk(
+            gf, wblk, bits, jnp.asarray([int(woffs[gs])], np.int32),
+            jnp.asarray([gs], np.int32), tgt_blk, src_blk, kernel=kern,
+            accel=accel, interpret=interpret, R=R, Gn=1, ng_out=gcap,
+            cap=cap, W=w_budget, packed_K=K)
+        pending.append((gs, ge, res))
+        gs = ge
+    rows = 3 if accel else 1
+    out_p = np.zeros((npt, rows, cap), np.float32)
+    for s, e, res in pending:
+        out_p[s:e] = np.asarray(res)[:e - s]
+    return _scatter_packed(prep, pk, out_p, accel)
+
+
 def _near_banded(prep, kern, interpret, accel, R: int = 4, Gn: int = 1,
                  w_budget: int = 16384, gcap: int = 4096):
     """Banded union near field (see _build_banded_windows): one grid step
@@ -1058,27 +1247,33 @@ def tree_potentials_device_pallas(tree: Octree, theta: float = 0.7,
                                    group_leaves=group_leaves)
     kern = prep["kernel"] or KERNEL_NONE
     if near_engine == "auto":
-        # classes wins below ~100k leaves (2.8 vs 3.7 s at 1M), banded
-        # above (32 vs 73 s at 10M): scattered per-tile fetch cost grows
-        # with the tile table while banded stays ~4.4 µs/window
-        near_engine = "banded" if prep["n_blocks"] >= 65536 else "classes"
-    if near_engine not in ("classes", "dma", "group", "gdma", "banded"):
+        # classes wins below ~65k leaves (2.8 vs 3.7 s at 1M); above it
+        # the dense-packed banded engine dominates (10M: packed 14.8 s
+        # vs banded 48 s vs classes 73 s)
+        near_engine = "packed" if prep["n_blocks"] >= 65536 else "classes"
+    if near_engine not in ("classes", "dma", "group", "gdma", "banded",
+                           "packed"):
         raise ValueError(f"near_engine must be 'classes', 'dma', 'group', "
-                         f"'gdma' or 'banded', got {near_engine!r}")
+                         f"'gdma', 'banded' or 'packed', "
+                         f"got {near_engine!r}")
     if (near_engine in ("group", "gdma")
             and "gnear_classes" not in prep):
         near_engine = "classes"  # group lists absent (G=1 prep)
+    far_all = _far_eval(prep, accel=False, interpret=interpret,
+                        far_chunk=far_chunk, row_slice=slice(0, 1),
+                        far_engine=far_engine)
+    if "gfar_classes" in prep:
+        far_all = far_all + _group_far_eval(prep, accel=False,
+                                            interpret=interpret)
+    if near_engine == "packed":
+        # packed near returns particle-space results directly
+        near_p = _near_packed(prep, kern, interpret, accel=False)
+        return near_p + _scatter_leaf_blocks(prep, far_all, 1)
     near_fn = {"classes": _near_chunked, "dma": _near_dma,
                "group": _near_group, "gdma": _near_gdma,
                "banded": _near_banded}[near_engine]
     near = near_fn(prep, kern, interpret, accel=False)
-    far_all = _far_eval(prep, accel=False, interpret=interpret,
-                        far_chunk=far_chunk, row_slice=slice(0, 1),
-                        far_engine=far_engine)
     total = np.asarray(near) + far_all
-    if "gfar_classes" in prep:
-        total = total + _group_far_eval(prep, accel=False,
-                                        interpret=interpret)
     return _scatter_leaf_blocks(prep, total, 1)
 
 
@@ -1092,27 +1287,29 @@ def tree_accelerations_device_pallas(tree: Octree, theta: float = 0.7,
                                    group_leaves=group_leaves)
     kern = prep["kernel"] or KERNEL_NONE
     if near_engine == "auto":
-        # classes wins below ~100k leaves (2.8 vs 3.7 s at 1M), banded
-        # above (32 vs 73 s at 10M): scattered per-tile fetch cost grows
-        # with the tile table while banded stays ~4.4 µs/window
-        near_engine = "banded" if prep["n_blocks"] >= 65536 else "classes"
-    if near_engine not in ("classes", "dma", "group", "gdma", "banded"):
+        near_engine = "packed" if prep["n_blocks"] >= 65536 else "classes"
+    if near_engine not in ("classes", "dma", "group", "gdma", "banded",
+                           "packed"):
         raise ValueError(f"near_engine must be 'classes', 'dma', 'group', "
-                         f"'gdma' or 'banded', got {near_engine!r}")
+                         f"'gdma', 'banded' or 'packed', "
+                         f"got {near_engine!r}")
     if (near_engine in ("group", "gdma")
             and "gnear_classes" not in prep):
         near_engine = "classes"  # group lists absent (G=1 prep)
+    far_all = _far_eval(prep, accel=True, interpret=interpret,
+                        far_chunk=far_chunk, row_slice=slice(0, 3),
+                        far_engine="xla")
+    if "gfar_classes" in prep:
+        far_all = far_all + _group_far_eval(prep, accel=True,
+                                            interpret=interpret)
+    if near_engine == "packed":
+        near_p = _near_packed(prep, kern, interpret, accel=True)
+        return near_p + _scatter_leaf_blocks(prep, far_all, 3)
     near_fn = {"classes": _near_chunked, "dma": _near_dma,
                "group": _near_group, "gdma": _near_gdma,
                "banded": _near_banded}[near_engine]
     near = near_fn(prep, kern, interpret, accel=True)
-    far_all = _far_eval(prep, accel=True, interpret=interpret,
-                        far_chunk=far_chunk, row_slice=slice(0, 3),
-                        far_engine="xla")
     total = np.asarray(near) + far_all
-    if "gfar_classes" in prep:
-        total = total + _group_far_eval(prep, accel=True,
-                                        interpret=interpret)
     return _scatter_leaf_blocks(prep, total, 3)
 
 

@@ -320,3 +320,47 @@ def test_far_payload_batch_eval_kernel():
             else:
                 ref = -(pay[b, 3][None, :] / np.sqrt(r2)).sum(1)
                 np.testing.assert_allclose(out[b, 0], ref, rtol=1e-4)
+
+
+def test_packed_engine_vs_numpy(clustered):
+    """Dense-packed banded near engine (multi-leaf tiles, K×K adjacency
+    bits) vs the plain-numpy per-leaf near reference, potentials and
+    accelerations, incl. chunk boundaries."""
+    pos, m, h = clustered
+    tree = Octree(pos, m, leaf_capacity=128, multipole_order=0,
+                  softenings=h, kernel="plummer")
+    from pynbodyext_tpu.gravity import tree_tpu
+    prep = tree_tpu.prepare_tree_pallas(tree, theta=0.5, group_leaves=8)
+    for accel in (False, True):
+        ref_blocks = _near_ref_numpy(prep, accel)
+        ref = tree_tpu._scatter_leaf_blocks(
+            prep, np.asarray(ref_blocks, np.float32), 3 if accel else 1)
+        scale = np.abs(ref).max()
+        for R, K, wb, gc in ((4, 5, 16384, 4096), (8, 3, 12, 2)):
+            got = tree_tpu._near_packed(prep, prep["kernel"], True,
+                                        accel=accel, R=R, K=K,
+                                        w_budget=wb, gcap=gc)
+            np.testing.assert_allclose(
+                got, ref, rtol=2e-4, atol=scale * 2e-6,
+                err_msg=f"accel={accel} R={R} K={K}")
+
+
+def test_packed_engine_theta0_e2e(clustered):
+    """θ=0 through the full device-tree entry points with the packed
+    near engine ≡ direct sum."""
+    pos, m, h = clustered
+    from pynbodyext_tpu.gravity.tree_tpu import (
+        prepare_tree_pallas, tree_accelerations_device_pallas,
+        tree_potentials_device_pallas)
+    tree = Octree(pos, m, leaf_capacity=128, multipole_order=0,
+                  softenings=h, kernel="plummer")
+    prep = prepare_tree_pallas(tree, theta=0.0)
+    phi = tree_potentials_device_pallas(tree, prep=prep, interpret=True,
+                                        near_engine="packed")
+    phi_dir = native_direct_potentials(pos, m, h, kernel="plummer")
+    np.testing.assert_allclose(phi, phi_dir, rtol=3e-6)
+    acc = tree_accelerations_device_pallas(tree, prep=prep, interpret=True,
+                                           near_engine="packed")
+    acc_dir = native_direct_accelerations(pos, m, h, kernel="plummer")
+    np.testing.assert_allclose(acc, acc_dir, rtol=1e-3,
+                               atol=np.abs(acc_dir).max() * 1e-5)
