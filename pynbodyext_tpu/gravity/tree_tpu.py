@@ -469,12 +469,6 @@ def prepare_tree_pallas(tree: Octree, theta: float = 0.7, cap: int = 128,
     if pad32:
         tiles = np.concatenate([tiles, np.repeat(tiles[-1:], pad32, axis=0)])
     _stage("prep.tiles", _t0); _t0 = _time.perf_counter()
-    # near lists stay as one small padded matrix (~cap·n_leaves ints);
-    # far/group lists go ragged → per-class matrices inside _build_classes
-    # (a global pad-to-max matrix measured ~60 s of prep at 10M)
-    leaf_mat = _pad_lists(leaf_counts, leaf_idx,
-                          fill=n_leaves).astype(np.int32)
-    _stage("prep.pad", _t0); _t0 = _time.perf_counter()
     com, nmass, _ = tree.node_data()
     com = np.vstack([com, sentinel[None, :]])
     nmass = np.concatenate([nmass, [0.0]])
@@ -490,8 +484,6 @@ def prepare_tree_pallas(tree: Octree, theta: float = 0.7, cap: int = 128,
     prep = {
         "n": n, "n_blocks": n_leaves, "cap": cap,
         "order": tree.multipole_order, "kernel": tree.kernel,
-        "lists": leaf_mat,
-        "lists_np": leaf_mat,
         "near_counts": np.asarray(leaf_counts, np.int64),
         "near_offsets": np.concatenate(
             [[0], np.cumsum(leaf_counts)[:-1]]).astype(np.int32),
@@ -509,6 +501,7 @@ def prepare_tree_pallas(tree: Octree, theta: float = 0.7, cap: int = 128,
         "orig_index": np.asarray(orig),
         "_particles": (pos, pmass, psoft, orig),
         "_sentinel": np.asarray(sentinel, np.float64),
+        "_tiles_np": tiles,
         "G": G,
         "stats": {"mean_nodes": float(node_counts.mean()),
                   "mean_leaf_tiles": float(leaf_counts.mean()),
@@ -517,10 +510,9 @@ def prepare_tree_pallas(tree: Octree, theta: float = 0.7, cap: int = 128,
     }
     _stage("prep.upload", _t0); _t0 = _time.perf_counter()
     dummy_node = len(nmass) - 1
-    tgt_pos_np = np.moveaxis(tiles[:n_leaves, 0:3, :], 1, 2)
-    prep["near_classes"] = _build_classes(
-        leaf_counts, leaf_idx, 64, n_leaves, tiles[:n_leaves])
-    _stage("prep.near_classes", _t0); _t0 = _time.perf_counter()
+    # near width classes / group-union classes / group tiles are built
+    # LAZILY on first use (_ensure_near_classes/_ensure_gnear): they only
+    # serve the non-default scattered engines and cost ~50 s of 10M prep
     # pre-gather node payload per class on the host when it fits HBM
     # (order 0: 16 B/entry; moments push it over budget at large N)
     order = tree.multipole_order
@@ -540,40 +532,32 @@ def prepare_tree_pallas(tree: Octree, theta: float = 0.7, cap: int = 128,
     prep["far_pallas"] = far_pre and order == 0
     # pre-gathered paths (pallas kernel AND the XLA pre evaluators) take
     # (C, 8, TB) tile targets; the gather path takes (C, TB, 3) positions
+    if not far_pre:
+        prep["_tgt_pos_np"] = np.moveaxis(tiles[:n_leaves, 0:3, :], 1, 2)
     prep["far_classes"] = _build_classes(
         node_counts, node_ids, 128, dummy_node,
-        tiles[:n_leaves] if far_pre else tgt_pos_np,
+        tiles[:n_leaves] if far_pre else prep["_tgt_pos_np"],
         payload=payload_np)
     _stage("prep.far_classes", _t0); _t0 = _time.perf_counter()
+    prep["_dummy_node"] = dummy_node
     if gl is not None:
         ng = gl["n_groups"]
-        # group target positions: G consecutive leaf tiles per group
-        nl_pad = ng * G
-        pad_rows = nl_pad - n_leaves
-        tp_np = tgt_pos_np
-        if pad_rows:
-            tp_np = np.concatenate(
-                [tp_np, np.broadcast_to(np.asarray(sentinel, np.float32),
-                                        (pad_rows, cap, 3))], axis=0)
-        gtgt_np = tp_np.reshape(ng, G * cap, 3)
-        prep["gtgt_pos"] = gtgt_np
-        # group target TILES (all 8 rows) for the union near engine and
-        # the pallas far kernel
-        tiles_pad = tiles[:n_leaves]
-        if pad_rows:
-            tiles_pad = np.concatenate(
-                [tiles_pad, np.broadcast_to(tiles[-1], (pad_rows, 8, cap))],
-                axis=0)
-        gtt_np = (tiles_pad.reshape(ng, G, 8, cap)
-                  .transpose(0, 2, 1, 3).reshape(ng, 8, G * cap))
+        gtt_np = _gtt_np(prep)
+        if far_pre:
+            g_targets = gtt_np
+        else:
+            nl_pad = ng * G
+            pad_rows = nl_pad - n_leaves
+            tp_np = prep["_tgt_pos_np"]
+            if pad_rows:
+                tp_np = np.concatenate(
+                    [tp_np, np.broadcast_to(
+                        np.asarray(sentinel, np.float32),
+                        (pad_rows, cap, 3))], axis=0)
+            g_targets = tp_np.reshape(ng, G * cap, 3)
         prep["gfar_classes"] = _build_classes(
             gl["gnode_counts"], gl["gnode_ids"], 128, dummy_node,
-            gtt_np if far_pre else gtgt_np,
-            payload=payload_np)
-        prep["gnear_classes"] = _build_classes(
-            gl["gnear_counts"], gl["gnear_seqs"], 64, n_leaves, gtt_np,
-            flat_aux=gl["gnear_bits"])
-        prep["gtt_tiles"] = jnp.asarray(gtt_np)
+            g_targets, payload=payload_np)
         prep["gnear_offsets"] = np.concatenate(
             [[0], np.cumsum(gl["gnear_counts"])[:-1]]).astype(np.int32)
         prep["gnear_counts"] = np.asarray(gl["gnear_counts"], np.int32)
@@ -585,6 +569,45 @@ def prepare_tree_pallas(tree: Octree, theta: float = 0.7, cap: int = 128,
         prep["stats"]["gather_rows"] = float(
             gl["gnode_counts"].sum() + node_counts.sum())
     return prep
+
+
+def _gtt_np(prep):
+    """(ng, 8, G·cap) group target tile matrix (host, cached)."""
+    if "_gtt_np" not in prep:
+        tiles = prep["_tiles_np"]
+        G, cap = prep["G"], prep["cap"]
+        n_leaves = prep["n_blocks"]
+        ng = -(-n_leaves // G)
+        pad_rows = ng * G - n_leaves
+        tiles_pad = tiles[:n_leaves]
+        if pad_rows:
+            tiles_pad = np.concatenate(
+                [tiles_pad,
+                 np.broadcast_to(tiles[-1], (pad_rows, 8, cap))], axis=0)
+        prep["_gtt_np"] = (tiles_pad.reshape(ng, G, 8, cap)
+                           .transpose(0, 2, 1, 3).reshape(ng, 8, G * cap))
+    return prep["_gtt_np"]
+
+
+def _ensure_near_classes(prep):
+    """Lazy width classes for the per-leaf scattered near engine."""
+    if "near_classes" not in prep:
+        prep["near_classes"] = _build_classes(
+            prep["near_counts"], prep["near_flat"], 64, prep["n_blocks"],
+            prep["_tiles_np"][:prep["n_blocks"]])
+    return prep["near_classes"]
+
+
+def _ensure_gnear(prep):
+    """Lazy group-union classes + device group tiles (group/gdma engines)."""
+    if "gnear_classes" not in prep:
+        gtt_np = _gtt_np(prep)
+        counts = prep["gnear_counts"].astype(np.int64)
+        prep["gnear_classes"] = _build_classes(
+            counts, prep["gnear_flat"], 64, prep["n_blocks"], gtt_np,
+            flat_aux=prep["gnear_bits_flat"])
+        prep["gtt_tiles"] = jnp.asarray(gtt_np)
+    return prep["gnear_classes"]
 
 
 def _scatter_leaf_blocks(prep, block_vals: np.ndarray, ncols: int):
@@ -664,7 +687,7 @@ def _near_group(prep, kern, interpret, accel, k: int = 4):
     out_g = np.zeros((ng, 8, tb), np.float32)
     budget = 50_000  # two SMEM-prefetched arrays share the ~0.4 MB budget
     pending = []
-    for w, sel, li_dev, tt_dev, bits_dev in prep["gnear_classes"]:
+    for w, sel, li_dev, tt_dev, bits_dev in _ensure_gnear(prep):
         for lo, hi, rows in _class_chunks(w, len(sel), budget):
             res = near_field_group_eval(_pad_rows(li_dev[lo:hi], rows),
                                         _pad_rows(bits_dev[lo:hi], rows),
@@ -689,6 +712,7 @@ def _near_gdma(prep, kern, interpret, accel, nbuf: int = 8,
     from .tree_pallas import near_field_group_dma
     nb, cap, G = prep["n_blocks"], prep["cap"], prep["G"]
     ng = prep["n_groups"]
+    _ensure_gnear(prep)  # device group tiles
     tb = G * cap
     offs = prep["gnear_offsets"]
     cnts = prep["gnear_counts"]
@@ -742,7 +766,7 @@ def _near_chunked(prep, kern, interpret, accel, k: int = 4):
     out = np.zeros((nb, 8, tb), np.float32)
     budget = 100_000  # SMEM words for the prefetched list slice
     pending = []
-    for w, sel, li_dev, tt_dev in prep["near_classes"]:
+    for w, sel, li_dev, tt_dev in _ensure_near_classes(prep):
         for lo, hi, rows in _class_chunks(w, len(sel), budget):
             res = near_field_eval(_pad_rows(li_dev[lo:hi], rows),
                                   _pad_rows(tt_dev[lo:hi], rows),
@@ -1257,7 +1281,7 @@ def tree_potentials_device_pallas(tree: Octree, theta: float = 0.7,
                          f"'gdma', 'banded' or 'packed', "
                          f"got {near_engine!r}")
     if (near_engine in ("group", "gdma")
-            and "gnear_classes" not in prep):
+            and "gnear_counts" not in prep):
         near_engine = "classes"  # group lists absent (G=1 prep)
     far_all = _far_eval(prep, accel=False, interpret=interpret,
                         far_chunk=far_chunk, row_slice=slice(0, 1),
@@ -1294,7 +1318,7 @@ def tree_accelerations_device_pallas(tree: Octree, theta: float = 0.7,
                          f"'gdma', 'banded' or 'packed', "
                          f"got {near_engine!r}")
     if (near_engine in ("group", "gdma")
-            and "gnear_classes" not in prep):
+            and "gnear_counts" not in prep):
         near_engine = "classes"  # group lists absent (G=1 prep)
     far_all = _far_eval(prep, accel=True, interpret=interpret,
                         far_chunk=far_chunk, row_slice=slice(0, 3),
