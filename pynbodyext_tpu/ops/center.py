@@ -54,6 +54,42 @@ def _block_subsample(x, s: int, block: int = 8192):
     return q.reshape((nb * keep,) + x.shape[1:])
 
 
+def _ssc_loop_t(pos3, w, center0, r0, shrink_factor: float,
+                min_particles: int, max_iter: int):
+    """Shrinking loop over TRANSPOSED (3, n) positions.
+
+    (n, 3) bodies run ~2.2 ms/iteration at 10M on the v5e — every
+    elementwise op works on 3-lane arrays (3/128 lane utilization);
+    lane-major (3, n) ops bring a full pass to ~0.3 ms.  (A pallas pass
+    kernel measured WORSE inside the loop: pallas dispatch under
+    lax.while_loop costs ~1.3 ms/iteration on this runtime, and the
+    loop itself has a ~0.27 ms/iteration floor regardless of body.)"""
+    active = w > 0
+
+    def cond(state):
+        center, r, n_in, it = state
+        return jnp.logical_and(n_in > min_particles, it < max_iter)
+
+    def body(state):
+        center, r, n_in, it = state
+        rel = pos3 - center[:, None]
+        d2 = jnp.sum(rel * rel, axis=0)
+        inside = jnp.logical_and(active, d2 < r * r)
+        w_in = jnp.where(inside, w, 0.0)
+        wsum = jnp.sum(w_in)
+        com = center + jnp.sum(rel * w_in[None, :], axis=1) \
+            / jnp.where(wsum == 0, 1.0, wsum)
+        n_new = jnp.sum(inside)
+        ok = n_new > min_particles
+        new_center = jnp.where(ok, com, center)
+        return (new_center, r * shrink_factor, n_new, it + 1)
+
+    n_init = jnp.sum(active)
+    center, r, n_in, _ = jax.lax.while_loop(
+        cond, body, (center0, r0, n_init, jnp.int32(0)))
+    return center, r
+
+
 def _ssc_loop(pos, w, center0, r0, shrink_factor: float,
               min_particles: int, max_iter: int):
     """Core shrinking loop: one fused pass over positions per iteration.
@@ -132,6 +168,12 @@ def shrink_sphere_center(pos, weights=None, mask=None,
     d2 = jnp.sum((pos - com0) ** 2, axis=-1)
     r0 = jnp.sqrt(jnp.max(jnp.where(active, d2, 0.0)))
 
+    pos3 = pos.T  # lane-major: every loop pass runs at full lane width
+
+    def sub3(x3, s):
+        return _block_subsample(x3.T, s).T if x3.ndim == 2 \
+            else _block_subsample(x3, s)
+
     if coarse_stride > 1 and n > coarse_stride * min_particles * 4:
         strides = []
         s = coarse_stride
@@ -140,16 +182,16 @@ def shrink_sphere_center(pos, weights=None, mask=None,
             s = max(1, s // 8)
         center, r = com0, r0
         for s in strides:
-            center, r = _ssc_loop(_block_subsample(pos, s),
-                                  _block_subsample(w, s), center, r,
-                                  shrink_factor, min_particles, max_iter)
+            center, r = _ssc_loop_t(sub3(pos3, s), _block_subsample(w, s),
+                                    center, r, shrink_factor,
+                                    min_particles, max_iter)
             r = r / shrink_factor ** coarse_backoff
-        center, _ = _ssc_loop(pos, w, center, r, shrink_factor,
-                              min_particles, max_iter)
+        center, _ = _ssc_loop_t(pos3, w, center, r, shrink_factor,
+                                min_particles, max_iter)
         return center
 
-    center, _ = _ssc_loop(pos, w, com0, r0, shrink_factor, min_particles,
-                          max_iter)
+    center, _ = _ssc_loop_t(pos3, w, com0, r0, shrink_factor,
+                            min_particles, max_iter)
     return center
 
 
