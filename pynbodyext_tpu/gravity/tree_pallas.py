@@ -683,7 +683,7 @@ def near_field_group_dma(offsets, counts, flat_lists, flat_bits, gtgt_tiles,
         grid=(ng,),
         in_specs=[
             pl.BlockSpec((1, 8, tb), lambda g, O, C, L, B: (g, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # tiles stay in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # tiles stay in HBM
         ],
         out_specs=pl.BlockSpec((1, 8, tb), lambda g, O, C, L, B: (g, 0, 0)),
     )
@@ -796,7 +796,7 @@ def near_field_eval_dma(offsets, counts, flat_lists, tgt_tiles, leaf_tiles,
         grid=(nb,),
         in_specs=[
             pl.BlockSpec((1, 8, tb), lambda b, O, C, L: (b, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # tiles stay in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # tiles stay in HBM
         ],
         out_specs=pl.BlockSpec((1, 8, tb), lambda b, O, C, L: (b, 0, 0)),
     )

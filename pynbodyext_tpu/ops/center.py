@@ -90,39 +90,6 @@ def _ssc_loop_t(pos3, w, center0, r0, shrink_factor: float,
     return center, r
 
 
-def _ssc_loop(pos, w, center0, r0, shrink_factor: float,
-              min_particles: int, max_iter: int):
-    """Core shrinking loop: one fused pass over positions per iteration.
-    Returns (center, final_radius)."""
-    active = w > 0
-
-    def cond(state):
-        center, r, n_in, it = state
-        return jnp.logical_and(n_in > min_particles, it < max_iter)
-
-    def body(state):
-        center, r, n_in, it = state
-        rel = pos - center
-        d2 = jnp.sum(rel * rel, axis=-1)
-        inside = jnp.logical_and(active, d2 < r * r)
-        w_in = jnp.where(inside, w, 0.0)
-        wsum = jnp.sum(w_in)
-        # COM of the sphere, conditioned on the running center
-        com = center + jnp.sum(rel * w_in[:, None], axis=0) \
-            / jnp.where(wsum == 0, 1.0, wsum)
-        n_new = jnp.sum(inside)
-        # if the current sphere already dropped below the floor, keep the
-        # previous center (pynbody: the last COM computed with > min inside)
-        ok = n_new > min_particles
-        new_center = jnp.where(ok, com, center)
-        return (new_center, r * shrink_factor, n_new, it + 1)
-
-    n_init = jnp.sum(active)
-    center, r, n_in, _ = jax.lax.while_loop(
-        cond, body, (center0, r0, n_init, jnp.int32(0)))
-    return center, r
-
-
 @partial(jax.jit, static_argnames=("min_particles", "max_iter",
                                    "coarse_stride", "coarse_backoff"))
 def shrink_sphere_center(pos, weights=None, mask=None,
