@@ -457,7 +457,9 @@ def far_payload_batch_eval(tgt_tiles, payload, accel: bool = False,
     w = payload.shape[2]
     if c % B:
         raise ValueError(f"C={c} not a multiple of B={B}")
-    ts = min(w, 2048)
+    # accel keeps dx/dy/dz/r2/invr/w live at (tb, ts): bound tb·ts so the
+    # working set fits VMEM (tb=1024 × ts=2048 crashed the compiler)
+    ts = min(w, 2048 if not accel else max(128, 524288 // tb))
     rem = w % ts
     if rem:
         payload = jnp.pad(payload, ((0, 0), (0, 0), (0, ts - rem)))

@@ -1205,7 +1205,7 @@ def _far_eval(prep, accel: bool, interpret: bool, far_chunk: int = 8192,
     return out
 
 
-def _group_far_eval(prep, accel: bool, group_chunk: int = 256,
+def _group_far_eval(prep, accel: bool, group_chunk: int = 1024,
                     interpret: bool = False) -> np.ndarray:
     """Group-level far field → per-leaf-block (nb, cap[, 3]) array.
 
