@@ -523,7 +523,8 @@ def prepare_tree_pallas(tree: Octree, theta: float = 0.7, cap: int = 128,
     if far_pre:
         payload_np = np.concatenate(
             [com, nmass[:, None]]
-            + ([moments] if order > 0 else []), axis=1).astype(np.float32)
+            + ([moments] if order > 0 else []),
+            axis=1).astype(np.float32).T.copy()  # (P, n): one-gather form
     else:
         payload_np = None
     prep["far_pre"] = far_pre
@@ -536,15 +537,23 @@ def prepare_tree_pallas(tree: Octree, theta: float = 0.7, cap: int = 128,
         prep["_tgt_pos_np"] = np.moveaxis(tiles[:n_leaves, 0:3, :], 1, 2)
     prep["far_classes"] = _build_classes(
         node_counts, node_ids, 128, dummy_node,
-        tiles[:n_leaves] if far_pre else prep["_tgt_pos_np"],
+        tiles_j[:n_leaves] if far_pre else prep["_tgt_pos_np"],
         payload=payload_np)
     _stage("prep.far_classes", _t0); _t0 = _time.perf_counter()
     prep["_dummy_node"] = dummy_node
     if gl is not None:
         ng = gl["n_groups"]
-        gtt_np = _gtt_np(prep)
         if far_pre:
-            g_targets = gtt_np
+            # device reshape of the resident tile table (no host copy)
+            nl_pad = -(-n_leaves // G) * G
+            pad_rows = nl_pad - n_leaves
+            tj = tiles_j[:n_leaves]
+            if pad_rows:
+                tj = jnp.concatenate(
+                    [tj, jnp.broadcast_to(tiles_j[-1],
+                                          (pad_rows, 8, cap))])
+            g_targets = (tj.reshape(ng, G, 8, cap).transpose(0, 2, 1, 3)
+                         .reshape(ng, 8, G * cap))
         else:
             nl_pad = ng * G
             pad_rows = nl_pad - n_leaves
@@ -1100,7 +1109,7 @@ def _build_classes(counts, flat_ids, min_width: int, fill: int, targets,
     Eliminates (a) pad-to-global-max compute waste (up to ~9× on the group
     residual lists), (b) per-chunk host→device list shipping — fatal under
     the remote relay — and (c) per-chunk device gathers of target rows.
-    ``payload`` (n_items, P) f32: pre-gather payload[ids] on the HOST and
+    ``payload`` (P, n_items) f32 (transposed): pre-gather on the HOST and
     upload the dense (rows, w, P) matrix INSTEAD of the id matrix — device
     row gathers measured ~1.3 s of the 2.9 s far field at 1M (row-granular
     ~0.23 GB/s); streaming a pre-gathered payload is free by comparison.
@@ -1115,7 +1124,11 @@ def _build_classes(counts, flat_ids, min_width: int, fill: int, targets,
     widths = min_width * (2 ** np.clip(expo, 0, None)).astype(np.int64)
     widths = np.minimum(np.maximum(widths, min_width), max(lmax4, min_width))
     out = []
-    targets_np = np.asarray(targets)
+    # device targets: per-class selection runs as an on-device gather —
+    # host fancy-index + upload of the ~1 GB 10M target copies was ~30 s
+    # of prep; the device take of 4 KB rows is bandwidth-bound and cheap
+    targets_dev = isinstance(targets, jnp.ndarray)
+    targets_np = targets if targets_dev else np.asarray(targets)
     for w in np.unique(widths):
         sel = np.nonzero(widths == w)[0]
         c = counts[sel]
@@ -1125,15 +1138,19 @@ def _build_classes(counts, flat_ids, min_width: int, fill: int, targets,
                   - np.repeat(np.cumsum(c) - c, c))
         src = np.repeat(starts[sel], c) + within
         mat[row, within] = flat_ids[src]
+        tgt_sel = (targets_np[jnp.asarray(sel)] if targets_dev
+                   else jnp.asarray(targets_np[sel]))
         if payload is not None:
             # (ns, P, w): node lanes last — feeds both the pallas far
-            # kernel ((1, 4, ts) blocks) and the XLA pre evaluators
+            # kernel ((1, 4, ts) blocks) and the XLA pre evaluators.
+            # Host does ONE gather from the (P, n) transposed payload;
+            # the (P, ns, w) → (ns, P, w) transpose runs on device
             entry = [int(w), sel,
-                     jnp.asarray(payload[mat].transpose(0, 2, 1)),
-                     jnp.asarray(targets_np[sel])]
+                     jnp.transpose(jnp.asarray(payload[:, mat]),
+                                   (1, 0, 2)),
+                     tgt_sel]
         else:
-            entry = [int(w), sel, jnp.asarray(mat),
-                     jnp.asarray(targets_np[sel])]
+            entry = [int(w), sel, jnp.asarray(mat), tgt_sel]
         if flat_aux is not None:
             aux = np.zeros((len(sel), int(w)), np.int32)
             aux[row, within] = np.asarray(flat_aux, np.int32)[src]
