@@ -1092,12 +1092,6 @@ def _near_banded(prep, kern, interpret, accel, R: int = 4, Gn: int = 1,
     return out[:, 0, :]
 
 
-@partial(jax.jit, static_argnames=())
-def _gather_node_payload(nodes_packed, node_ids_chunk):
-    g = nodes_packed[node_ids_chunk]      # (C, Ln, 8)
-    return jnp.moveaxis(g, 1, 2)          # (C, 8, Ln)
-
-
 def _build_classes(counts, flat_ids, min_width: int, fill: int, targets,
                    flat_aux=None, payload=None):
     """Partition blocks into power-of-two width classes by list length and
