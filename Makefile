@@ -2,10 +2,17 @@
 
 PY ?= python
 
-.PHONY: test bench bench-continuous native tables clean
+.PHONY: test lint bench bench-continuous native tables clean
 
 test:
 	$(PY) -m pytest tests/ -x -q
+
+# lint gate (reference parity: ruff + mypy pre-commit hooks); falls back
+# to the bundled AST linter when ruff/mypy are not installed
+lint:
+	@command -v ruff >/dev/null && ruff check pynbodyext_tpu/ || true
+	@command -v mypy >/dev/null && mypy --config-file=pyproject.toml pynbodyext_tpu/ || true
+	$(PY) tools/lint_fallback.py
 
 native:
 	$(PY) -c "from pynbodyext_tpu.gravity._native import ensure_built; print(ensure_built())"

@@ -89,7 +89,9 @@ def main():
         try:
             from pynbodyext_tpu.gravity.tree import Octree
             from pynbodyext_tpu.gravity.tree_tpu import (
-                prepare_tree_pallas, tree_potentials_device_pallas)
+                prepare_tree_pallas, release_host_buffers,
+                tree_accelerations_device_pallas,
+                tree_potentials_device_pallas)
             n_tree = 10_000_000
             rt = rng.exponential(3.0, n_tree)
             vt = rng.normal(size=(n_tree, 3))
@@ -101,17 +103,31 @@ def main():
             prep = prepare_tree_pallas(tree, theta=0.7, group_leaves=8)
             prep_s = time.perf_counter() - t0
             phi = tree_potentials_device_pallas(tree, prep=prep)  # warm
-            t0 = time.perf_counter()
-            phi = tree_potentials_device_pallas(tree, prep=prep)
-            eval_s = time.perf_counter() - t0
+            release_host_buffers(prep)
+            # relay variance is ±50% on a single rep: median of 3
+            tts = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                phi = tree_potentials_device_pallas(tree, prep=prep)
+                tts.append(time.perf_counter() - t0)
+            eval_s = sorted(tts)[1]
+            acc = tree_accelerations_device_pallas(tree, prep=prep)  # warm
+            ats = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                acc = tree_accelerations_device_pallas(tree, prep=prep)
+                ats.append(time.perf_counter() - t0)
+            accel_s = sorted(ats)[1]
             dense_equiv_s = n_tree * n_tree / pair_rate
             tree_detail = {
                 "tree10m_eval_s": round(eval_s, 2),
+                "tree10m_accel_s": round(accel_s, 2),
                 "tree10m_particles_per_s": round(n_tree / eval_s),
                 "tree10m_prep_s": round(prep_s, 2),
                 "tree10m_theta": 0.7,
                 "tree10m_vs_dense": round(dense_equiv_s / eval_s, 1),
                 "tree10m_phi0": float(phi[0]),
+                "tree10m_acc0": float(np.linalg.norm(acc[0])),
             }
         except Exception as e:  # never fail the whole bench on the tree leg
             tree_detail = {"tree10m_error": f"{type(e).__name__}: {e}"}

@@ -534,6 +534,9 @@ void acceleration_at(const Tree &t, double tx, double ty, double tz,
 // (block targets × leaf particles) as dense batched ops.
 // ---------------------------------------------------------------------------
 
+void parallel_for_impl(long n, int threads,
+                       const std::function<void(long, long)> &body);
+
 void build_block_lists(Tree &t, long block_size, double theta) {
   if (t.bl_block_size == block_size && t.bl_theta == theta &&
       !t.bl_nodes.empty())
@@ -570,7 +573,10 @@ void build_block_lists(Tree &t, long block_size, double theta) {
   double theta2 = theta * theta;
   double c_soft = t.has_soft ? soft_sep_factor(t.kernel) : 0.0;
 
-  for (long b = 0; b < nb; ++b) {
+  // per-block traversals are independent (disjoint writes) → thread pool
+  // (reference parity: rayon par_iter over targets, tree.rs:1443-1547)
+  parallel_for_impl(nb, 0, [&](long b_lo, long b_hi) {
+  for (long b = b_lo; b < b_hi; ++b) {
     long p0 = t.bl_start[b];
     long p1 = p0 + t.bl_count[b];
     // block bounding sphere (tree-order blocks are spatially compact)
@@ -631,6 +637,7 @@ void build_block_lists(Tree &t, long block_size, double theta) {
       }
     }
   }
+  });
   t.bl_block_size = block_size;
   t.bl_theta = theta;
 }
@@ -678,18 +685,6 @@ void build_group_lists(Tree &t, long group_leaves, double theta) {
   t.gl_gcount.assign(n_groups, 0);
   t.gl_gnear.assign(n_groups, {});
   t.gl_gnearbits.assign(n_groups, {});
-  // gflag: node accepted at group level (leaf traversal skips its subtree).
-  // aflag: node whose subtree CONTAINS a group-accepted node — the leaf
-  // traversal must descend through it, never accept it (leaf admissibility
-  // is weaker than group admissibility, so such an ancestor could otherwise
-  // be re-accepted wholesale → double count).  Only the thin spine of
-  // ancestors of accepted nodes is constrained; everything else follows
-  // normal BH acceptance.
-  std::vector<uint8_t> gflag(t.nodes.size(), 0);
-  std::vector<uint8_t> aflag(t.nodes.size(), 0);
-  std::vector<int32_t> marked;   // aflag ids to reset per group
-  std::vector<int32_t> ancestors;  // current traversal path (opened nodes)
-
   // bounding sphere + max softening of a particle range
   auto sphere_of = [&](long p0, long p1, double cb[3], double &rb,
                        double &bh) {
@@ -735,7 +730,21 @@ void build_group_lists(Tree &t, long group_leaves, double theta) {
            (c_soft <= 0.0 || h_eff <= 0.0 || dmin > c_soft * h_eff);
   };
 
-  for (long g = 0; g < n_groups; ++g) {
+  // per-group traversals write disjoint slices (group g, leaves [gG, gG+G))
+  // → thread pool with per-thread flag scratch (reference parity: rayon)
+  parallel_for_impl(n_groups, 0, [&](long g_lo, long g_hi) {
+  // gflag: node accepted at group level (leaf traversal skips its subtree).
+  // aflag: node whose subtree CONTAINS a group-accepted node — the leaf
+  // traversal must descend through it, never accept it (leaf admissibility
+  // is weaker than group admissibility, so such an ancestor could otherwise
+  // be re-accepted wholesale → double count).  Only the thin spine of
+  // ancestors of accepted nodes is constrained; everything else follows
+  // normal BH acceptance.
+  std::vector<uint8_t> gflag(t.nodes.size(), 0);
+  std::vector<uint8_t> aflag(t.nodes.size(), 0);
+  std::vector<int32_t> marked;   // aflag ids to reset per group
+  std::vector<int32_t> ancestors;  // current traversal path (opened nodes)
+  for (long g = g_lo; g < g_hi; ++g) {
     long l0 = g * G, l1 = std::min(n_leaves, l0 + G);
     const Node &first = t.nodes[t.leaf_node_ids[l0]];
     const Node &last = t.nodes[t.leaf_node_ids[l1 - 1]];
@@ -823,6 +832,7 @@ void build_group_lists(Tree &t, long group_leaves, double theta) {
       }
     }
   }
+  });
   t.gl_group_leaves = group_leaves;
   t.gl_theta = theta;
 }

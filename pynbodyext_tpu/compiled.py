@@ -12,7 +12,6 @@ cross-validated against the engine path in the test suite.
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -18,14 +18,13 @@ from __future__ import annotations
 
 import contextlib
 import dataclasses
-import sys
 import time
-from typing import Any, Callable, Dict, List, Optional, Protocol, Tuple, Union
+from typing import Any, Dict, List, Optional, Protocol, Tuple, Union
 
 from ...log import logger
 from .cache import RuntimeCache
 from .display import format_time
-from .enums import CachePolicy, ErrorPolicy, RecordPolicy
+from .enums import ErrorPolicy, RecordPolicy
 from .exceptions import CycleError
 from .perf import PerfCollector
 from .trace import TraceCollector

@@ -9,13 +9,13 @@ capture per ErrorPolicy, size-based cache admission, result assembly.
 from __future__ import annotations
 
 import time
-from typing import Any, List, Optional, Tuple
+from typing import Optional
 
 from .cache import ExecutionValue
 from .context import ExecutionContext, NodeInput, RunOptions
 from .display import summarize_value
 from .enums import CachePolicy, ErrorPolicy, NodeStatus, RecordPolicy
-from .exceptions import CalculatorError, CycleError
+from .exceptions import CycleError
 from .perf import PerfFormatter
 from .result import ErrorInfo, ProvenanceInfo, Result, ResultNode
 

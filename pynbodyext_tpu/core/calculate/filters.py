@@ -15,7 +15,7 @@ is ever materialized (SURVEY.md §7).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional
+from typing import Any
 
 import jax.numpy as jnp
 

@@ -20,7 +20,7 @@ Two resolver strategies mirror the reference: :class:`RuntimeValueResolver`
 from __future__ import annotations
 
 import inspect
-from typing import Any, Dict, Iterable, List, Optional
+from typing import Any, List, Optional
 
 import numpy as np
 

@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import dataclasses
 import tracemalloc
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 from .display import format_mem, format_time
 

@@ -7,7 +7,7 @@ full symbolic operator set; ``__bool__`` raises).
 
 from __future__ import annotations
 
-from typing import Any, Generic, TypeVar
+from typing import Generic, TypeVar
 
 from .base import CalculatorBase
 from .enums import BuiltinKinds

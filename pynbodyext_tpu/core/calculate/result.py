@@ -12,7 +12,7 @@ import time
 from typing import Any, Dict, Iterator, List, Optional
 
 from .display import compact_repr, format_time
-from .enums import NodeStatus, RecordPolicy
+from .enums import NodeStatus
 
 __all__ = ["Result", "ResultNode", "PhaseRecord", "ErrorInfo",
            "ValueSummary", "ProvenanceInfo"]

@@ -10,7 +10,6 @@ releases it around foreign calls, matching the reference's
 from __future__ import annotations
 
 import ctypes
-import os
 import subprocess
 from pathlib import Path
 from typing import Optional

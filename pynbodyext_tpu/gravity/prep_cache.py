@@ -1,0 +1,220 @@
+"""Persistent device-tree prep cache: skip the host-side tree build.
+
+At 10M particles the octree build + interaction-list construction + class
+building runs ~2.5 minutes on the (single-core) host while the device
+solve itself is tens of seconds.  The reference pays an analogous (if
+smaller) build cost on every run and only ever keeps the tree in process
+memory (``pynbodyext/gravity/base.py:174-238`` lazy cached tree;
+``crates/pynbodyext-rust/src/gravity.rs:13-31`` times the build as a
+first-class stage).  Here the *entire prep* — interaction lists, packed
+tile tables, window structures, pre-gathered far payloads — is a pure
+function of (particle content, tree params, θ, engine caps), so it can be
+persisted across processes and reloaded at disk bandwidth.
+
+Design:
+
+* fingerprint = content hash of (pos, mass, softenings) via head/tail/
+  strided samples + whole-array reductions (the :mod:`...core.calculate.
+  diskcache` discipline) + all structural parameters;
+* the prep dict is pickled with device arrays converted to host numpy and
+  tagged, so loading can re-upload exactly the entries that lived in HBM;
+* device-side derived caches that are cheap reshapes (blocked tile views)
+  are dropped and rebuilt lazily;
+* lazily-built engine structures (packed tiles, banded windows) are
+  included when present — ``refresh_tree_prep_cache(prep)`` after the
+  first solve re-saves the file when new structures appeared, so the
+  second process skips even those builds.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import pickle
+from pathlib import Path
+from typing import Any, Optional, Tuple
+
+import numpy as np
+
+from ..log import logger
+
+__all__ = ["tree_prep_fingerprint", "save_tree_prep", "load_tree_prep",
+           "cached_prepare_tree_pallas", "refresh_tree_prep_cache"]
+
+#: prep keys never persisted: process-local handles and cheap device
+#: reshapes of persisted tables (rebuilt lazily by their accessors)
+_SKIP_PREFIXES = ("tiles_blk", "ptiles_blk", "tgt_blk")
+_SKIP_KEYS = {"_tree", "_gtt_np", "gtt_tiles"}
+
+_FORMAT_VERSION = 3
+
+
+def _hash_array(h, arr) -> None:
+    arr = np.asarray(arr)
+    h.update(f"{arr.shape}:{arr.dtype}".encode())
+    flat = arr.reshape(-1)
+    n = flat.shape[0]
+    h.update(flat[:16].tobytes())
+    h.update(flat[-16:].tobytes())
+    if n > 32:
+        stride = max(1, n // 64)
+        h.update(flat[::stride][:64].tobytes())
+    if n and np.issubdtype(arr.dtype, np.number):
+        h.update(np.asarray([float(flat.sum()), float(flat.min()),
+                             float(flat.max())], np.float64).tobytes())
+
+
+def tree_prep_fingerprint(pos, mass, softenings, *, leaf_capacity: int,
+                          multipole_order: int, kernel, theta: float,
+                          group_leaves: int, cap: int) -> str:
+    """Content + parameter identity of a device-tree prep."""
+    h = hashlib.sha1()
+    h.update(f"v{_FORMAT_VERSION}:{leaf_capacity}:{multipole_order}:"
+             f"{kernel}:{theta:.10g}:{group_leaves}:{cap}".encode())
+    _hash_array(h, pos)
+    if mass is not None:
+        _hash_array(h, np.asarray(mass))
+    if softenings is not None:
+        _hash_array(h, np.asarray(softenings))
+    return h.hexdigest()[:24]
+
+
+def _is_device_array(v) -> bool:
+    return (hasattr(v, "shape") and hasattr(v, "dtype")
+            and not isinstance(v, np.ndarray))
+
+
+class _Dev:
+    """Pickle tag: this payload lived in HBM — re-upload on load."""
+    __slots__ = ("arr",)
+
+    def __init__(self, arr):
+        self.arr = arr
+
+
+def _encode(v: Any) -> Any:
+    if _is_device_array(v):
+        return _Dev(np.asarray(v))
+    if isinstance(v, tuple):
+        return tuple(_encode(x) for x in v)
+    if isinstance(v, list):
+        return [_encode(x) for x in v]
+    if isinstance(v, dict):
+        return {k: _encode(x) for k, x in v.items()}
+    return v
+
+
+def _decode(v: Any) -> Any:
+    import jax.numpy as jnp
+    if isinstance(v, _Dev):
+        return jnp.asarray(v.arr)
+    if isinstance(v, tuple):
+        return tuple(_decode(x) for x in v)
+    if isinstance(v, list):
+        return [_decode(x) for x in v]
+    if isinstance(v, dict):
+        return {k: _decode(x) for k, x in v.items()}
+    return v
+
+
+def _persistable(prep: dict) -> dict:
+    out = {}
+    for k, v in prep.items():
+        if k in _SKIP_KEYS:
+            continue
+        if isinstance(k, tuple) and k and k[0] in _SKIP_PREFIXES:
+            continue
+        out[k] = v
+    return out
+
+
+def save_tree_prep(prep: dict, path) -> bool:
+    """Persist a prep dict (device arrays downloaded to host).  Returns
+    False (and logs) on any IO failure — caching is best-effort."""
+    path = Path(path)
+    body = _persistable(prep)
+    try:
+        path.parent.mkdir(parents=True, exist_ok=True)
+        tmp = path.with_suffix(f".tmp{os.getpid()}")
+        with open(tmp, "wb") as f:
+            pickle.dump(_encode(body), f, protocol=pickle.HIGHEST_PROTOCOL)
+        os.replace(tmp, path)
+    except Exception as e:
+        logger.warning("tree prep cache: save failed (%s)", e)
+        return False
+    prep["_cache_path"] = str(path)
+    prep["_cache_keys"] = frozenset(body.keys())
+    return True
+
+
+def load_tree_prep(path) -> Optional[dict]:
+    """Reload a persisted prep (host arrays re-uploaded to the device).
+    Returns None when absent/unreadable."""
+    path = Path(path)
+    if not path.exists():
+        return None
+    try:
+        with open(path, "rb") as f:
+            body = pickle.load(f)
+    except Exception as e:
+        logger.warning("tree prep cache: dropping unreadable %s (%s)",
+                       path.name, e)
+        try:
+            path.unlink()
+        except OSError:
+            pass
+        return None
+    prep = _decode(body)
+    prep["_tree"] = None
+    prep["_cache_path"] = str(path)
+    prep["_cache_keys"] = frozenset(body.keys())
+    return prep
+
+
+def refresh_tree_prep_cache(prep: dict) -> bool:
+    """Re-save a cached prep iff lazily-built engine structures appeared
+    since the last save (call after the first solve)."""
+    path = prep.get("_cache_path")
+    if not path:
+        return False
+    current = frozenset(_persistable(prep).keys())
+    if current == prep.get("_cache_keys"):
+        return False
+    return save_tree_prep(prep, path)
+
+
+def cached_prepare_tree_pallas(pos, mass=None, softenings=None, *,
+                               leaf_capacity: int = 128,
+                               multipole_order: int = 0,
+                               kernel: Optional[str] = None,
+                               theta: float = 0.7, group_leaves: int = 8,
+                               cap: int = 128,
+                               cache_dir="~/.cache/pnx-tree"
+                               ) -> Tuple[dict, Any]:
+    """Prep for the device-tree engines, through the disk cache.
+
+    Cache hit: NO octree is built — the returned tree handle is ``None``
+    and the prep is fully self-contained (pass it as ``prep=`` to the
+    device drivers, whose ``tree`` argument is then unused).
+    Cache miss: builds tree + prep, saves, returns ``(prep, tree)``.
+    """
+    from .tree import Octree
+    from .tree_tpu import prepare_tree_pallas
+
+    root = Path(os.path.expanduser(str(cache_dir)))
+    fp = tree_prep_fingerprint(
+        pos, mass, softenings, leaf_capacity=leaf_capacity,
+        multipole_order=multipole_order, kernel=kernel, theta=theta,
+        group_leaves=group_leaves, cap=cap)
+    path = root / f"treeprep-{fp}.pkl"
+    prep = load_tree_prep(path)
+    if prep is not None:
+        logger.info("tree prep cache hit: %s", path.name)
+        return prep, None
+    tree = Octree(pos, mass, leaf_capacity=leaf_capacity,
+                  multipole_order=multipole_order, softenings=softenings,
+                  kernel=kernel)
+    prep = prepare_tree_pallas(tree, theta=theta, cap=cap,
+                               group_leaves=group_leaves)
+    save_tree_prep(prep, path)
+    return prep, tree

@@ -18,7 +18,6 @@ fallback path on CPU.
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -23,7 +23,6 @@ The far field stays on the XLA path of :mod:`.tree_tpu` (node payloads are
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -36,7 +36,7 @@ from .kernels import (KERNEL_NONE, kernel_accel_factor,
 from .tree import Octree
 
 __all__ = ["tree_potentials_device", "tree_accelerations_device",
-           "prepare_tree_device"]
+           "prepare_tree_device", "release_host_buffers"]
 
 _TINY2 = 1e-38
 _FAR = 1e15
@@ -499,6 +499,7 @@ def prepare_tree_pallas(tree: Octree, theta: float = 0.7, cap: int = 128,
         "lstarts": np.asarray(lstarts, np.int64),
         "lcounts": np.asarray(lcounts, np.int64),
         "orig_index": np.asarray(orig),
+        "_tree": tree,
         "_particles": (pos, pmass, psoft, orig),
         "_sentinel": np.asarray(sentinel, np.float64),
         "_tiles_np": tiles,
@@ -580,10 +581,51 @@ def prepare_tree_pallas(tree: Octree, theta: float = 0.7, cap: int = 128,
     return prep
 
 
+def _host_particles(prep):
+    """Tree-order particle arrays (host), rebuilt from the tree on demand
+    after ``release_host_buffers``."""
+    if prep.get("_particles") is None:
+        tree = prep.get("_tree")
+        if tree is None:
+            raise RuntimeError(
+                "prep holds neither host particle arrays nor a tree handle "
+                "(released cache-loaded prep?) — cannot rebuild host tables")
+        pos, pmass, psoft, orig = tree.particles_tree_order()
+        prep["_particles"] = (pos, pmass, psoft, orig)
+    return prep["_particles"]
+
+
+def _host_tiles(prep):
+    """Host copy of the (padded) leaf tile table, rebuilt on demand."""
+    if prep.get("_tiles_np") is None:
+        from .tree_pallas import pack_leaf_tiles
+        pos, pmass, psoft, orig = _host_particles(prep)
+        tiles = pack_leaf_tiles(pos, pmass, psoft, orig, prep["lstarts"],
+                                prep["lcounts"], prep["_sentinel"],
+                                prep["cap"])
+        pad32 = (-len(tiles)) % 32
+        if pad32:
+            tiles = np.concatenate(
+                [tiles, np.repeat(tiles[-1:], pad32, axis=0)])
+        prep["_tiles_np"] = tiles
+    return prep["_tiles_np"]
+
+
+def release_host_buffers(prep) -> None:
+    """Drop the large host-side copies pinned by prep (~1.3 GB at 10M:
+    tree-order particles + the tile table + derived group tiles).  The
+    engines that need them (packed/classes/group) rebuild lazily from the
+    retained tree handle — call this once the engine structures you use
+    are built (first eval) to halve steady-state host RSS."""
+    prep["_particles"] = None
+    prep["_tiles_np"] = None
+    prep.pop("_gtt_np", None)
+
+
 def _gtt_np(prep):
     """(ng, 8, G·cap) group target tile matrix (host, cached)."""
     if "_gtt_np" not in prep:
-        tiles = prep["_tiles_np"]
+        tiles = _host_tiles(prep)
         G, cap = prep["G"], prep["cap"]
         n_leaves = prep["n_blocks"]
         ng = -(-n_leaves // G)
@@ -603,7 +645,7 @@ def _ensure_near_classes(prep):
     if "near_classes" not in prep:
         prep["near_classes"] = _build_classes(
             prep["near_counts"], prep["near_flat"], 64, prep["n_blocks"],
-            prep["_tiles_np"][:prep["n_blocks"]])
+            _host_tiles(prep)[:prep["n_blocks"]])
     return prep["near_classes"]
 
 
@@ -803,6 +845,9 @@ def _build_banded_windows(prep, R: int, Gn: int):
     key = ("banded", R, Gn)
     if key in prep:
         return prep[key]
+    if Gn > 32:
+        raise ValueError(f"banded near engine packs leaf membership into an "
+                         f"int32 bitmask: Gn must be <= 32, got {Gn}")
     nb = prep["n_blocks"]
     counts = prep["near_counts"].astype(np.int64)
     seqs = prep["near_flat"].astype(np.int64)
@@ -822,8 +867,10 @@ def _build_banded_windows(prep, R: int, Gn: int):
     wcounts = np.bincount(wgrp, minlength=ngn).astype(np.int64)
     # upload once, padded by the max chunk width (device-side slicing;
     # per-chunk host shipping measured ~50 ms/chunk through the relay).
-    # pad group id = ngn → clamps into the spill segment, never collected
-    pad = 16384
+    # pad group id = ngn → clamps into the spill segment, never collected.
+    # pad ≥ the largest possible chunk (w_budget is clamped ≤ the SMEM cap
+    # but raised to wcounts.max() — _near_banded rejects that case)
+    pad = max(16384, int(wcounts.max()) if len(wcounts) else 0)
     gf_dev = jnp.asarray(np.concatenate([wgrp, np.full(pad, ngn, np.int32)]))
     blk_dev = jnp.asarray(np.concatenate([wblk, np.zeros(pad, np.int32)]))
     bits_dev = jnp.asarray(np.concatenate([bits,
@@ -915,7 +962,7 @@ def _pack_dense_tiles(prep, K: int):
     # per-particle sub-leaf index (particle → leaf → sub slot)
     leaf_of_p = np.searchsorted(lstarts, np.arange(n), side="right") - 1
     sub_p = np.concatenate([sub_of[leaf_of_p], [0]])
-    pos, pmass, psoft, orig = prep["_particles"]
+    pos, pmass, psoft, orig = _host_particles(prep)
     sentinel = prep["_sentinel"]
     pos_pad = np.vstack([pos, sentinel[None, :]])
     m_pad = np.concatenate([pmass, [0.0]])
@@ -971,7 +1018,7 @@ def _build_packed_windows(prep, R: int, K: int):
                      (np.int32(1) << (u * K + v)).astype(np.int32))
     npt = pk["n_ptiles"]
     wcounts = np.bincount(wgrp, minlength=npt).astype(np.int64)
-    pad = 16384
+    pad = max(16384, int(wcounts.max()) if len(wcounts) else 0)
     gf_dev = jnp.asarray(np.concatenate([wgrp, np.full(pad, npt, np.int32)]))
     blk_dev = jnp.asarray(np.concatenate([wblk, np.zeros(pad, np.int32)]))
     bits_dev = jnp.asarray(np.concatenate([bits,
@@ -1007,13 +1054,27 @@ def _scatter_packed(prep, pk, out_packed, accel: bool):
     return out[:, 0] if rows == 1 else out
 
 
+def _clamp_w_budget(w_budget: int, wcounts, R: int) -> int:
+    """Chunk window budget: ≤ the SMEM cap for the prefetched scalars
+    (gf+blk+bits: (R+2) int32 words per window in a ~0.4 MB budget), ≥ the
+    largest single group (every chunk must advance ≥ 1 group)."""
+    smem_cap = 98_304 // (R + 2)
+    wmax = int(wcounts.max()) if len(wcounts) else 0
+    if wmax > smem_cap:
+        raise ValueError(
+            f"a single target group spans {wmax} near-field windows, above "
+            f"the SMEM-safe chunk budget {smem_cap} (R={R}); reduce Gn or "
+            f"rebuild the tree with a larger leaf_capacity")
+    w_budget = min(w_budget, smem_cap)
+    return max(min(w_budget, int(wcounts.sum())), wmax, 1)
+
+
 def _near_packed(prep, kern, interpret, accel, R: int = 4, K: int = 5,
-                 w_budget: int = 16384, gcap: int = 4096):
+                 w_budget: int = 16384, gcap: int = 4096, mesh=None):
     """Banded near field over DENSE packed tiles (K consecutive leaves per
     cap-lane tile, K×K adjacency bits): ~3× fewer windows than per-leaf
     banded at the same exactness.  Returns PARTICLE-space results
     (original order)."""
-    from .tree_pallas import near_field_banded_chunk
     cap = prep["cap"]
     pk = _pack_dense_tiles(prep, K)
     npt = pk["n_ptiles"]
@@ -1021,23 +1082,12 @@ def _near_packed(prep, kern, interpret, accel, R: int = 4, K: int = 5,
     tgt_blk = pk["ptiles"]
     src_blk = _ptiles_blocked(prep, R, K)
     gcap = min(gcap, npt)
-    w_budget = min(w_budget, 98_304 // (R + 2))
-    w_budget = max(min(w_budget, int(wcounts.sum())), int(wcounts.max()), 1)
+    w_budget = _clamp_w_budget(w_budget, wcounts, R)
     woffs = np.concatenate([[0], np.cumsum(wcounts)]).astype(np.int64)
-    pending = []
-    gs = 0
-    while gs < npt:
-        ge = gs
-        while (ge < npt and ge - gs < gcap
-               and woffs[ge + 1] - woffs[gs] <= w_budget):
-            ge += 1
-        res = near_field_banded_chunk(
-            gf, wblk, bits, jnp.asarray([int(woffs[gs])], np.int32),
-            jnp.asarray([gs], np.int32), tgt_blk, src_blk, kernel=kern,
-            accel=accel, interpret=interpret, R=R, Gn=1, ng_out=gcap,
-            cap=cap, W=w_budget, packed_K=K)
-        pending.append((gs, ge, res))
-        gs = ge
+    ranges = _banded_ranges(woffs, npt, gcap, w_budget)
+    pending = _dispatch_banded(ranges, woffs, gf, wblk, bits, tgt_blk,
+                               src_blk, kern, accel, interpret, R, 1, gcap,
+                               cap, w_budget, K, mesh)
     rows = 3 if accel else 1
     out_p = np.zeros((npt, rows, cap), np.float32)
     for s, e, res in pending:
@@ -1046,11 +1096,10 @@ def _near_packed(prep, kern, interpret, accel, R: int = 4, K: int = 5,
 
 
 def _near_banded(prep, kern, interpret, accel, R: int = 4, Gn: int = 1,
-                 w_budget: int = 16384, gcap: int = 4096):
+                 w_budget: int = 16384, gcap: int = 4096, mesh=None):
     """Banded union near field (see _build_banded_windows): one grid step
     per aligned R-tile window, evaluated at dense-kernel lane widths
     (S = R·cap source lanes) against one Gn-leaf target group."""
-    from .tree_pallas import near_field_banded_chunk
     nb, cap = prep["n_blocks"], prep["cap"]
     ngn = -(-nb // Gn)
     tb = Gn * cap
@@ -1062,24 +1111,12 @@ def _near_banded(prep, kern, interpret, accel, R: int = 4, Gn: int = 1,
     # uniform across chunks → one compile per (wb, gcap) pair.  SMEM holds
     # gf+blk (2·wb) and bits (wb·R) int32 words per chunk: ≤ ~0.4 MB.
     gcap = min(gcap, ngn)
-    w_budget = min(w_budget, 98_304 // (R + 2))
-    w_budget = max(min(w_budget, int(wcounts.sum())), int(wcounts.max()), 1)
+    w_budget = _clamp_w_budget(w_budget, wcounts, R)
     woffs = np.concatenate([[0], np.cumsum(wcounts)]).astype(np.int64)
-    pending = []
-    gs = 0
-    while gs < ngn:
-        ge = gs
-        while (ge < ngn and ge - gs < gcap
-               and woffs[ge + 1] - woffs[gs] <= w_budget):
-            ge += 1
-        wb = w_budget  # ≥ wcounts.max(), so every chunk advances ≥1 group
-        res = near_field_banded_chunk(
-            gf, wblk, bits, jnp.asarray([int(woffs[gs])], np.int32),
-            jnp.asarray([gs], np.int32), tgt_blk, src_blk, kernel=kern,
-            accel=accel, interpret=interpret, R=R, Gn=Gn, ng_out=gcap,
-            cap=cap, W=wb)
-        pending.append((gs, ge, res))
-        gs = ge
+    ranges = _banded_ranges(woffs, ngn, gcap, w_budget)
+    pending = _dispatch_banded(ranges, woffs, gf, wblk, bits, tgt_blk,
+                               src_blk, kern, accel, interpret, R, Gn, gcap,
+                               cap, w_budget, 0, mesh)
     rows = 3 if accel else 1
     out_g = np.zeros((ngn, rows, tb), np.float32)
     for s, e, res in pending:
@@ -1159,57 +1196,154 @@ def _class_chunks(width: int, n_in_class: int, rows_budget: int,
     ``multiple``: round the chunk row count up to this (batched kernels)."""
     rows = max(1, rows_budget // width)
     # never pad a chunk beyond the class size (budget-width chunks padded
-    # a 7.3k-row class to 65k rows — 9× wasted compute)
+    # a 7.3k-row class to 65k rows — 9× wasted compute).  Callers cap
+    # ``multiple`` at the class size, so the post-clamp round-up adds at
+    # most multiple-1 < n_in_class rows (a batched-kernel shape need).
     rows = min(rows, n_in_class)
     rows = -(-rows // multiple) * multiple
     for i in range(0, n_in_class, rows):
         yield i, min(n_in_class, i + rows), rows
 
 
-def _far_batch_B(tb: int, w: int) -> int:
+def _shard_call(mesh, fn, in_specs, out_spec, *args):
+    """shard_map dispatch over the mesh's first axis (pure data parallel:
+    no collectives — each chip evaluates its own rows/chunks; results
+    concatenate along the sharded axis)."""
+    try:
+        from jax import shard_map
+        kw = {"check_vma": False}
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+        kw = {"check_rep": False}
+    return shard_map(fn, mesh=mesh, in_specs=in_specs, out_specs=out_spec,
+                     **kw)(*args)
+
+
+def _dispatch_banded(ranges, woffs, gf, wblk, bits, tgt_blk, src_blk, kern,
+                     accel, interpret, R, Gn, gcap, cap, W, packed_K, mesh):
+    """Dispatch banded near-field chunks — single device, or round-robin
+    over a mesh via shard_map (chip d takes the d-th chunk of each group
+    of ``n_devices``: targets are tree-order contiguous, so chunk→chip
+    assignment is a static slice; windows stay chip-local and the window
+    arrays/source tiles are replicated).  Returns [(gs, ge, res), …]."""
+    from .tree_pallas import near_field_banded_chunk
+    call = partial(near_field_banded_chunk, kernel=kern, accel=accel,
+                   interpret=interpret, R=R, Gn=Gn, ng_out=gcap, cap=cap,
+                   W=W, packed_K=packed_K)
+    pending = []
+    if mesh is None or mesh.devices.size == 1:
+        for gs, ge in ranges:
+            res = call(gf, wblk, bits,
+                       jnp.asarray([int(woffs[gs])], np.int32),
+                       jnp.asarray([gs], np.int32), tgt_blk, src_blk)
+            pending.append((gs, ge, res))
+        return pending
+    from jax.sharding import PartitionSpec as P
+    ndev = mesh.devices.size
+    ax = mesh.axis_names[0]
+
+    def body(ws, gst, gf_, blk_, bits_, tb_, sb_):
+        return call(gf_, blk_, bits_, ws, gst, tb_, sb_)
+
+    for i in range(0, len(ranges), ndev):
+        grp = ranges[i:i + ndev]
+        padg = grp + [grp[-1]] * (ndev - len(grp))
+        ws = jnp.asarray([int(woffs[gs]) for gs, _ in padg], np.int32)
+        gst = jnp.asarray([gs for gs, _ in padg], np.int32)
+        res = _shard_call(
+            mesh, body,
+            (P(ax), P(ax), P(None), P(None), P(None), P(None), P(None)),
+            P(ax), ws, gst, gf, wblk, bits, tgt_blk, src_blk)
+        for d, (gs, ge) in enumerate(grp):
+            pending.append((gs, ge, res[d * gcap:d * gcap + (ge - gs)]))
+    return pending
+
+
+def _banded_ranges(woffs, n_groups: int, gcap: int, w_budget: int):
+    """Greedy (gs, ge) group ranges bounded by gcap groups / w_budget
+    windows per chunk."""
+    ranges = []
+    gs = 0
+    while gs < n_groups:
+        ge = gs
+        while (ge < n_groups and ge - gs < gcap
+               and woffs[ge + 1] - woffs[gs] <= w_budget):
+            ge += 1
+        ranges.append((gs, ge))
+        gs = ge
+    return ranges
+
+
+def _far_batch_B(tb: int, w: int, n_in_class: int = 1 << 30) -> int:
     """Rows per grid step for the batched far kernel: aim ≥~0.5 Mpairs of
-    compute per step, power of two, ≤16."""
+    compute per step, power of two, ≤16 — and never above the class size
+    (chunk rows are rounded up to a multiple of B; a B above the class
+    size would pad tiny classes with dead rows)."""
     ts = min(w, 2048)
-    b = max(1, min(16, 524288 // max(tb * ts, 1)))
+    b = max(1, min(16, 524288 // max(tb * ts, 1), max(n_in_class, 1)))
     return 1 << (b.bit_length() - 1)
 
 
+def _far_call(prep, accel, interpret, pallas_far, pre, order, B, tp, li,
+              mesh):
+    """One far-field chunk evaluation (pallas / XLA-pre / XLA-gather) —
+    row-sharded over the mesh when given (node payload replicated)."""
+    if pallas_far:
+        from .tree_pallas import far_payload_batch_eval
+        call = partial(far_payload_batch_eval, accel=accel,
+                       interpret=interpret, B=B)
+        extra, especs = (), ()
+    elif pre:
+        fn = _far_accelerations_pre if accel else _far_potentials_pre
+        call = partial(fn, order=order)
+        extra, especs = (), ()
+    else:
+        fn = _far_accelerations if accel else _far_potentials
+        call = partial(fn, order=order)
+        extra = (prep["node_com"], prep["node_mass"], prep["node_moments"])
+    if mesh is None or mesh.devices.size == 1:
+        raw = call(tp, li, *extra)
+    else:
+        from jax.sharding import PartitionSpec as P
+        ax = mesh.axis_names[0]
+        if not (pallas_far or pre):
+            especs = (P(None), P(None), P(None))
+        raw = _shard_call(mesh, call, (P(ax), P(ax), *especs), P(ax),
+                          tp, li, *extra)
+    if pallas_far:
+        return jnp.moveaxis(raw, 1, 2) if accel else raw[:, 0, :]
+    return raw
+
+
 def _far_eval(prep, accel: bool, interpret: bool, far_chunk: int = 8192,
-              row_slice=slice(0, 1), far_engine: str = "xla"):
-    """Chunked far field over the prebuilt width classes (XLA engine;
-    a batched-source Pallas monopole kernel measured no faster — both pay
-    the same 32 B-per-node gather volume)."""
+              row_slice=slice(0, 1), far_engine: str = "auto", mesh=None):
+    """Chunked far field over the prebuilt width classes.
+
+    ``far_engine``: "auto" uses the row-batched Pallas kernel when the
+    pre-gathered monopole payload exists (within noise of XLA at 10M but
+    better on width-2048-heavy class mixes); "xla" forces the fused XLA
+    pre/gather path; "pallas" requires the payload and raises without it."""
     nb = prep["n_blocks"]
     order = prep["order"]
     tb = prep["tgt_pos"].shape[1]
     out = np.zeros((nb, tb, 3) if accel else (nb, tb), np.float32)
     pre = prep.get("far_pre", False)
     # interpret-mode pallas pays per-grid-step python cost — tests use XLA
-    pallas_far = prep.get("far_pallas", False) and not interpret
-    if pre:
-        fn = _far_accelerations_pre if accel else _far_potentials_pre
-    else:
-        fn = _far_accelerations if accel else _far_potentials
+    pallas_far = (prep.get("far_pallas", False) and not interpret
+                  and far_engine != "xla")
+    if far_engine == "pallas" and not pallas_far:
+        raise ValueError("far_engine='pallas' needs the pre-gathered "
+                         "monopole payload (order 0, payload within budget) "
+                         "and a compiled (non-interpret) backend")
+    ndev = mesh.devices.size if mesh is not None else 1
     pending = []
     for w, sel, li_dev, tp_dev in prep["far_classes"]:
-        B = _far_batch_B(tb, int(w))
+        B = _far_batch_B(tb, int(w), len(sel))
         for lo, hi, rows in _class_chunks(w, len(sel), far_chunk * 1024,
-                                          multiple=B):
-            if pallas_far:
-                from .tree_pallas import far_payload_batch_eval
-                rb = far_payload_batch_eval(_pad_rows(tp_dev[lo:hi], rows),
-                                            _pad_rows(li_dev[lo:hi], rows),
-                                            accel=accel, interpret=interpret,
-                                            B=B)
-                res = (jnp.moveaxis(rb, 1, 2) if accel else rb[:, 0, :])
-            elif pre:
-                res = fn(_pad_rows(tp_dev[lo:hi], rows),
-                         _pad_rows(li_dev[lo:hi], rows), order=order)
-            else:
-                res = fn(_pad_rows(tp_dev[lo:hi], rows),
-                         _pad_rows(li_dev[lo:hi], rows),
-                         prep["node_com"], prep["node_mass"],
-                         prep["node_moments"], order=order)
+                                          multiple=B * ndev):
+            res = _far_call(prep, accel, interpret, pallas_far, pre, order,
+                            B, _pad_rows(tp_dev[lo:hi], rows),
+                            _pad_rows(li_dev[lo:hi], rows), mesh)
             pending.append((sel[lo:hi], hi - lo, res))
     for s_idx, cnt, res in pending:
         out[s_idx] = np.asarray(res)[:cnt]
@@ -1217,7 +1351,8 @@ def _far_eval(prep, accel: bool, interpret: bool, far_chunk: int = 8192,
 
 
 def _group_far_eval(prep, accel: bool, group_chunk: int = 1024,
-                    interpret: bool = False) -> np.ndarray:
+                    interpret: bool = False,
+                    far_engine: str = "auto", mesh=None) -> np.ndarray:
     """Group-level far field → per-leaf-block (nb, cap[, 3]) array.
 
     Each group's shared node list is gathered once and evaluated against
@@ -1227,32 +1362,19 @@ def _group_far_eval(prep, accel: bool, group_chunk: int = 1024,
     order = prep["order"]
     G, cap, nb = prep["G"], prep["cap"], prep["n_blocks"]
     pre = prep.get("far_pre", False)
-    pallas_far = prep.get("far_pallas", False) and not interpret
-    if pre:
-        fn = _far_accelerations_pre if accel else _far_potentials_pre
-    else:
-        fn = _far_accelerations if accel else _far_potentials
+    pallas_far = (prep.get("far_pallas", False) and not interpret
+                  and far_engine != "xla")
     res = np.zeros((ng, G * cap, 3) if accel else (ng, G * cap), np.float32)
     budget = group_chunk * 1024 * 8 // G
+    ndev = mesh.devices.size if mesh is not None else 1
     pending = []
     for w, sel, li_dev, tp_dev in prep["gfar_classes"]:
-        B = _far_batch_B(G * cap, int(w))
-        for lo, hi, rows in _class_chunks(w, len(sel), budget, multiple=B):
-            if pallas_far:
-                from .tree_pallas import far_payload_batch_eval
-                rb = far_payload_batch_eval(_pad_rows(tp_dev[lo:hi], rows),
-                                            _pad_rows(li_dev[lo:hi], rows),
-                                            accel=accel, interpret=interpret,
-                                            B=B)
-                out = (jnp.moveaxis(rb, 1, 2) if accel else rb[:, 0, :])
-            elif pre:
-                out = fn(_pad_rows(tp_dev[lo:hi], rows),
-                         _pad_rows(li_dev[lo:hi], rows), order=order)
-            else:
-                out = fn(_pad_rows(tp_dev[lo:hi], rows),
-                         _pad_rows(li_dev[lo:hi], rows),
-                         prep["node_com"], prep["node_mass"],
-                         prep["node_moments"], order=order)
+        B = _far_batch_B(G * cap, int(w), len(sel))
+        for lo, hi, rows in _class_chunks(w, len(sel), budget,
+                                          multiple=B * ndev):
+            out = _far_call(prep, accel, interpret, pallas_far, pre, order,
+                            B, _pad_rows(tp_dev[lo:hi], rows),
+                            _pad_rows(li_dev[lo:hi], rows), mesh)
             pending.append((sel[lo:hi], hi - lo, out))
     for s_idx, cnt, out in pending:
         res[s_idx] = np.asarray(out)[:cnt]
@@ -1263,9 +1385,10 @@ def _group_far_eval(prep, accel: bool, group_chunk: int = 1024,
 def tree_potentials_device_pallas(tree: Octree, theta: float = 0.7,
                                   prep=None, interpret: bool = False,
                                   far_chunk: int = 8192,
-                                  far_engine: str = "xla",
+                                  far_engine: str = "auto",
                                   group_leaves: int = 8,
-                                  near_engine: str = "auto") -> np.ndarray:
+                                  near_engine: str = "auto",
+                                  mesh=None) -> np.ndarray:
     """Device tree with the Pallas near-field engine (original order).
 
     ``near_engine``:
@@ -1276,7 +1399,13 @@ def tree_potentials_device_pallas(tree: Octree, theta: float = 0.7,
     * "classes" (scalar-prefetch width classes — 2.7–3.5 s at 1M but
       73 s at 10M);
     * "dma" / "group" / "gdma" — scattered-fetch variants, 3.1–4.5 s at
-      1M (kept for cross-validation; see CLAUDE.md kernel economics)."""
+      1M (kept for cross-validation; see CLAUDE.md kernel economics).
+
+    ``mesh``: a 1-D :class:`jax.sharding.Mesh` data-parallelizes the
+    solve over its devices (targets/windows chip-local, sources
+    replicated; reference parity: the Rust tree runs rayon-parallel over
+    all cores, ``tree.rs:1443-1547``).  Supported with the banded/packed
+    near engines."""
     if prep is None:
         prep = prepare_tree_pallas(tree, theta=theta,
                                    group_leaves=group_leaves)
@@ -1284,30 +1413,40 @@ def tree_potentials_device_pallas(tree: Octree, theta: float = 0.7,
     if near_engine == "auto":
         # classes wins below ~65k leaves (2.8 vs 3.7 s at 1M); above it
         # the dense-packed banded engine dominates (10M: packed 14.8 s
-        # vs banded 48 s vs classes 73 s)
-        near_engine = "packed" if prep["n_blocks"] >= 65536 else "classes"
+        # vs banded 48 s vs classes 73 s).  Mesh execution needs a banded
+        # engine (chunk scalars shard over chips).
+        if mesh is not None:
+            near_engine = "packed" if prep["n_blocks"] >= 65536 else "banded"
+        else:
+            near_engine = "packed" if prep["n_blocks"] >= 65536 else "classes"
     if near_engine not in ("classes", "dma", "group", "gdma", "banded",
                            "packed"):
         raise ValueError(f"near_engine must be 'classes', 'dma', 'group', "
                          f"'gdma', 'banded' or 'packed', "
                          f"got {near_engine!r}")
+    if mesh is not None and near_engine not in ("banded", "packed"):
+        raise ValueError("mesh execution supports near_engine 'banded' "
+                         f"or 'packed', got {near_engine!r}")
     if (near_engine in ("group", "gdma")
             and "gnear_counts" not in prep):
         near_engine = "classes"  # group lists absent (G=1 prep)
     far_all = _far_eval(prep, accel=False, interpret=interpret,
                         far_chunk=far_chunk, row_slice=slice(0, 1),
-                        far_engine=far_engine)
+                        far_engine=far_engine, mesh=mesh)
     if "gfar_classes" in prep:
         far_all = far_all + _group_far_eval(prep, accel=False,
-                                            interpret=interpret)
+                                            interpret=interpret,
+                                            far_engine=far_engine,
+                                            mesh=mesh)
     if near_engine == "packed":
         # packed near returns particle-space results directly
-        near_p = _near_packed(prep, kern, interpret, accel=False)
+        near_p = _near_packed(prep, kern, interpret, accel=False, mesh=mesh)
         return near_p + _scatter_leaf_blocks(prep, far_all, 1)
     near_fn = {"classes": _near_chunked, "dma": _near_dma,
                "group": _near_group, "gdma": _near_gdma,
                "banded": _near_banded}[near_engine]
-    near = near_fn(prep, kern, interpret, accel=False)
+    kw = {"mesh": mesh} if near_engine == "banded" else {}
+    near = near_fn(prep, kern, interpret, accel=False, **kw)
     total = np.asarray(near) + far_all
     return _scatter_leaf_blocks(prep, total, 1)
 
@@ -1315,35 +1454,46 @@ def tree_potentials_device_pallas(tree: Octree, theta: float = 0.7,
 def tree_accelerations_device_pallas(tree: Octree, theta: float = 0.7,
                                      prep=None, interpret: bool = False,
                                      far_chunk: int = 8192,
+                                     far_engine: str = "auto",
                                      group_leaves: int = 8,
-                                     near_engine: str = "auto") -> np.ndarray:
+                                     near_engine: str = "auto",
+                                     mesh=None) -> np.ndarray:
     if prep is None:
         prep = prepare_tree_pallas(tree, theta=theta,
                                    group_leaves=group_leaves)
     kern = prep["kernel"] or KERNEL_NONE
     if near_engine == "auto":
-        near_engine = "packed" if prep["n_blocks"] >= 65536 else "classes"
+        if mesh is not None:
+            near_engine = "packed" if prep["n_blocks"] >= 65536 else "banded"
+        else:
+            near_engine = "packed" if prep["n_blocks"] >= 65536 else "classes"
     if near_engine not in ("classes", "dma", "group", "gdma", "banded",
                            "packed"):
         raise ValueError(f"near_engine must be 'classes', 'dma', 'group', "
                          f"'gdma', 'banded' or 'packed', "
                          f"got {near_engine!r}")
+    if mesh is not None and near_engine not in ("banded", "packed"):
+        raise ValueError("mesh execution supports near_engine 'banded' "
+                         f"or 'packed', got {near_engine!r}")
     if (near_engine in ("group", "gdma")
             and "gnear_counts" not in prep):
         near_engine = "classes"  # group lists absent (G=1 prep)
     far_all = _far_eval(prep, accel=True, interpret=interpret,
                         far_chunk=far_chunk, row_slice=slice(0, 3),
-                        far_engine="xla")
+                        far_engine=far_engine, mesh=mesh)
     if "gfar_classes" in prep:
         far_all = far_all + _group_far_eval(prep, accel=True,
-                                            interpret=interpret)
+                                            interpret=interpret,
+                                            far_engine=far_engine,
+                                            mesh=mesh)
     if near_engine == "packed":
-        near_p = _near_packed(prep, kern, interpret, accel=True)
+        near_p = _near_packed(prep, kern, interpret, accel=True, mesh=mesh)
         return near_p + _scatter_leaf_blocks(prep, far_all, 3)
     near_fn = {"classes": _near_chunked, "dma": _near_dma,
                "group": _near_group, "gdma": _near_gdma,
                "banded": _near_banded}[near_engine]
-    near = near_fn(prep, kern, interpret, accel=True)
+    kw = {"mesh": mesh} if near_engine == "banded" else {}
+    near = near_fn(prep, kern, interpret, accel=True, **kw)
     total = np.asarray(near) + far_all
     return _scatter_leaf_blocks(prep, total, 3)
 

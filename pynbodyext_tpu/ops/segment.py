@@ -11,7 +11,6 @@ weighted-CDF interpolation — no per-bin host loop, fully jittable.
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

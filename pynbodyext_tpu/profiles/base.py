@@ -10,7 +10,7 @@ over the transformed, filtered view.
 
 from __future__ import annotations
 
-from typing import Any, Optional, Union
+from typing import Any
 
 from ..core.calculate import BuiltinKinds, CachePolicy, Param, ParamView, PropertyBase
 from .spatial_profile import RadialProfile

@@ -20,8 +20,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import ops
-from ..quantity import QArray, strip_units
-from ..units import Unit, dimensionless
+from ..quantity import QArray
+from ..units import Unit
 
 __all__ = ["BinsSet", "MaterializedBins", "register_bins_by",
            "register_bins_type", "register_bins_area"]

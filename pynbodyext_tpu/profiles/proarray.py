@@ -20,7 +20,7 @@ Statistic registry semantics match the reference exactly
 from __future__ import annotations
 
 import re
-from typing import Dict, List, Optional, Type, Union
+from typing import List, Optional, Type
 
 import jax.numpy as jnp
 import numpy as np

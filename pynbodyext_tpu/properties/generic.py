@@ -14,7 +14,6 @@ pynbody.analysis call becomes a masked jnp reduction or a bounded
 
 from __future__ import annotations
 
-from typing import Any
 
 import jax.numpy as jnp
 import numpy as np

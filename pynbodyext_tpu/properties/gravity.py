@@ -11,7 +11,7 @@ property:
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 from ..core.calculate import CachePolicy, Param, ParamView, PropertyBase
 from ..gravity.api import calculate_acceleration, calculate_potential

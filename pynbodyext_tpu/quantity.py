@@ -14,7 +14,7 @@ Reference counterpart: pynbody ``SimArray`` as used throughout
 
 from __future__ import annotations
 
-from typing import Any, Optional, Union
+from typing import Any
 
 import jax.numpy as jnp
 import numpy as np

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..quantity import QArray, strip_units
+from ..quantity import QArray
 from .snapshot import derived_field
 
 _EPS = 1e-30

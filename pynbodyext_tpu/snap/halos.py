@@ -11,7 +11,7 @@ snapshot instead of a Python loop over halos.
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Optional
 
 import jax.numpy as jnp
 import numpy as np

@@ -14,7 +14,6 @@ from typing import Dict, Optional
 import numpy as np
 
 from ..quantity import QArray
-from ..units import parse_unit
 from .snapshot import Snapshot
 
 __all__ = ["load_gadget_hdf5", "save_gadget_hdf5", "make_test_galaxy"]

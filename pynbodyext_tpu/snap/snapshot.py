@@ -21,14 +21,14 @@ TPU-first design divergences (SURVEY.md §7 "Design translation"):
 from __future__ import annotations
 
 import itertools
-from typing import Callable, Dict, Iterable, Mapping, Optional, Sequence, Union
+from typing import Callable, Dict, Mapping, Optional, Union
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..quantity import QArray, strip_units
-from ..units import Unit, UnitLike, dimensionless, parse_unit
+from ..units import Unit, UnitLike, dimensionless
 
 __all__ = ["Snapshot", "ParticleView", "SnapLike", "derived_field",
            "DEFAULT_FAMILIES", "FAMILY_ALIASES"]

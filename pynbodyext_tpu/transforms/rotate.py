@@ -8,7 +8,7 @@ as one MXU matmul each.
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import jax.numpy as jnp
 import numpy as np

@@ -12,7 +12,6 @@ from __future__ import annotations
 from typing import Any
 
 import jax.numpy as jnp
-import numpy as np
 
 from ..core.calculate import Param, ParamView, TransformBase
 from ..properties.generic import CenPos, CenVel

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from ..core.calculate import Param, ParamView, TransformBase
 from ..log import logger
 from ..quantity import QArray, strip_units
-from ..units import UnitError, parse_unit
+from ..units import parse_unit
 
 __all__ = ["WrapBox"]
 

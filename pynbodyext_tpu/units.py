@@ -21,7 +21,7 @@ from __future__ import annotations
 import math
 import re
 from fractions import Fraction
-from typing import Mapping, Union
+from typing import Union
 
 __all__ = [
     "Unit",

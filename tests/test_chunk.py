@@ -6,7 +6,7 @@ import pytest
 
 import pynbodyext_tpu as px
 from pynbodyext_tpu.chunk import (ChunkedSnapshot, HDF5ChunkStore,
-                                  SnapshotChunkStore, StreamingArray,
+                                  StreamingArray,
                                   is_streaming_array)
 
 

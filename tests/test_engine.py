@@ -5,9 +5,8 @@ import numpy as np
 import pytest
 
 import pynbodyext_tpu as px
-from pynbodyext_tpu.core.calculate import (CycleError, ErrorPolicy,
-                                           LambdaProperty, Pipeline,
-                                           PropertyBase, RunOptions, Scope)
+from pynbodyext_tpu.core.calculate import (CycleError, LambdaProperty, Pipeline,
+                                           PropertyBase, Scope)
 
 
 def test_run_returns_result(snap):

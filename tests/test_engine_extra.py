@@ -2,7 +2,6 @@
 coercion, option plumbing, sharded profiles, dryrun entry."""
 
 import numpy as np
-import jax.numpy as jnp
 import pytest
 
 import pynbodyext_tpu as px

@@ -5,7 +5,6 @@ partition ``len(bp1)+len(bp2)==len(snap)``, De Morgan ``~hp == lp``.
 """
 
 import numpy as np
-import jax.numpy as jnp
 import pytest
 
 import pynbodyext_tpu as px

@@ -143,3 +143,40 @@ def test_ring_compiled_on_tpu(mesh, cloud):
                                  interpret=False)
     ref = direct_potentials_ref(pos, m, h, kernel="plummer")
     np.testing.assert_allclose(np.asarray(pot), np.asarray(ref), rtol=2e-5)
+
+
+def test_mesh_sharded_device_tree(mesh):
+    """Mesh-sharded device-tree solve (banded + packed near engines, far
+    classes row-sharded) ≡ the single-device tree to f32 tolerance —
+    reference parity: the Rust tree solves on every core
+    (``tree.rs:1443-1547``)."""
+    from pynbodyext_tpu.gravity.tree import Octree
+    from pynbodyext_tpu.gravity.tree_tpu import (
+        prepare_tree_pallas, tree_accelerations_device_pallas,
+        tree_potentials_device_pallas)
+    rng = np.random.default_rng(11)
+    n = 3000
+    r = rng.exponential(3.0, n)
+    vec = rng.normal(size=(n, 3))
+    vec /= np.linalg.norm(vec, axis=1, keepdims=True)
+    pos = vec * r[:, None]
+    m = rng.uniform(0.5, 2, n)
+    h = rng.uniform(0.02, 0.08, n)
+    tree = Octree(pos, m, leaf_capacity=64, multipole_order=0,
+                  softenings=h, kernel="plummer")
+    prep = prepare_tree_pallas(tree, theta=0.6, group_leaves=8)
+    phi1 = tree_potentials_device_pallas(tree, prep=prep, interpret=True,
+                                         near_engine="banded")
+    scale = np.abs(phi1).max()
+    for eng in ("banded", "packed"):
+        phi8 = tree_potentials_device_pallas(tree, prep=prep,
+                                             interpret=True,
+                                             near_engine=eng, mesh=mesh)
+        np.testing.assert_allclose(phi8, phi1, rtol=1e-5,
+                                   atol=scale * 1e-6, err_msg=eng)
+    acc1 = tree_accelerations_device_pallas(tree, prep=prep, interpret=True,
+                                            near_engine="banded")
+    ascale = np.abs(acc1).max()
+    acc8 = tree_accelerations_device_pallas(tree, prep=prep, interpret=True,
+                                            near_engine="packed", mesh=mesh)
+    np.testing.assert_allclose(acc8, acc1, rtol=1e-4, atol=ascale * 1e-5)

@@ -6,7 +6,7 @@ import numpy as np
 import pytest
 
 import pynbodyext_tpu as px
-from pynbodyext_tpu.profiles import (BinsSet, Profile, RadialProfile,
+from pynbodyext_tpu.profiles import (Profile, RadialProfile,
                                      RadialProfileBuilder, StarAgeProfile,
                                      SubProfile, get_statistic)
 

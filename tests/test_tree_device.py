@@ -364,3 +364,59 @@ def test_packed_engine_theta0_e2e(clustered):
     acc_dir = native_direct_accelerations(pos, m, h, kernel="plummer")
     np.testing.assert_allclose(acc, acc_dir, rtol=1e-3,
                                atol=np.abs(acc_dir).max() * 1e-5)
+
+
+def test_engine_guards_and_host_release(clustered):
+    """Round-3 robustness: Gn bitmask guard, far_engine honored, and
+    release_host_buffers with lazy host-side rebuild."""
+    pos, m, h = clustered
+    from pynbodyext_tpu.gravity import tree_tpu
+    tree = Octree(pos, m, leaf_capacity=128, multipole_order=0,
+                  softenings=h, kernel="plummer")
+    prep = tree_tpu.prepare_tree_pallas(tree, theta=0.5, group_leaves=8)
+    kern = prep["kernel"]
+    with pytest.raises(ValueError, match="Gn must be <= 32"):
+        tree_tpu._near_banded(prep, kern, True, accel=False, Gn=64)
+    # far_engine='pallas' requires the compiled payload kernel
+    with pytest.raises(ValueError, match="far_engine='pallas'"):
+        tree_tpu._far_eval(prep, accel=False, interpret=True,
+                           far_engine="pallas")
+    phi_ref = tree_tpu.tree_potentials_device_pallas(
+        tree, prep=prep, interpret=True, far_engine="xla")
+    # dropping the pinned host copies must not change any engine's result
+    # (structures rebuild lazily from the retained tree handle)
+    prep2 = tree_tpu.prepare_tree_pallas(tree, theta=0.5, group_leaves=8)
+    tree_tpu.release_host_buffers(prep2)
+    assert prep2["_particles"] is None and prep2["_tiles_np"] is None
+    phi2 = tree_tpu.tree_potentials_device_pallas(
+        tree, prep=prep2, interpret=True, far_engine="xla",
+        near_engine="classes")
+    np.testing.assert_allclose(phi2, phi_ref, rtol=2e-5,
+                               atol=np.abs(phi_ref).max() * 1e-6)
+
+
+def test_prep_disk_cache_roundtrip(clustered, tmp_path):
+    """cached_prepare_tree_pallas: miss builds + saves; hit skips the
+    octree build entirely and solves to identical results; refresh
+    persists lazily-built engine structures."""
+    pos, m, h = clustered
+    from pynbodyext_tpu.gravity import tree_tpu
+    from pynbodyext_tpu.gravity.prep_cache import (
+        cached_prepare_tree_pallas, refresh_tree_prep_cache)
+    kw = dict(leaf_capacity=128, multipole_order=0, kernel="plummer",
+              theta=0.5, group_leaves=8, cache_dir=tmp_path)
+    prep1, tree1 = cached_prepare_tree_pallas(pos, m, h, **kw)
+    assert tree1 is not None  # miss
+    phi1 = tree_tpu.tree_potentials_device_pallas(
+        tree1, prep=prep1, interpret=True, near_engine="packed")
+    assert refresh_tree_prep_cache(prep1)  # packed structures appeared
+    prep2, tree2 = cached_prepare_tree_pallas(pos, m, h, **kw)
+    assert tree2 is None  # hit: no octree built
+    assert ("packed", 5) in prep2  # lazy structures restored
+    phi2 = tree_tpu.tree_potentials_device_pallas(
+        None, prep=prep2, interpret=True, near_engine="packed")
+    np.testing.assert_array_equal(phi1, phi2)
+    # different theta → different key → miss
+    kw2 = dict(kw, theta=0.6)
+    prep3, tree3 = cached_prepare_tree_pallas(pos, m, h, **kw2)
+    assert tree3 is not None

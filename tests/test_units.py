@@ -1,6 +1,5 @@
 """Units and QArray tests."""
 
-import math
 
 import numpy as np
 import pytest

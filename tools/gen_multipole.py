@@ -19,7 +19,6 @@ Run: ``python tools/gen_multipole.py`` (idempotent; outputs are committed).
 
 from __future__ import annotations
 
-import itertools
 from fractions import Fraction
 from typing import Dict, Tuple
 
