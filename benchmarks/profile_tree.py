@@ -49,7 +49,6 @@ def main():
             t0 = time.perf_counter()
             fn()
             ts.append(time.perf_counter() - t0)
-        ts.sorted = sorted(ts)
         print(f"  {label:28s} {sorted(ts)[len(ts)//2]:7.2f} s   "
               f"(all: {' '.join(f'{t:.2f}' for t in ts)})", flush=True)
         return sorted(ts)[len(ts) // 2]

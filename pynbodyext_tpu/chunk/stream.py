@@ -13,7 +13,8 @@ from ..snap.snapshot import FAMILY_ALIASES, Snapshot
 from ..units import Unit, UnitLike, dimensionless, parse_unit
 
 __all__ = ["ChunkStore", "SnapshotChunkStore", "HDF5ChunkStore",
-           "StreamingArray", "ChunkedSnapshot", "is_streaming_array"]
+           "StreamingArray", "ChunkedSnapshot", "ChunkView", "ChunkedMask",
+           "is_streaming_array"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -381,6 +382,130 @@ class StreamingArray:
                 f"chunks={self._store.n_chunks} units='{self.units}'>")
 
 
+def stream_weighted_mean(vec: "StreamingArray",
+                         w: "StreamingArray") -> jnp.ndarray:
+    """Σ w·v / Σ w over the (shared) selection, one chunk resident at a
+    time — the chunked ``center_of_mass``."""
+    num, den = 0.0, 0.0
+    for i in range(vec._store.n_chunks):
+        v = vec.chunk(i)
+        ww = w.chunk(i)
+        m = vec.chunk_mask(i)
+        if m is not None:
+            ww = jnp.where(m, ww, 0.0)
+        num = num + jnp.sum(v * ww.reshape(ww.shape + (1,) * (v.ndim - 1)),
+                            axis=0)
+        den = den + jnp.sum(ww)
+    return num / jnp.maximum(den, 1e-30)
+
+
+def stream_weighted_cross_sum(pos: "StreamingArray", vel: "StreamingArray",
+                              w: "StreamingArray") -> jnp.ndarray:
+    """Σ w·(r×v) over the selection (chunked angular momentum)."""
+    out = 0.0
+    for i in range(pos._store.n_chunks):
+        p = pos.chunk(i)
+        v = vel.chunk(i)
+        ww = w.chunk(i)
+        m = pos.chunk_mask(i)
+        if m is not None:
+            ww = jnp.where(m, ww, 0.0)
+        out = out + jnp.sum(jnp.cross(p, v) * ww[:, None], axis=0)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Chunk-local views + lazy masks (engine integration)
+# ---------------------------------------------------------------------------
+
+class ChunkView:
+    """Chunk-local snapshot facade: fields load on demand, derived fields
+    evaluate through the normal registry, family masks are chunk-local.
+
+    This is what lets every mask-shaped calculator run UNCHANGED on
+    chunked snapshots: ``FilterBase.build_mask(chunk_view, params)`` per
+    chunk (the reference instead makes ``ChunkSimSnap`` a full SimSnap,
+    ``chunk/chunksnap.py:84-121``)."""
+
+    mask = None  # chunk views carry no row mask (selection composes outside)
+
+    def __init__(self, store: ChunkStore, i: int):
+        self._store = store
+        self._i = i
+        self._lo, self._hi = store.chunk_bounds(i)
+        self._cache: Dict[str, QArray] = {}
+
+    def __len__(self) -> int:
+        return self._hi - self._lo
+
+    @property
+    def properties(self) -> dict:
+        return self._store.properties
+
+    def units_context(self) -> dict:
+        out = {}
+        for k in ("a", "h"):
+            v = self.properties.get(k)
+            if v is not None:
+                out[k] = float(strip_units(v))
+        return out
+
+    def has_field(self, key: str) -> bool:
+        if key in self._store._fields or key in self._store.field_names:
+            return True
+        from ..snap.snapshot import _DERIVED_REGISTRY
+        return key in _DERIVED_REGISTRY
+
+    def __getitem__(self, key: str) -> QArray:
+        got = self._cache.get(key)
+        if got is not None:
+            return got
+        try:
+            info = self._store.field_info(key)
+            q = QArray(jnp.asarray(self._store.load_chunk(key, self._i)),
+                       info.units)
+        except KeyError:
+            from ..snap.snapshot import _DERIVED_REGISTRY
+            fn = _DERIVED_REGISTRY.get(key)
+            if fn is None:
+                raise KeyError(f"unknown field {key!r} on chunk view") \
+                    from None
+            q = fn(self)
+        self._cache[key] = q
+        return q
+
+    def family_mask(self, *names: str) -> jnp.ndarray:
+        idx = jnp.arange(self._lo, self._hi)
+        out = jnp.zeros(self._hi - self._lo, bool)
+        for name in names:
+            fam = FAMILY_ALIASES.get(name, name)
+            sl = self._store.family_slices.get(fam)
+            if sl is None:
+                continue
+            out = jnp.logical_or(
+                out, jnp.logical_and(idx >= sl.start, idx < sl.stop))
+        return out
+
+
+class ChunkedMask:
+    """Lazy per-chunk boolean mask — the chunked ``FilterResult`` payload.
+
+    Duck-typed via the ``chunk_mask_fn`` attribute so the core filter
+    combinators can compose chunked and full-length masks without the
+    core layer importing this module."""
+
+    def __init__(self, store: ChunkStore, fn: Callable[[int], jnp.ndarray]):
+        self.store = store
+        self.chunk_mask_fn = fn
+
+    def count(self) -> int:
+        return int(sum(int(jnp.sum(self.chunk_mask_fn(i)))
+                       for i in range(self.store.n_chunks)))
+
+    def __repr__(self):
+        return f"<ChunkedMask chunks={self.store.n_chunks}>"
+
+
 # ---------------------------------------------------------------------------
 # Chunked snapshot facade
 # ---------------------------------------------------------------------------
@@ -459,9 +584,77 @@ class ChunkedSnapshot:
         idx = jnp.arange(lo, hi)
         return jnp.logical_and(idx >= sl.start, idx < sl.stop)
 
+    # -- engine integration -----------------------------------------------------
+    def chunk_view(self, i: int) -> ChunkView:
+        """Chunk-local snapshot facade (filters/derived fields run on it)."""
+        return ChunkView(self.store, i)
+
+    def make_chunk_mask(self, fn: Callable[[int], jnp.ndarray]) -> ChunkedMask:
+        return ChunkedMask(self.store, fn)
+
+    def chunk_selection(self, i: int) -> Optional[jnp.ndarray]:
+        """Combined family+filter row selection for chunk ``i`` (None =
+        everything selected)."""
+        fam = self._chunk_family_weight(i)
+        extra = None if self._extra_mask is None else self._extra_mask(i)
+        if fam is None:
+            return extra
+        if extra is None:
+            return fam
+        return jnp.logical_and(fam, extra)
+
+    @property
+    def base(self) -> "ChunkedSnapshot":
+        """Unrestricted snapshot over the same store (Snapshot protocol)."""
+        return ChunkedSnapshot(self.store)
+
+    def where(self, filt) -> ChunkedMask:
+        """Chunked mask of a standalone filter (``snap[filt]`` support)."""
+        return self.make_chunk_mask(
+            lambda i: jnp.asarray(filt.where(self.chunk_view(i))))
+
     # -- field access ---------------------------------------------------------------
-    def __getitem__(self, name: str) -> StreamingArray:
+    def __getitem__(self, name) -> StreamingArray:
+        if not isinstance(name, str):
+            return self._getitem_nonstr(name)
+        if name not in self.store._fields:
+            try:
+                self.store.field_info(name)
+            except KeyError:
+                # derived field: evaluate the registered closure per chunk
+                # (reference lazily derives on dask arrays, chunksnap.py:123)
+                from ..snap.snapshot import _DERIVED_REGISTRY
+                if name not in _DERIVED_REGISTRY:
+                    raise
+                probe = _DERIVED_REGISTRY[name](self.chunk_view(0))
+                arr = StreamingArray(
+                    self.store,
+                    lambda i: _DERIVED_REGISTRY[name](self.chunk_view(i)).value,
+                    probe.units, tuple(probe.shape[1:]), name)
+                return self._restrict(arr, name)
         arr = StreamingArray.from_field(self.store, name)
+        return self._restrict(arr, name)
+
+    def _getitem_nonstr(self, key):
+        """Mask-shaped indexing: chunked masks, filters, full bool arrays →
+        filtered views (the engine's ``active[mask]``)."""
+        if hasattr(key, "chunk_mask_fn"):
+            return self.filtered(key.chunk_mask_fn)
+        if hasattr(key, "where"):  # FilterBase duck type
+            return self.filtered(
+                lambda i, f=key: jnp.asarray(f.where(self.chunk_view(i))))
+        if hasattr(key, "shape") and len(getattr(key, "shape", ())) == 1 \
+                and key.shape[0] == self.store.n_total:
+            arr = key
+
+            def slice_mask(i):
+                lo, hi = self.store.chunk_bounds(i)
+                return jnp.asarray(arr[lo:hi]).astype(bool)
+            return self.filtered(slice_mask)
+        raise TypeError(f"cannot index ChunkedSnapshot with "
+                        f"{type(key).__name__}")
+
+    def _restrict(self, arr: StreamingArray, name: str) -> StreamingArray:
         if self._family is not None:
             sl = self.store.family_slices.get(self._family)
             fam_n = 0 if sl is None else sl.stop - sl.start

@@ -34,11 +34,15 @@ class FilterResult:
     source: Any = None
 
     def count(self) -> int:
+        if hasattr(self.mask, "count"):
+            return int(self.mask.count())
         return int(jnp.sum(self.mask))
 
 
 def _normalize_mask(mask):
     """Coerce 0/1 arrays to bool (reference ``filters.py:147``)."""
+    if hasattr(mask, "chunk_mask_fn"):
+        return mask  # lazy chunked mask: normalized per chunk at build time
     mask = strip_units(mask)
     mask = jnp.asarray(mask)
     if mask.dtype != jnp.bool_:
@@ -60,8 +64,16 @@ class FilterBase(CalculatorBase):
 
     # -- engine protocol ------------------------------------------------------
     def compute(self, ctx, input, params: ParamView) -> FilterResult:
-        mask = _normalize_mask(self.build_mask(input.active, params))
-        return FilterResult(mask=mask, source=input.active)
+        sim = input.active
+        if hasattr(sim, "chunk_view"):
+            # chunked snapshot: masks stay lazy, one chunk at a time — the
+            # SAME build_mask runs per chunk on a chunk-local view
+            def mask_fn(i, _f=self, _p=params, _s=sim):
+                return _normalize_mask(_f.build_mask(_s.chunk_view(i), _p))
+            return FilterResult(mask=sim.make_chunk_mask(mask_fn),
+                                source=sim)
+        mask = _normalize_mask(self.build_mask(sim, params))
+        return FilterResult(mask=mask, source=sim)
 
     def public_value_from_raw(self, raw: FilterResult):
         return raw.mask
@@ -131,24 +143,50 @@ class _CombinatorFilter(FilterBase):
         return self._name or f"({f' {self._symbol} '.join(c.label for c in self.children)})"
 
 
+def _fold_masks(masks, op):
+    """Reduce masks with ``op``, transparently composing lazy chunked
+    masks (duck-typed on ``chunk_mask_fn``) with each other and with
+    full-length arrays."""
+    chunked = [m for m in masks if hasattr(m, "chunk_mask_fn")]
+    if not chunked:
+        out = masks[0]
+        for m in masks[1:]:
+            out = op(out, m)
+        return out
+    store = chunked[0].store
+
+    def fn_of(m):
+        if hasattr(m, "chunk_mask_fn"):
+            return m.chunk_mask_fn
+        arr = m  # full-length array → per-chunk slices
+
+        def sliced(i):
+            lo, hi = store.chunk_bounds(i)
+            return jnp.asarray(arr[lo:hi])
+        return sliced
+
+    fns = [fn_of(m) for m in masks]
+
+    def combined(i):
+        out = fns[0](i)
+        for f in fns[1:]:
+            out = op(out, f(i))
+        return out
+    return type(chunked[0])(store, combined)
+
+
 class AndFilter(_CombinatorFilter):
     _symbol = "&"
 
     def _combine(self, masks):
-        out = masks[0]
-        for m in masks[1:]:
-            out = jnp.logical_and(out, m)
-        return out
+        return _fold_masks(masks, jnp.logical_and)
 
 
 class OrFilter(_CombinatorFilter):
     _symbol = "|"
 
     def _combine(self, masks):
-        out = masks[0]
-        for m in masks[1:]:
-            out = jnp.logical_or(out, m)
-        return out
+        return _fold_masks(masks, jnp.logical_or)
 
 
 class NotFilter(_CombinatorFilter):
@@ -158,7 +196,11 @@ class NotFilter(_CombinatorFilter):
         super().__init__(child)
 
     def _combine(self, masks):
-        return jnp.logical_not(masks[0])
+        m = masks[0]
+        if hasattr(m, "chunk_mask_fn"):
+            fn = m.chunk_mask_fn
+            return type(m)(m.store, lambda i: jnp.logical_not(fn(i)))
+        return jnp.logical_not(m)
 
     @property
     def label(self):

@@ -1129,6 +1129,16 @@ def _near_banded(prep, kern, interpret, accel, R: int = 4, Gn: int = 1,
     return out[:, 0, :]
 
 
+@jax.jit
+def _gather_class_dev(pay_dev, mat_dev, targets_dev, sel_dev):
+    """One fused device op per class: payload gather+transpose + target
+    row selection.  Fusing keeps prep at ONE remote XLA compile per class
+    (separate transpose/gather dispatches each paid their own remote
+    compile — ~16 s of the 47 s 1M prep was exactly these)."""
+    return (jnp.transpose(pay_dev[:, mat_dev], (1, 0, 2)),
+            targets_dev[sel_dev])
+
+
 def _build_classes(counts, flat_ids, min_width: int, fill: int, targets,
                    flat_aux=None, payload=None):
     """Partition blocks into power-of-two width classes by list length and
@@ -1140,10 +1150,10 @@ def _build_classes(counts, flat_ids, min_width: int, fill: int, targets,
     Eliminates (a) pad-to-global-max compute waste (up to ~9× on the group
     residual lists), (b) per-chunk host→device list shipping — fatal under
     the remote relay — and (c) per-chunk device gathers of target rows.
-    ``payload`` (P, n_items) f32 (transposed): pre-gather on the HOST and
-    upload the dense (rows, w, P) matrix INSTEAD of the id matrix — device
-    row gathers measured ~1.3 s of the 2.9 s far field at 1M (row-granular
-    ~0.23 GB/s); streaming a pre-gathered payload is free by comparison.
+    ``payload`` (P, n_items) f32 (transposed): uploaded once; each class's
+    dense (rows, P, w) payload matrix is gathered ON DEVICE in the same
+    fused op as the target selection (per-eval row gathers stay
+    pre-gathered — those were the measured eval wall, ~0.23 GB/s).
     Returns [(width, sel_np, lists_or_payload_dev, targets_dev), …]."""
     counts = np.asarray(counts, np.int64)
     flat_ids = np.asarray(flat_ids, np.int32)
@@ -1160,6 +1170,7 @@ def _build_classes(counts, flat_ids, min_width: int, fill: int, targets,
     # of prep; the device take of 4 KB rows is bandwidth-bound and cheap
     targets_dev = isinstance(targets, jnp.ndarray)
     targets_np = targets if targets_dev else np.asarray(targets)
+    pay_dev = jnp.asarray(payload) if payload is not None else None
     for w in np.unique(widths):
         sel = np.nonzero(widths == w)[0]
         c = counts[sel]
@@ -1169,19 +1180,22 @@ def _build_classes(counts, flat_ids, min_width: int, fill: int, targets,
                   - np.repeat(np.cumsum(c) - c, c))
         src = np.repeat(starts[sel], c) + within
         mat[row, within] = flat_ids[src]
-        tgt_sel = (targets_np[jnp.asarray(sel)] if targets_dev
-                   else jnp.asarray(targets_np[sel]))
-        if payload is not None:
+        if payload is not None and targets_dev:
             # (ns, P, w): node lanes last — feeds both the pallas far
-            # kernel ((1, 4, ts) blocks) and the XLA pre evaluators.
-            # Host does ONE gather from the (P, n) transposed payload;
-            # the (P, ns, w) → (ns, P, w) transpose runs on device
-            entry = [int(w), sel,
-                     jnp.transpose(jnp.asarray(payload[:, mat]),
-                                   (1, 0, 2)),
-                     tgt_sel]
+            # kernel ((1, 4, ts) blocks) and the XLA pre evaluators
+            pay_cls, tgt_sel = _gather_class_dev(
+                pay_dev, jnp.asarray(mat), targets_np, jnp.asarray(sel))
+            entry = [int(w), sel, pay_cls, tgt_sel]
         else:
-            entry = [int(w), sel, jnp.asarray(mat), tgt_sel]
+            tgt_sel = (targets_np[jnp.asarray(sel)] if targets_dev
+                       else jnp.asarray(targets_np[sel]))
+            if payload is not None:
+                entry = [int(w), sel,
+                         jnp.transpose(jnp.asarray(payload[:, mat]),
+                                       (1, 0, 2)),
+                         tgt_sel]
+            else:
+                entry = [int(w), sel, jnp.asarray(mat), tgt_sel]
         if flat_aux is not None:
             aux = np.zeros((len(sel), int(w)), np.int32)
             aux[row, within] = np.asarray(flat_aux, np.int32)[src]

@@ -247,6 +247,15 @@ class Profile(ProfileBase):
     """Root profile: builds bins over the given view
     (reference ``profile.py:528``)."""
 
+    def __new__(cls, sim=None, **kwargs):
+        if sim is not None and hasattr(sim, "chunk_view"):
+            # chunked snapshot → streaming profile (per-bin segment sums,
+            # one chunk resident at a time); the returned object is not an
+            # instance of ``cls`` so ``__init__`` is skipped
+            from ..chunk.profile import make_streaming_profile
+            return make_streaming_profile(cls, sim, **kwargs)
+        return super().__new__(cls)
+
     def __init__(self, sim, *, weight: Union[str, None, Any] = None,
                  bins_by="r", bins_type="lin", nbins: int = 100,
                  bin_min=None, bin_max=None, bins_area="spherical_shell",

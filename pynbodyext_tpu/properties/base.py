@@ -14,6 +14,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import ops
+from ..chunk.stream import is_streaming_array
 from ..core.calculate import Param, ParamView, PropertyBase
 from ..quantity import QArray, strip_units
 
@@ -42,6 +43,11 @@ class ParamSum(PropertyBase):
 
     def calculate(self, sim, params: ParamView):
         q = sim[params.parameter]
+        if is_streaming_array(q):
+            # chunked snapshot: mask-aware streaming reduction, one chunk
+            # resident at a time (reference runs calculators on dask-lazy
+            # ChunkSimSnaps, ``chunk/chunksnap.py:84-121``)
+            return q.sum()
         return QArray(ops.msum(q.value, sim.mask), q.units)
 
 
@@ -62,8 +68,19 @@ class ParamContain(PropertyBase):
         frac_arr, scalar = _normalize_frac(params.frac)
         key = sim[params.cal_key]
         weight = sim[params.parameter]
+        if is_streaming_array(key):
+            # chunked: stream-concatenate just the two selected (N,)
+            # columns (≪ the snapshot) and run the exact sorted CDF
+            kv = key.compute().value
+            vals = ops.containment_radius(kv, jnp.asarray(frac_arr),
+                                          weight.compute().value)
+            return self._finish(vals, scalar, key.units, params)
         vals = ops.containment_radius(key.value, jnp.asarray(frac_arr),
                                       weight.value, mask=sim.mask)
+        return self._finish(vals, scalar, key.units, params)
+
+    @staticmethod
+    def _finish(vals, scalar, units, params):
         if not bool(jnp.all(jnp.isfinite(vals))):
             # matches the reference's guard (properties/base.py:92):
             # empty selection / non-positive total weight
@@ -71,7 +88,7 @@ class ParamContain(PropertyBase):
                 f"Non-positive total {params.parameter!r} in the current "
                 "selection; cannot compute containment radius.")
         out = vals[0] if scalar else vals
-        return QArray(out, key.units)
+        return QArray(out, units)
 
 
 @PropertyBase.dataclass

@@ -47,6 +47,27 @@ class CenPos(PropertyBase):
 
     def calculate(self, sim, params: ParamView):
         pos = sim["pos"]
+        from ..chunk.stream import (is_streaming_array, stream_weighted_mean)
+        if is_streaming_array(pos):
+            if params.mode == "com":
+                # true streaming reduction: one chunk resident at a time
+                return QArray(stream_weighted_mean(pos, sim["mass"]),
+                              pos.units)
+            # sort/iteration-shaped centers: stream-concatenate only the
+            # selected pos (and phi) columns — ≪ the full snapshot
+            pv = pos.compute().value
+            w = sim["mass"].compute().value
+            if params.mode == "pot":
+                cen = ops.potential_center(pv, sim["phi"].compute().value)
+            elif params.mode == "ssc":
+                cen = ops.shrink_sphere_center(pv, weights=w)
+            else:  # hyb
+                r5 = parse_unit("5 kpc").ratio(pos.units,
+                                               **sim.chunk_view(0)
+                                               .units_context())
+                cen = ops.hybrid_center(pv, sim["phi"].compute().value,
+                                        weights=w, r=float(r5))
+            return QArray(cen, pos.units)
         w = _mass_weights(sim)
         if params.mode == "com":
             cen = ops.center_of_mass(pos.value, w, mask=sim.mask)
@@ -77,6 +98,9 @@ class CenVel(PropertyBase):
 
     def calculate(self, sim, params: ParamView):
         vel = sim["vel"]
+        from ..chunk.stream import (is_streaming_array, stream_weighted_mean)
+        if is_streaming_array(vel):
+            return QArray(stream_weighted_mean(vel, sim["mass"]), vel.units)
         cen = ops.center_of_mass(vel.value, _mass_weights(sim), mask=sim.mask)
         return QArray(cen, vel.units)
 
@@ -87,6 +111,11 @@ class AngMomVec(PropertyBase):
 
     def calculate(self, sim, params: ParamView):
         pos, vel, mass = sim["pos"], sim["vel"], sim["mass"]
+        from ..chunk.stream import (is_streaming_array,
+                                    stream_weighted_cross_sum)
+        if is_streaming_array(pos):
+            return QArray(stream_weighted_cross_sum(pos, vel, mass),
+                          mass.units * pos.units * vel.units)
         cross = jnp.cross(pos.value, vel.value)
         am = ops.msum(cross, sim.mask, weights=mass.value)
         return QArray(am, mass.units * pos.units * vel.units)

@@ -39,10 +39,17 @@ class AlignVec(TransformBase):
             self.vector = AngMomVec()
 
     def apply(self, snapshot, params: ParamView):
-        vec = np.asarray(strip_units(params.vector), dtype=float)
-        if np.isnan(vec).any() or np.linalg.norm(vec) == 0:
-            raise ValueError(f"alignment vector is zero or NaN: {vec}")
-        matrix = faceon_matrix(jnp.asarray(vec),
+        vec = strip_units(params.vector)
+        if isinstance(vec, (list, tuple, np.ndarray)) or np.ndim(vec) == 0:
+            # host-provided vector: validate eagerly (reference raises)
+            vec = np.asarray(vec, dtype=float)
+            if np.isnan(vec).any() or np.linalg.norm(vec) == 0:
+                raise ValueError(f"alignment vector is zero or NaN: {vec}")
+        # device-resident vectors (e.g. an AngMomVec dependency) are NOT
+        # synced here: a host readback per phase costs a full relay round
+        # trip (~29 ms) and breaks async chaining — an invalid vector
+        # surfaces as NaNs at the result sync instead
+        matrix = faceon_matrix(jnp.asarray(vec, dtype=jnp.float32),
                                None if params.up is None
                                else jnp.asarray(params.up, dtype=jnp.float32))
         pos = snapshot["pos"]

@@ -189,3 +189,83 @@ def test_map_reduce_sharded(chunked, centered_snap):
     p = np.asarray(centered_snap["pos"], dtype=np.float64)
     np.testing.assert_allclose(np.asarray(total), (m[:, None] * p).sum(0),
                                rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Round 3: calculator ENGINE on chunked snapshots — no materialize
+# (reference: every calculator runs on dask-lazy ChunkSimSnap,
+# chunksnap.py:84-123)
+# ---------------------------------------------------------------------------
+
+def test_derived_fields_stream(chunked, centered_snap):
+    r = chunked["r"]
+    assert is_streaming_array(r)
+    ref = np.linalg.norm(np.asarray(centered_snap["pos"]), axis=1)
+    assert float(r.max().value) == pytest.approx(float(ref.max()), rel=1e-6)
+    assert float(r.sum().value) == pytest.approx(float(ref.sum()), rel=1e-6)
+    # derived of derived (ke) + family view composition
+    ke_s = chunked.s["ke"].sum()
+    sl = centered_snap.family_slices["star"]
+    vel = np.asarray(centered_snap["vel"], dtype=np.float64)[sl]
+    assert float(ke_s.value) == pytest.approx(
+        0.5 * float((vel ** 2).sum()), rel=1e-5)
+
+
+def test_engine_param_sum_with_filters(chunked, centered_snap):
+    calc = px.ParamSum("mass").filter(px.FamilyFilter("star"))
+    got = float(calc(chunked).value)
+    ref = float(calc(centered_snap).value)
+    assert got == pytest.approx(ref, rel=1e-6)
+    # combined filter: Sphere & FamilyFilter through the engine
+    calc2 = px.ParamSum("mass").filter(
+        px.Sphere(3.0) & px.FamilyFilter("star"))
+    got2 = float(calc2(chunked).value)
+    ref2 = float(calc2(centered_snap).value)
+    assert 0 < got2 < ref
+    assert got2 == pytest.approx(ref2, rel=1e-6)
+    # negation
+    calc3 = px.ParamSum("mass").filter(~px.FamilyFilter("star"))
+    assert float(calc3(chunked).value) == pytest.approx(
+        float(calc3(centered_snap).value), rel=1e-6)
+
+
+def test_engine_param_contain_chunked(chunked, centered_snap):
+    calc = px.ParamContain("r", 0.5, "mass").filter(px.FamilyFilter("star"))
+    got = float(calc(chunked).value)
+    ref = float(calc(centered_snap).value)
+    assert got == pytest.approx(ref, rel=1e-5)
+
+
+def test_engine_centers_chunked(chunked, centered_snap):
+    for calc in (px.CenPos("com"), px.CenVel("com"), px.AngMomVec()):
+        got = np.asarray(calc(chunked).value)
+        ref = np.asarray(calc(centered_snap).value)
+        np.testing.assert_allclose(got, ref, rtol=2e-5,
+                                   atol=np.abs(ref).max() * 1e-5)
+
+
+def test_streaming_radial_profile_matches(chunked, centered_snap):
+    from pynbodyext_tpu.profiles import RadialProfile
+    pr_ref = RadialProfile(centered_snap, ndim=3, weight="mass", nbins=12,
+                           bin_min=0.1, bin_max=8.0)
+    pr_str = RadialProfile(chunked, ndim=3, weight="mass", nbins=12,
+                           bin_min=0.1, bin_max=8.0)
+    np.testing.assert_allclose(np.asarray(pr_str.rbins.value),
+                               np.asarray(pr_ref.rbins.value), rtol=1e-6)
+    np.testing.assert_array_equal(pr_str.npart_bins, pr_ref.npart_bins)
+    for expr in ("density", "mass_enc"):
+        a = np.asarray(pr_str[expr].value)
+        b = np.asarray(pr_ref[expr].value)
+        np.testing.assert_allclose(a, b, rtol=2e-5, err_msg=expr)
+    # weighted mean + dispersion of a derived field
+    np.testing.assert_allclose(np.asarray(pr_str["vr"].value),
+                               np.asarray(pr_ref["vr"].value),
+                               rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(pr_str["vr"]["disp"].value),
+                               np.asarray(pr_ref["vr"]["disp"].value),
+                               rtol=2e-3, atol=1e-4)
+    # family subprofile
+    np.testing.assert_array_equal(pr_str.s.npart_bins, pr_ref.s.npart_bins)
+    # rank statistics are explicitly unsupported on the streaming path
+    with pytest.raises(NotImplementedError):
+        pr_str["vr"]["p16"]
