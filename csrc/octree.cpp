@@ -1054,6 +1054,48 @@ void pnx_tree_leaves(void *h, int32_t *starts, int32_t *counts) {
   }
 }
 
+// assign arbitrary query points to their containing (or nearest) leaf:
+// descend by child-cube distance, skipping empty subtrees.  Serves the
+// device-evaluated at-points path (reference capability: tree traversal
+// to arbitrary targets, tree.rs:1284).
+void pnx_tree_point_leaves(void *h, const double *pts, long m,
+                           int32_t *out_seq) {
+  Tree *t = (Tree *)h;
+  ensure_leaf_numbering(*t);
+  parallel_for_impl(m, 0, [&](long a, long b) {
+    for (long i = a; i < b; ++i) {
+      const double p[3] = {pts[3 * i], pts[3 * i + 1], pts[3 * i + 2]};
+      int32_t cur = 0;
+      while (t->nodes[cur].first_child >= 0) {
+        int32_t best = -1;
+        double bestd = 1e300;
+        int32_t end = t->nodes[cur].next_branch;
+        for (int32_t c = t->nodes[cur].first_child; c >= 0 && c != end;
+             c = t->nodes[c].next_branch) {
+          const Node &cn = t->nodes[c];
+          bool leaf = cn.first_child < 0;
+          if (leaf ? cn.pcount <= 0 : cn.mass <= 0.0)
+            continue;  // empty subtree can't anchor near-field lists
+          double d = 0.0;
+          for (int k = 0; k < 3; ++k) {
+            double o = std::abs(p[k] - cn.center[k]) - cn.half;
+            if (o > 0) d += o * o;
+          }
+          if (d < bestd) {
+            bestd = d;
+            best = c;
+            if (d == 0.0) break;
+          }
+        }
+        if (best < 0) break;
+        cur = best;
+      }
+      int32_t s = t->leaf_seq[cur];
+      out_seq[i] = s >= 0 ? s : 0;
+    }
+  });
+}
+
 // per-block target ranges (tree order): start index + count
 void pnx_tree_block_targets(void *h, int32_t *starts, int32_t *counts) {
   Tree *t = (Tree *)h;

@@ -94,6 +94,8 @@ def _load() -> Optional[ctypes.CDLL]:
     dll.pnx_tree_n_leaves.restype = ctypes.c_long
     dll.pnx_tree_n_leaves.argtypes = [ctypes.c_void_p]
     dll.pnx_tree_leaves.argtypes = [ctypes.c_void_p, ip, ip]
+    dll.pnx_tree_point_leaves.argtypes = [ctypes.c_void_p, dp,
+                                          ctypes.c_long, ip]
     dll.pnx_tree_node_data.argtypes = [ctypes.c_void_p, dp, dp, dp]
     dll.pnx_tree_moments.argtypes = [ctypes.c_void_p, dp]
     dll.pnx_tree_nmom.restype = ctypes.c_int

@@ -170,10 +170,15 @@ class Gravity:
                         threads: int = 0, kernel=None,
                         device: bool = False):
         """Barnes–Hut potentials.  ``device=True`` evaluates the traversal's
-        interaction lists on the accelerator (tree_tpu) — self-set only."""
-        if device and targets is None:
-            from .tree_tpu import tree_potentials_device
-            return tree_potentials_device(self.get_tree(), theta=theta)
+        interaction lists on the accelerator (tree_tpu), for the self set
+        and at arbitrary query points."""
+        if device:
+            if targets is None:
+                from .tree_tpu import tree_potentials_device
+                return tree_potentials_device(self.get_tree(), theta=theta)
+            from .tree_tpu import tree_potentials_at_points_device
+            return tree_potentials_at_points_device(
+                self.get_tree(), targets, theta=theta)
         return self.get_tree().compute_potentials(theta=theta,
                                                   targets=targets,
                                                   threads=threads)
@@ -181,9 +186,13 @@ class Gravity:
     def tree_accelerations(self, targets=None, theta: float = 0.7,
                            threads: int = 0, kernel=None,
                            device: bool = False):
-        if device and targets is None:
-            from .tree_tpu import tree_accelerations_device
-            return tree_accelerations_device(self.get_tree(), theta=theta)
+        if device:
+            if targets is None:
+                from .tree_tpu import tree_accelerations_device
+                return tree_accelerations_device(self.get_tree(), theta=theta)
+            from .tree_tpu import tree_accelerations_at_points_device
+            return tree_accelerations_at_points_device(
+                self.get_tree(), targets, theta=theta)
         return self.get_tree().compute_accelerations(theta=theta,
                                                      targets=targets,
                                                      threads=threads)

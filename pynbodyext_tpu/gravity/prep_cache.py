@@ -46,7 +46,7 @@ __all__ = ["tree_prep_fingerprint", "save_tree_prep", "load_tree_prep",
 _SKIP_PREFIXES = ("tiles_blk", "ptiles_blk", "tgt_blk")
 _SKIP_KEYS = {"_tree", "_gtt_np", "gtt_tiles"}
 
-_FORMAT_VERSION = 3
+_FORMAT_VERSION = 4  # v4: prep carries theta (at-points needs it)
 
 
 def _hash_array(h, arr) -> None:

@@ -231,6 +231,21 @@ class Octree:
                                 counts.ctypes.data_as(ip))
         return starts, counts
 
+    def assign_leaves(self, points) -> np.ndarray:
+        """Leaf sequence id of the containing (or nearest non-empty) leaf
+        for each query point — anchors the device-evaluated at-points path
+        (reference: per-point traversal, ``tree.rs:1284``)."""
+        import ctypes
+        nat = self._nat
+        pts = nat.as_f64(np.asarray(points))
+        if pts.ndim != 2 or pts.shape[1] != 3:
+            raise ValueError("points must be (M, 3)")
+        out = np.zeros(pts.shape[0], dtype=np.int32)
+        nat.lib.pnx_tree_point_leaves(
+            self._handle, nat.dptr(pts), pts.shape[0],
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        return out
+
     def node_data(self):
         """(com (Nn,3), mass (Nn,), hmax (Nn,)) for all tree nodes."""
         import ctypes

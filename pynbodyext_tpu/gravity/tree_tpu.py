@@ -482,7 +482,7 @@ def prepare_tree_pallas(tree: Octree, theta: float = 0.7, cap: int = 128,
     tgt_pos = jnp.moveaxis(tiles_j[:n_leaves, 0:3, :], 1, 2)  # (nb, cap, 3)
 
     prep = {
-        "n": n, "n_blocks": n_leaves, "cap": cap,
+        "n": n, "n_blocks": n_leaves, "cap": cap, "theta": float(theta),
         "order": tree.multipole_order, "kernel": tree.kernel,
         "near_counts": np.asarray(leaf_counts, np.int64),
         "near_offsets": np.concatenate(
@@ -1510,6 +1510,159 @@ def tree_accelerations_device_pallas(tree: Octree, theta: float = 0.7,
     near = near_fn(prep, kern, interpret, accel=True, **kw)
     total = np.asarray(near) + far_all
     return _scatter_leaf_blocks(prep, total, 3)
+
+
+# ---------------------------------------------------------------------------
+# Device-evaluated tree at arbitrary query points (reference capability:
+# per-point traversal, tree.rs:1284 / potentials_at_points gravity.rs:447).
+# Query points anchor to their nearest leaf (C++ descent); each point tile
+# reuses that leaf's near list and its (residual + group) far list.
+# ---------------------------------------------------------------------------
+
+def _prepare_at_points(tree: Octree, prep, targets, target_soft=None):
+    cap = prep["cap"]
+    G = prep["G"]
+    pts = np.ascontiguousarray(np.asarray(targets, np.float64))
+    m = pts.shape[0]
+    seq = tree.assign_leaves(pts)
+    order = np.argsort(seq, kind="stable")
+    seq_s = seq[order]
+    pts_s = pts[order]
+    hs = (np.zeros(m) if target_soft is None
+          else np.broadcast_to(np.asarray(target_soft, np.float64),
+                               (m,))[order])
+    # runs of same leaf → tiles of ≤cap points
+    change = np.nonzero(np.diff(seq_s))[0] + 1
+    run_starts = np.concatenate([[0], change]).astype(np.int64)
+    run_ends = np.concatenate([change, [m]]).astype(np.int64)
+    tile_bounds, tile_leaf = [], []
+    for s, e, leaf in zip(run_starts, run_ends, seq_s[run_starts]):
+        for t0 in range(int(s), int(e), cap):
+            tile_bounds.append((t0, min(int(e), t0 + cap)))
+            tile_leaf.append(int(leaf))
+    nt = len(tile_bounds)
+    tile_leaf = np.asarray(tile_leaf, np.int64)
+    sentinel = prep["_sentinel"]
+    tiles = np.zeros((nt, 8, cap), np.float32)
+    tiles[:, 0:3] = np.asarray(sentinel, np.float32)[None, :, None]
+    tiles[:, 5] = -5.0  # orig id never matches a source → no self-exclusion
+    tidx = np.zeros(m, np.int64)
+    lane = np.zeros(m, np.int64)
+    for t, (a, b) in enumerate(tile_bounds):
+        w = b - a
+        tiles[t, 0:3, :w] = pts_s[a:b].T
+        tiles[t, 4, :w] = hs[a:b]
+        tidx[a:b] = t
+        lane[a:b] = np.arange(w)
+    # near lists: the anchor leaf's list per tile
+    near_counts = prep["near_counts"][tile_leaf]
+    offs = prep["near_offsets"][tile_leaf]
+    flat = prep["near_flat"]
+    near_flat = np.concatenate(
+        [flat[o:o + c] for o, c in zip(offs, near_counts)]) \
+        if nt else np.zeros(0, np.int32)
+    # far lists: leaf residual + group-shared lists (exact partition)
+    gl = tree.group_lists(theta=prep["theta"], group_leaves=G)
+    ln_c, ln_i = gl["lnode_counts"], gl["lnode_ids"]
+    gn_c, gn_i = gl["gnode_counts"], gl["gnode_ids"]
+    ln_off = np.concatenate([[0], np.cumsum(ln_c)[:-1]])
+    gn_off = np.concatenate([[0], np.cumsum(gn_c)[:-1]])
+    grp = tile_leaf // G
+    far_counts = ln_c[tile_leaf] + gn_c[grp]
+    far_parts = []
+    for leaf, g in zip(tile_leaf, grp):
+        far_parts.append(ln_i[ln_off[leaf]:ln_off[leaf] + ln_c[leaf]])
+        far_parts.append(gn_i[gn_off[g]:gn_off[g] + gn_c[g]])
+    far_flat = (np.concatenate(far_parts).astype(np.int32)
+                if far_parts else np.zeros(0, np.int32))
+    tiles_dev = jnp.asarray(tiles)
+    # far payload (com rows + mass [+ moments], dummy node last) — small
+    # host rebuild from the device-resident node tables
+    com = np.asarray(prep["node_com"], np.float64)
+    nmass = np.asarray(prep["node_mass"], np.float64)
+    parts = [com, nmass[:, None]]
+    if prep["order"] > 0:
+        parts.append(np.asarray(prep["node_moments"], np.float64))
+    payload = np.concatenate(parts, axis=1).astype(np.float32).T.copy()
+    far_classes = _build_classes(far_counts.astype(np.int64), far_flat, 128,
+                                 len(nmass) - 1, tiles_dev, payload=payload)
+    near_classes = _build_classes(near_counts.astype(np.int64),
+                                  near_flat.astype(np.int32), 64,
+                                  prep["n_blocks"], tiles_dev)
+    mini = {
+        "n_blocks": nt, "order": prep["order"], "kernel": prep["kernel"],
+        "tgt_pos": np.zeros((nt, cap, 3), np.float32),  # tb source only
+        "far_pre": True, "far_pallas": prep["order"] == 0,
+        "far_classes": far_classes,
+        "node_com": prep["node_com"], "node_mass": prep["node_mass"],
+        "node_moments": prep["node_moments"],
+    }
+    return {"mini": mini, "near_classes": near_classes, "nt": nt,
+            "cap": cap, "order_idx": order, "tidx": tidx, "lane": lane,
+            "m": m}
+
+
+def _near_at_points(ap, prep, kern, interpret, accel):
+    from .tree_pallas import near_field_eval
+    nt, cap = ap["nt"], ap["cap"]
+    out = np.zeros((nt, 8, cap), np.float32)
+    budget = 100_000
+    pending = []
+    for w, sel, li_dev, tt_dev in ap["near_classes"]:
+        for lo, hi, rows in _class_chunks(w, len(sel), budget):
+            res = near_field_eval(_pad_rows(li_dev[lo:hi], rows),
+                                  _pad_rows(tt_dev[lo:hi], rows),
+                                  prep["tiles"], kernel=kern, accel=accel,
+                                  interpret=interpret, k=min(4, w))
+            pending.append((sel[lo:hi], hi - lo, res))
+    for s_idx, cnt, res in pending:
+        out[s_idx] = np.asarray(res)[:cnt]
+    if accel:
+        return np.moveaxis(out[:, 0:3, :], 1, 2)
+    return out[:, 0, :]
+
+
+def _at_points_eval(tree: Octree, targets, prep=None, theta: float = 0.7,
+                    target_soft=None, interpret: bool = False,
+                    accel: bool = False, group_leaves: int = 8):
+    if not interpret and jax.devices()[0].platform == "cpu":
+        interpret = True  # pallas kernels need interpret mode off-TPU
+    if prep is None:
+        prep = prepare_tree_pallas(tree, theta=theta,
+                                   group_leaves=group_leaves)
+    kern = prep["kernel"] or KERNEL_NONE
+    ap = _prepare_at_points(tree, prep, targets, target_soft=target_soft)
+    mini = dict(ap["mini"])
+    if interpret:
+        mini["far_pallas"] = False
+    far = _far_eval(mini, accel=accel, interpret=interpret)
+    near = _near_at_points(ap, prep, kern, interpret, accel)
+    tot = near + far
+    out_sorted = tot[ap["tidx"], ap["lane"]]
+    out = np.zeros_like(out_sorted)
+    out[ap["order_idx"]] = out_sorted
+    return out
+
+
+def tree_potentials_at_points_device(tree: Octree, targets, prep=None,
+                                     theta: float = 0.7, target_soft=None,
+                                     interpret: bool = False,
+                                     group_leaves: int = 8) -> np.ndarray:
+    """BH potentials at arbitrary query points on the device engines."""
+    return _at_points_eval(tree, targets, prep=prep, theta=theta,
+                           target_soft=target_soft, interpret=interpret,
+                           accel=False, group_leaves=group_leaves)
+
+
+def tree_accelerations_at_points_device(tree: Octree, targets, prep=None,
+                                        theta: float = 0.7,
+                                        target_soft=None,
+                                        interpret: bool = False,
+                                        group_leaves: int = 8) -> np.ndarray:
+    """BH accelerations at arbitrary query points on the device engines."""
+    return _at_points_eval(tree, targets, prep=prep, theta=theta,
+                           target_soft=target_soft, interpret=interpret,
+                           accel=True, group_leaves=group_leaves)
 
 
 def tree_accelerations_device(tree: Octree, theta: float = 0.7,

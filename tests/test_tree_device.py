@@ -420,3 +420,53 @@ def test_prep_disk_cache_roundtrip(clustered, tmp_path):
     kw2 = dict(kw, theta=0.6)
     prep3, tree3 = cached_prepare_tree_pallas(pos, m, h, **kw2)
     assert tree3 is not None
+
+
+def test_device_at_points_vs_native(clustered):
+    """Device-evaluated tree at arbitrary query points: exact (f32) match
+    with the native C++ at-points traversal at θ=0; BH-band agreement at
+    θ=0.7 (reference capability: ``tree.rs:1284``)."""
+    pos, m, h = clustered
+    from pynbodyext_tpu.gravity.tree_tpu import (
+        prepare_tree_pallas, tree_accelerations_at_points_device,
+        tree_potentials_at_points_device)
+    rng = np.random.default_rng(5)
+    pts = rng.normal(0.0, 4.0, (500, 3))
+    tree = Octree(pos, m, leaf_capacity=128, multipole_order=0,
+                  softenings=h, kernel="plummer")
+    # θ=0: every leaf is near-field for every tile → equals direct sums
+    prep0 = prepare_tree_pallas(tree, theta=0.0, group_leaves=8)
+    phi0 = tree_potentials_at_points_device(tree, pts, prep=prep0,
+                                            interpret=True)
+    phi_dir = native_direct_potentials(pos, m, h, targets=pts,
+                                       kernel="plummer")
+    np.testing.assert_allclose(phi0, phi_dir, rtol=3e-6)
+    acc0 = tree_accelerations_at_points_device(tree, pts, prep=prep0,
+                                               interpret=True)
+    acc_dir = native_direct_accelerations(pos, m, h, targets=pts,
+                                          kernel="plummer")
+    np.testing.assert_allclose(acc0, acc_dir, rtol=1e-3,
+                               atol=np.abs(acc_dir).max() * 1e-5)
+    # θ=0.7: within the Barnes–Hut error band of the native traversal
+    prep7 = prepare_tree_pallas(tree, theta=0.7, group_leaves=8)
+    phi7 = tree_potentials_at_points_device(tree, pts, prep=prep7,
+                                            interpret=True)
+    rel = np.abs((phi7 - phi_dir) / phi_dir)
+    assert np.median(rel) < 2e-4
+    assert rel.max() < 5e-3
+
+
+def test_gravity_api_device_at_points(clustered):
+    from pynbodyext_tpu.gravity import Gravity
+    pos, m, h = clustered
+    rng = np.random.default_rng(9)
+    pts = rng.normal(0.0, 4.0, (200, 3))
+    g = Gravity(pos.astype(np.float32), m.astype(np.float32),
+                softening=h.astype(np.float32), force_reference=True)
+    p_dev = g.tree_potentials(targets=pts, theta=0.5, device=True)
+    p_cpu = np.asarray(g.tree_potentials(targets=pts, theta=0.5))
+    np.testing.assert_allclose(p_dev, p_cpu, rtol=2e-2)
+    a_dev = g.tree_accelerations(targets=pts, theta=0.5, device=True)
+    a_cpu = np.asarray(g.tree_accelerations(targets=pts, theta=0.5))
+    np.testing.assert_allclose(a_dev, a_cpu, rtol=5e-2,
+                               atol=np.abs(a_cpu).max() * 2e-2)
