@@ -16,8 +16,11 @@ on-device:
   probing that never loads data (``MiniSimSnap``, ``chunk/snapview.py:118``).
 """
 
-from .stream import (ChunkedSnapshot, ChunkStore, HDF5ChunkStore,
-                     SnapshotChunkStore, StreamingArray, is_streaming_array)
+from .stream import (ChunkedSnapshot, ChunkStore, ChunkView, ChunkedMask,
+                     HDF5ChunkStore, SnapshotChunkStore, StreamingArray,
+                     is_streaming_array)
+from .profile import StreamingProfile
 
-__all__ = ["ChunkedSnapshot", "ChunkStore", "HDF5ChunkStore",
-           "SnapshotChunkStore", "StreamingArray", "is_streaming_array"]
+__all__ = ["ChunkedSnapshot", "ChunkStore", "ChunkView", "ChunkedMask",
+           "HDF5ChunkStore", "SnapshotChunkStore", "StreamingArray",
+           "StreamingProfile", "is_streaming_array"]

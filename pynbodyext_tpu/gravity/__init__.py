@@ -10,8 +10,10 @@ from .api import Gravity, KernelKind, TreeOptions, calculate_acceleration, calcu
 from .kernels import kernel_accel_factor, kernel_potential_per_unit_mass
 from .reference import (direct_accelerations_ref, direct_potentials_ref)
 from .pallas_direct import direct_accelerations, direct_potentials
+from .prep_cache import cached_prepare_tree_pallas, refresh_tree_prep_cache
 
 __all__ = [
+    "cached_prepare_tree_pallas", "refresh_tree_prep_cache",
     "Gravity", "KernelKind", "TreeOptions",
     "calculate_potential", "calculate_acceleration",
     "direct_potentials", "direct_accelerations",

@@ -41,12 +41,18 @@ from ..log import logger
 __all__ = ["tree_prep_fingerprint", "save_tree_prep", "load_tree_prep",
            "cached_prepare_tree_pallas", "refresh_tree_prep_cache"]
 
-#: prep keys never persisted: process-local handles and cheap device
-#: reshapes of persisted tables (rebuilt lazily by their accessors)
-_SKIP_PREFIXES = ("tiles_blk", "ptiles_blk", "tgt_blk")
-_SKIP_KEYS = {"_tree", "_gtt_np", "gtt_tiles"}
+#: prep keys never persisted.  Device-resident structures are all
+#: rebuildable from the compact host ingredients that ARE persisted
+#: (_tiles_np, _far_lists, _payload_np, near lists, packed ranges) — and
+#: downloading them through the relay measured ~20-40 MB/s (a 10M save
+#: was 329 s), while the host-side rebuild is seconds.  The loader
+#: re-uploads the tile table; drivers lazily rebuild classes/windows.
+_SKIP_PREFIXES = ("tiles_blk", "ptiles_blk", "tgt_blk", "banded", "pwin")
+_SKIP_KEYS = {"_tree", "_gtt_np", "gtt_tiles", "far_classes",
+              "gfar_classes", "tiles", "tgt_tiles", "tgt_pos",
+              "near_classes", "gnear_classes"}
 
-_FORMAT_VERSION = 4  # v4: prep carries theta (at-points needs it)
+_FORMAT_VERSION = 5  # v5: host-only persistence (device tables rebuilt)
 
 
 def _hash_array(h, arr) -> None:
@@ -124,14 +130,22 @@ def _persistable(prep: dict) -> dict:
             continue
         if isinstance(k, tuple) and k and k[0] in _SKIP_PREFIXES:
             continue
+        if isinstance(k, tuple) and k and k[0] == "packed":
+            # keep the packer's ranges; the device tile table rebuilds
+            # from host particles on first use
+            v = {kk: vv for kk, vv in v.items() if kk != "ptiles"}
         out[k] = v
     return out
 
 
 def save_tree_prep(prep: dict, path) -> bool:
-    """Persist a prep dict (device arrays downloaded to host).  Returns
-    False (and logs) on any IO failure — caching is best-effort."""
+    """Persist a prep dict (host artifacts only — device structures are
+    rebuilt on load).  Returns False (and logs) on any IO failure —
+    caching is best-effort."""
     path = Path(path)
+    if prep.get("_tiles_np") is None:
+        from .tree_tpu import _host_tiles
+        _host_tiles(prep)  # materialize the host tile table for the pickle
     body = _persistable(prep)
     try:
         path.parent.mkdir(parents=True, exist_ok=True)
@@ -164,8 +178,16 @@ def load_tree_prep(path) -> Optional[dict]:
         except OSError:
             pass
         return None
+    import jax.numpy as jnp
     prep = _decode(body)
     prep["_tree"] = None
+    # re-upload the tile table; classes/windows rebuild lazily (drivers
+    # call _ensure_far_classes; window/packed builders detect absence)
+    tiles = jnp.asarray(prep["_tiles_np"])
+    prep["tiles"] = tiles
+    nl = prep["n_blocks"]
+    prep["tgt_tiles"] = tiles[:nl]
+    prep["tgt_pos"] = jnp.moveaxis(tiles[:nl, 0:3, :], 1, 2)
     prep["_cache_path"] = str(path)
     prep["_cache_keys"] = frozenset(body.keys())
     return prep

@@ -426,8 +426,13 @@ def _far_batch_kernel(tgt_ref, src_ref, out_ref, *, tb, ts, accel, B):
         if accel:
             invr = jax.lax.rsqrt(r2 + _TINY2)
             w = (invr * invr * invr) * sm.reshape(1, ts)
-            vals = (jnp.sum(w * dx, axis=1), jnp.sum(w * dy, axis=1),
-                    jnp.sum(w * dz, axis=1))
+            # recompute the diffs per component instead of keeping
+            # dx/dy/dz live across the three reductions: 3 extra subs for
+            # ~half the live (tb, ts) buffers (VMEM pressure was the
+            # reason the accel kernel needed the 512k-lane cap)
+            vals = (jnp.sum(w * (sx - tx), axis=1),
+                    jnp.sum(w * (sy - ty), axis=1),
+                    jnp.sum(w * (sz - tz), axis=1))
         else:
             neg_phi = -jax.lax.rsqrt(r2 + _TINY2)
             vals = (jnp.dot(neg_phi, sm,
@@ -456,9 +461,9 @@ def far_payload_batch_eval(tgt_tiles, payload, accel: bool = False,
     w = payload.shape[2]
     if c % B:
         raise ValueError(f"C={c} not a multiple of B={B}")
-    # accel keeps dx/dy/dz/r2/invr/w live at (tb, ts): bound tb·ts so the
-    # working set fits VMEM (tb=1024 × ts=2048 crashed the compiler)
-    ts = min(w, 2048 if not accel else max(128, 524288 // tb))
+    # accel working set bounded via the recompute-diff kernel form; keep
+    # tb·ts ≤ 512k lanes (tb=1024 × ts=2048 crashed the remote compiler)
+    ts = min(w, 2048, max(128, 524288 // tb))
     rem = w % ts
     if rem:
         payload = jnp.pad(payload, ((0, 0), (0, 0), (0, ts - rem)))
@@ -884,9 +889,12 @@ def _near_banded_kernel(gs_ref, gf_ref, blk_ref, bits_ref, tgt_ref, src_ref,
         w = gg * sm
         if incl2 is not None:
             w = w * incl2
-        out_ref[0, 0, :] = jnp.sum(w * dx, axis=1)
-        out_ref[0, 1, :] = jnp.sum(w * dy, axis=1)
-        out_ref[0, 2, :] = jnp.sum(w * dz, axis=1)
+        # recompute diffs per component: 3 extra subs for ~half the live
+        # (tb, S) buffers (accel measured 3.4× the potentials kernel at
+        # 10M vs a ~1.7× flop ratio — liveness, not math)
+        out_ref[0, 0, :] = jnp.sum(w * (sx - tx), axis=1)
+        out_ref[0, 1, :] = jnp.sum(w * (sy - ty), axis=1)
+        out_ref[0, 2, :] = jnp.sum(w * (sz - tz), axis=1)
     else:
         neg_phi = _phi_from_r2(kernel, r2, h)
         if kernel == KERNEL_SPLINE:

@@ -525,7 +525,7 @@ def prepare_tree_pallas(tree: Octree, theta: float = 0.7, cap: int = 128,
         payload_np = np.concatenate(
             [com, nmass[:, None]]
             + ([moments] if order > 0 else []),
-            axis=1).astype(np.float32).T.copy()  # (P, n): one-gather form
+            axis=1).astype(np.float32)  # (n, P) node-major: 16 B row gathers
     else:
         payload_np = None
     prep["far_pre"] = far_pre
@@ -536,14 +536,46 @@ def prepare_tree_pallas(tree: Octree, theta: float = 0.7, cap: int = 128,
     # (C, 8, TB) tile targets; the gather path takes (C, TB, 3) positions
     if not far_pre:
         prep["_tgt_pos_np"] = np.moveaxis(tiles[:n_leaves, 0:3, :], 1, 2)
+    prep["_dummy_node"] = dummy_node
+    # raw far lists + payload stay in prep (host, compact) so cached preps
+    # can rebuild the device class structures without the octree
+    prep["_far_lists"] = (np.asarray(node_counts, np.int64),
+                          np.asarray(node_ids, np.int32))
+    prep["_payload_np"] = payload_np
+    if gl is not None:
+        prep["_gfar_lists"] = (np.asarray(gl["gnode_counts"], np.int64),
+                               np.asarray(gl["gnode_ids"], np.int32))
+        prep["gnear_offsets"] = np.concatenate(
+            [[0], np.cumsum(gl["gnear_counts"])[:-1]]).astype(np.int32)
+        prep["gnear_counts"] = np.asarray(gl["gnear_counts"], np.int32)
+        prep["gnear_flat"] = np.asarray(gl["gnear_seqs"], np.int32)
+        prep["gnear_bits_flat"] = np.asarray(gl["gnear_bits"], np.int32)
+        prep["n_groups"] = gl["n_groups"]
+        prep["stats"]["mean_gnodes"] = float(gl["gnode_counts"].mean())
+        prep["stats"]["gather_rows"] = float(
+            gl["gnode_counts"].sum() + node_counts.sum())
+    _ensure_far_classes(prep)
+    _stage("prep.far_classes", _t0)
+    return prep
+
+
+def _ensure_far_classes(prep) -> None:
+    """Build (or rebuild, for cache-loaded preps) the device far-field
+    class structures from the compact host ingredients in ``prep``."""
+    if "far_classes" in prep:
+        return
+    n_leaves, cap, G = prep["n_blocks"], prep["cap"], prep["G"]
+    dummy_node = prep["_dummy_node"]
+    far_pre = prep["far_pre"]
+    payload_np = prep["_payload_np"]
+    tiles_j = prep["tiles"]
+    node_counts, node_ids = prep["_far_lists"]
     prep["far_classes"] = _build_classes(
         node_counts, node_ids, 128, dummy_node,
         tiles_j[:n_leaves] if far_pre else prep["_tgt_pos_np"],
         payload=payload_np)
-    _stage("prep.far_classes", _t0); _t0 = _time.perf_counter()
-    prep["_dummy_node"] = dummy_node
-    if gl is not None:
-        ng = gl["n_groups"]
+    if "_gfar_lists" in prep:
+        ng = prep["n_groups"]
         if far_pre:
             # device reshape of the resident tile table (no host copy)
             nl_pad = -(-n_leaves // G) * G
@@ -562,23 +594,13 @@ def prepare_tree_pallas(tree: Octree, theta: float = 0.7, cap: int = 128,
             if pad_rows:
                 tp_np = np.concatenate(
                     [tp_np, np.broadcast_to(
-                        np.asarray(sentinel, np.float32),
+                        np.asarray(prep["_sentinel"], np.float32),
                         (pad_rows, cap, 3))], axis=0)
             g_targets = tp_np.reshape(ng, G * cap, 3)
+        gn_counts, gn_ids = prep["_gfar_lists"]
         prep["gfar_classes"] = _build_classes(
-            gl["gnode_counts"], gl["gnode_ids"], 128, dummy_node,
-            g_targets, payload=payload_np)
-        prep["gnear_offsets"] = np.concatenate(
-            [[0], np.cumsum(gl["gnear_counts"])[:-1]]).astype(np.int32)
-        prep["gnear_counts"] = np.asarray(gl["gnear_counts"], np.int32)
-        prep["gnear_flat"] = np.asarray(gl["gnear_seqs"], np.int32)
-        prep["gnear_bits_flat"] = np.asarray(gl["gnear_bits"], np.int32)
-        prep["n_groups"] = ng
-        _stage("prep.gfar_classes", _t0)
-        prep["stats"]["mean_gnodes"] = float(gl["gnode_counts"].mean())
-        prep["stats"]["gather_rows"] = float(
-            gl["gnode_counts"].sum() + node_counts.sum())
-    return prep
+            gn_counts, gn_ids, 128, dummy_node, g_targets,
+            payload=payload_np)
 
 
 def _host_particles(prep):
@@ -919,7 +941,12 @@ def _pack_dense_tiles(prep, K: int):
     (leaf → packed slot), ptiles_dev, n_ptiles."""
     key = ("packed", K)
     if key in prep:
-        return prep[key]
+        pk = prep[key]
+        if "ptiles" not in pk:  # cache-loaded: device table not persisted
+            pk["ptiles"] = jnp.asarray(
+                _assemble_packed_table(prep, pk["pstarts"], pk["pcounts"],
+                                       pk["sub_of"]))
+        return pk
     if K * K > 32:
         raise ValueError("packed tiles need K*K <= 32")
     cap = prep["cap"]
@@ -953,8 +980,21 @@ def _pack_dense_tiles(prep, K: int):
     pstarts = np.asarray(pstarts, np.int64)
     pcounts = np.asarray(pcounts, np.int64)
     npt = len(pstarts)
-    # packed tile table: x, y, z, mass, soft, orig, 1, subleaf
+    pt = _assemble_packed_table(prep, pstarts, pcounts, sub_of)
+    out = {"pstarts": pstarts, "pcounts": pcounts, "tile_of": tile_of,
+           "sub_of": sub_of, "n_ptiles": npt,
+           "ptiles": jnp.asarray(pt)}
+    prep[key] = out
+    return out
+
+
+def _assemble_packed_table(prep, pstarts, pcounts, sub_of) -> np.ndarray:
+    """(npt+pad, 8, cap) packed tile table from particle ranges (host):
+    rows x, y, z, mass, soft, orig, 1, subleaf."""
+    cap = prep["cap"]
     n = prep["n"]
+    npt = len(pstarts)
+    lstarts = np.asarray(prep["lstarts"], np.int64)
     k = np.arange(cap)[None, :]
     idx = pstarts[:, None] + k
     valid = k < pcounts[:, None]
@@ -983,11 +1023,7 @@ def _pack_dense_tiles(prep, K: int):
         dummy[0, 0:3] = sentinel[:, None]
         dummy[0, 5] = -2.0
         pt = np.concatenate([pt, np.repeat(dummy, pad32, axis=0)])
-    out = {"pstarts": pstarts, "pcounts": pcounts, "tile_of": tile_of,
-           "sub_of": sub_of, "n_ptiles": npt,
-           "ptiles": jnp.asarray(pt)}
-    prep[key] = out
-    return out
+    return pt
 
 
 def _build_packed_windows(prep, R: int, K: int):
@@ -1129,16 +1165,6 @@ def _near_banded(prep, kern, interpret, accel, R: int = 4, Gn: int = 1,
     return out[:, 0, :]
 
 
-@jax.jit
-def _gather_class_dev(pay_dev, mat_dev, targets_dev, sel_dev):
-    """One fused device op per class: payload gather+transpose + target
-    row selection.  Fusing keeps prep at ONE remote XLA compile per class
-    (separate transpose/gather dispatches each paid their own remote
-    compile — ~16 s of the 47 s 1M prep was exactly these)."""
-    return (jnp.transpose(pay_dev[:, mat_dev], (1, 0, 2)),
-            targets_dev[sel_dev])
-
-
 def _build_classes(counts, flat_ids, min_width: int, fill: int, targets,
                    flat_aux=None, payload=None):
     """Partition blocks into power-of-two width classes by list length and
@@ -1150,10 +1176,13 @@ def _build_classes(counts, flat_ids, min_width: int, fill: int, targets,
     Eliminates (a) pad-to-global-max compute waste (up to ~9× on the group
     residual lists), (b) per-chunk host→device list shipping — fatal under
     the remote relay — and (c) per-chunk device gathers of target rows.
-    ``payload`` (P, n_items) f32 (transposed): uploaded once; each class's
-    dense (rows, P, w) payload matrix is gathered ON DEVICE in the same
-    fused op as the target selection (per-eval row gathers stay
-    pre-gathered — those were the measured eval wall, ~0.23 GB/s).
+    ``payload`` (n_items, P) f32 NODE-MAJOR: each class's dense
+    (rows, P, w) payload matrix is built by a HOST row gather (contiguous
+    16 B rows stream at memcpy speed; measured alternatives: device
+    element gathers of the (P, n) transposed payload ran at scattered-4 B
+    speed — ~200 s/leg at 10M — and per-class device transposes each paid
+    a remote XLA compile).  Per-eval row gathers stay pre-gathered — those
+    were the measured eval wall (~0.23 GB/s).
     Returns [(width, sel_np, lists_or_payload_dev, targets_dev), …]."""
     counts = np.asarray(counts, np.int64)
     flat_ids = np.asarray(flat_ids, np.int32)
@@ -1170,7 +1199,6 @@ def _build_classes(counts, flat_ids, min_width: int, fill: int, targets,
     # of prep; the device take of 4 KB rows is bandwidth-bound and cheap
     targets_dev = isinstance(targets, jnp.ndarray)
     targets_np = targets if targets_dev else np.asarray(targets)
-    pay_dev = jnp.asarray(payload) if payload is not None else None
     for w in np.unique(widths):
         sel = np.nonzero(widths == w)[0]
         c = counts[sel]
@@ -1180,22 +1208,17 @@ def _build_classes(counts, flat_ids, min_width: int, fill: int, targets,
                   - np.repeat(np.cumsum(c) - c, c))
         src = np.repeat(starts[sel], c) + within
         mat[row, within] = flat_ids[src]
-        if payload is not None and targets_dev:
+        tgt_sel = (targets_np[jnp.asarray(sel)] if targets_dev
+                   else jnp.asarray(targets_np[sel]))
+        if payload is not None:
             # (ns, P, w): node lanes last — feeds both the pallas far
             # kernel ((1, 4, ts) blocks) and the XLA pre evaluators
-            pay_cls, tgt_sel = _gather_class_dev(
-                pay_dev, jnp.asarray(mat), targets_np, jnp.asarray(sel))
+            gat = payload[mat]  # (ns, w, P) contiguous host row gather
+            pay_cls = jnp.asarray(
+                np.ascontiguousarray(np.moveaxis(gat, 2, 1)))
             entry = [int(w), sel, pay_cls, tgt_sel]
         else:
-            tgt_sel = (targets_np[jnp.asarray(sel)] if targets_dev
-                       else jnp.asarray(targets_np[sel]))
-            if payload is not None:
-                entry = [int(w), sel,
-                         jnp.transpose(jnp.asarray(payload[:, mat]),
-                                       (1, 0, 2)),
-                         tgt_sel]
-            else:
-                entry = [int(w), sel, jnp.asarray(mat), tgt_sel]
+            entry = [int(w), sel, jnp.asarray(mat), tgt_sel]
         if flat_aux is not None:
             aux = np.zeros((len(sel), int(w)), np.int32)
             aux[row, within] = np.asarray(flat_aux, np.int32)[src]
@@ -1444,6 +1467,7 @@ def tree_potentials_device_pallas(tree: Octree, theta: float = 0.7,
     if (near_engine in ("group", "gdma")
             and "gnear_counts" not in prep):
         near_engine = "classes"  # group lists absent (G=1 prep)
+    _ensure_far_classes(prep)  # rebuilds on cache-loaded preps
     far_all = _far_eval(prep, accel=False, interpret=interpret,
                         far_chunk=far_chunk, row_slice=slice(0, 1),
                         far_engine=far_engine, mesh=mesh)
@@ -1492,6 +1516,7 @@ def tree_accelerations_device_pallas(tree: Octree, theta: float = 0.7,
     if (near_engine in ("group", "gdma")
             and "gnear_counts" not in prep):
         near_engine = "classes"  # group lists absent (G=1 prep)
+    _ensure_far_classes(prep)  # rebuilds on cache-loaded preps
     far_all = _far_eval(prep, accel=True, interpret=interpret,
                         far_chunk=far_chunk, row_slice=slice(0, 3),
                         far_engine=far_engine, mesh=mesh)
@@ -1583,7 +1608,7 @@ def _prepare_at_points(tree: Octree, prep, targets, target_soft=None):
     parts = [com, nmass[:, None]]
     if prep["order"] > 0:
         parts.append(np.asarray(prep["node_moments"], np.float64))
-    payload = np.concatenate(parts, axis=1).astype(np.float32).T.copy()
+    payload = np.concatenate(parts, axis=1).astype(np.float32)
     far_classes = _build_classes(far_counts.astype(np.int64), far_flat, 128,
                                  len(nmass) - 1, tiles_dev, payload=payload)
     near_classes = _build_classes(near_counts.astype(np.int64),
