@@ -449,9 +449,62 @@ def _far_batch_kernel(tgt_ref, src_ref, out_ref, *, tb, ts, accel, B):
                 out_ref[b, row, :] = out_ref[b, row, :] + vals[row]
 
 
-@functools.partial(jax.jit, static_argnames=("accel", "interpret", "B"))
+def _far_batch_mxu_kernel(tgt_ref, src_ref, out_ref, *, tb, ts, accel, B):
+    """Monopole far field on the MXU via tile-local recentring.
+
+    r² = ‖t−c‖² + ‖s−c‖² − 2(t−c)·(s−c) with c = the tile's first target
+    lane.  The round-1/2 rejections of the matmul identity and the
+    Σw·s − t·Σw acceleration bundles were for GLOBAL coordinates (near
+    pairs cancel catastrophically); for the FAR field every source is
+    θ-admissible, so ‖s−c‖ ≈ r_pair and the relative r² error stays
+    ~few·eps (bounded by the admissibility criterion: an accepted node at
+    distance d from the tile satisfies size < θ·(d − r_tile), so
+    d/r_pair ≲ 1 + r_tile/dmin is bounded).  The cross term and the
+    accel bundles run as real (k ≥ 3 / k = ts) MXU contractions; the VPU
+    part drops to rsqrt + w per pair."""
+    j = pl.program_id(1)
+    rows = 3 if accel else 1
+    for b in range(B):
+        t = tgt_ref[b, 0:3, :]               # (3, tb)
+        c = t[:, 0:1]                        # local origin: first target
+        tl = t - c
+        sl = src_ref[b, 0:3, :] - c
+        t2 = jnp.sum(tl * tl, axis=0).reshape(tb, 1)
+        s2 = jnp.sum(sl * sl, axis=0).reshape(1, ts)
+        cross = jax.lax.dot_general(
+            tl, sl, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)      # (tb, ts) on the MXU
+        r2 = jnp.maximum(t2 + s2 - 2.0 * cross, _TINY2)
+        sm = src_ref[b, 3, :]
+        if accel:
+            invr = jax.lax.rsqrt(r2)
+            w = (invr * invr * invr) * sm.reshape(1, ts)
+            wsum = jnp.sum(w, axis=1)                # (tb,)
+            ws = jax.lax.dot_general(
+                w, sl, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)  # (tb, 3) on the MXU
+            vals = tuple(ws[:, i] - tl[i, :] * wsum for i in range(3))
+        else:
+            neg_phi = -jax.lax.rsqrt(r2)
+            vals = (jnp.dot(neg_phi, sm,
+                            preferred_element_type=jnp.float32),)
+
+        @pl.when(j == 0)
+        def _(b=b, vals=vals):
+            for row in range(rows):
+                out_ref[b, row, :] = vals[row]
+
+        @pl.when(j != 0)
+        def _(b=b, vals=vals):
+            for row in range(rows):
+                out_ref[b, row, :] = out_ref[b, row, :] + vals[row]
+
+
+@functools.partial(jax.jit, static_argnames=("accel", "interpret", "B",
+                                             "mxu"))
 def far_payload_batch_eval(tgt_tiles, payload, accel: bool = False,
-                           interpret: bool = False, B: int = 8):
+                           interpret: bool = False, B: int = 8,
+                           mxu: bool = False):
     """Row-batched dense far field over pre-gathered payload.
 
     tgt_tiles: (C, 8, TB); payload: (C, 4, W) node rows x, y, z, mass
@@ -469,8 +522,9 @@ def far_payload_batch_eval(tgt_tiles, payload, accel: bool = False,
         payload = jnp.pad(payload, ((0, 0), (0, 0), (0, ts - rem)))
         w += ts - rem
     rows = 3 if accel else 1
-    kern = functools.partial(_far_batch_kernel, tb=tb, ts=ts, accel=accel,
-                             B=B)
+    kern = functools.partial(
+        _far_batch_mxu_kernel if mxu else _far_batch_kernel,
+        tb=tb, ts=ts, accel=accel, B=B)
     return pl.pallas_call(
         kern,
         grid=(c // B, w // ts),

@@ -1322,13 +1322,13 @@ def _far_batch_B(tb: int, w: int, n_in_class: int = 1 << 30) -> int:
 
 
 def _far_call(prep, accel, interpret, pallas_far, pre, order, B, tp, li,
-              mesh):
+              mesh, mxu=False):
     """One far-field chunk evaluation (pallas / XLA-pre / XLA-gather) —
     row-sharded over the mesh when given (node payload replicated)."""
     if pallas_far:
         from .tree_pallas import far_payload_batch_eval
         call = partial(far_payload_batch_eval, accel=accel,
-                       interpret=interpret, B=B)
+                       interpret=interpret, B=B, mxu=mxu)
         extra, especs = (), ()
     elif pre:
         fn = _far_accelerations_pre if accel else _far_potentials_pre
@@ -1366,8 +1366,11 @@ def _far_eval(prep, accel: bool, interpret: bool, far_chunk: int = 8192,
     out = np.zeros((nb, tb, 3) if accel else (nb, tb), np.float32)
     pre = prep.get("far_pre", False)
     # interpret-mode pallas pays per-grid-step python cost — tests use XLA
-    pallas_far = (prep.get("far_pallas", False) and not interpret
-                  and far_engine != "xla")
+    # interpret-mode pallas pays per-grid-step python cost — auto mode
+    # stays on XLA there, but an explicit pallas/mxu request is honored
+    pallas_far = (prep.get("far_pallas", False) and far_engine != "xla"
+                  and (not interpret or far_engine in ("pallas", "mxu")))
+    mxu = far_engine == "mxu"
     if far_engine == "pallas" and not pallas_far:
         raise ValueError("far_engine='pallas' needs the pre-gathered "
                          "monopole payload (order 0, payload within budget) "
@@ -1380,7 +1383,7 @@ def _far_eval(prep, accel: bool, interpret: bool, far_chunk: int = 8192,
                                           multiple=B * ndev):
             res = _far_call(prep, accel, interpret, pallas_far, pre, order,
                             B, _pad_rows(tp_dev[lo:hi], rows),
-                            _pad_rows(li_dev[lo:hi], rows), mesh)
+                            _pad_rows(li_dev[lo:hi], rows), mesh, mxu=mxu)
             pending.append((sel[lo:hi], hi - lo, res))
     for s_idx, cnt, res in pending:
         out[s_idx] = np.asarray(res)[:cnt]
@@ -1399,8 +1402,11 @@ def _group_far_eval(prep, accel: bool, group_chunk: int = 1024,
     order = prep["order"]
     G, cap, nb = prep["G"], prep["cap"], prep["n_blocks"]
     pre = prep.get("far_pre", False)
-    pallas_far = (prep.get("far_pallas", False) and not interpret
-                  and far_engine != "xla")
+    # interpret-mode pallas pays per-grid-step python cost — auto mode
+    # stays on XLA there, but an explicit pallas/mxu request is honored
+    pallas_far = (prep.get("far_pallas", False) and far_engine != "xla"
+                  and (not interpret or far_engine in ("pallas", "mxu")))
+    mxu = far_engine == "mxu"
     res = np.zeros((ng, G * cap, 3) if accel else (ng, G * cap), np.float32)
     budget = group_chunk * 1024 * 8 // G
     ndev = mesh.devices.size if mesh is not None else 1
@@ -1411,7 +1417,7 @@ def _group_far_eval(prep, accel: bool, group_chunk: int = 1024,
                                           multiple=B * ndev):
             out = _far_call(prep, accel, interpret, pallas_far, pre, order,
                             B, _pad_rows(tp_dev[lo:hi], rows),
-                            _pad_rows(li_dev[lo:hi], rows), mesh)
+                            _pad_rows(li_dev[lo:hi], rows), mesh, mxu=mxu)
             pending.append((sel[lo:hi], hi - lo, out))
     for s_idx, cnt, out in pending:
         res[s_idx] = np.asarray(out)[:cnt]

@@ -470,3 +470,35 @@ def test_gravity_api_device_at_points(clustered):
     a_cpu = np.asarray(g.tree_accelerations(targets=pts, theta=0.5))
     np.testing.assert_allclose(a_dev, a_cpu, rtol=5e-2,
                                atol=np.abs(a_cpu).max() * 2e-2)
+
+
+def test_far_mxu_engine_matches_xla(clustered):
+    """MXU far engine (tile-local recentring + acceleration bundles) vs
+    the fused XLA pre path: far-field-only difference, f32-tight on
+    clustered data (the global-coordinate cancellation that killed the
+    matmul form for NEAR pairs does not apply to θ-admissible nodes)."""
+    pos, m, h = clustered
+    from pynbodyext_tpu.gravity.tree_tpu import (
+        prepare_tree_pallas, tree_accelerations_device_pallas,
+        tree_potentials_device_pallas)
+    tree = Octree(pos + 250.0, m, leaf_capacity=128, multipole_order=0,
+                  softenings=h, kernel="plummer")
+    prep = prepare_tree_pallas(tree, theta=0.6, group_leaves=8)
+    phi_x = tree_potentials_device_pallas(tree, prep=prep, interpret=True,
+                                          far_engine="xla",
+                                          near_engine="packed")
+    phi_m = tree_potentials_device_pallas(tree, prep=prep, interpret=True,
+                                          far_engine="mxu",
+                                          near_engine="packed")
+    np.testing.assert_allclose(phi_m, phi_x, rtol=3e-5,
+                               atol=np.abs(phi_x).max() * 3e-6)
+    acc_x = tree_accelerations_device_pallas(tree, prep=prep,
+                                             interpret=True,
+                                             far_engine="xla",
+                                             near_engine="packed")
+    acc_m = tree_accelerations_device_pallas(tree, prep=prep,
+                                             interpret=True,
+                                             far_engine="mxu",
+                                             near_engine="packed")
+    scale = np.abs(acc_x).max()
+    np.testing.assert_allclose(acc_m, acc_x, rtol=1e-3, atol=scale * 3e-5)
