@@ -71,6 +71,11 @@ def main():
     t0 = time.perf_counter()
     save_tree_prep(prep, path)
     print(f"prep cache save {time.perf_counter()-t0:.1f} s", flush=True)
+    # free the first prep's ~8 GB of HBM before the reload (a process
+    # holds ONE prep in real use; two 10M preps exceed 16 GB)
+    import gc
+    del prep
+    gc.collect()
     t0 = time.perf_counter()
     prep2 = load_tree_prep(path)
     print(f"prep cache load {time.perf_counter()-t0:.1f} s", flush=True)

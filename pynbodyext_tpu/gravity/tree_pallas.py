@@ -152,6 +152,12 @@ def _near_acceleration_kernel(lists_ref, tgt_ref, *rest, tb, cap, kernel, k):
     ax = jnp.zeros((tb,), jnp.float32)
     ay = jnp.zeros((tb,), jnp.float32)
     az = jnp.zeros((tb,), jnp.float32)
+    # tile-local recentred bundle (see _near_banded_kernel): Σ w·(s−t)
+    # = Σ w·s′ − t′·Σw with c = first target lane; error measured
+    # identical to the diff form at leaf-window scale
+    cx = tgt_ref[0, 0, 0]
+    cy = tgt_ref[0, 1, 0]
+    cz = tgt_ref[0, 2, 0]
     for tile_ref in tile_refs:
         sx = tile_ref[0, 0, :].reshape(1, cap)
         sy = tile_ref[0, 1, :].reshape(1, cap)
@@ -169,9 +175,10 @@ def _near_acceleration_kernel(lists_ref, tgt_ref, *rest, tb, cap, kernel, k):
         if kernel == KERNEL_SPLINE:
             g = jnp.where(jnp.isfinite(r2), g, 0.0)
         w = g * sm
-        ax = ax + jnp.sum(w * dx, axis=1)
-        ay = ay + jnp.sum(w * dy, axis=1)
-        az = az + jnp.sum(w * dz, axis=1)
+        sw = jnp.sum(w, axis=1)
+        ax = ax + jnp.sum(w * (sx - cx), axis=1) - (tx[:, 0] - cx) * sw
+        ay = ay + jnp.sum(w * (sy - cy), axis=1) - (ty[:, 0] - cy) * sw
+        az = az + jnp.sum(w * (sz - cz), axis=1) - (tz[:, 0] - cz) * sw
 
     @pl.when(t == 0)
     def _():
@@ -943,12 +950,24 @@ def _near_banded_kernel(gs_ref, gf_ref, blk_ref, bits_ref, tgt_ref, src_ref,
         w = gg * sm
         if incl2 is not None:
             w = w * incl2
-        # recompute diffs per component: 3 extra subs for ~half the live
-        # (tb, S) buffers (accel measured 3.4× the potentials kernel at
-        # 10M vs a ~1.7× flop ratio — liveness, not math)
-        out_ref[0, 0, :] = jnp.sum(w * (sx - tx), axis=1)
-        out_ref[0, 1, :] = jnp.sum(w * (sy - ty), axis=1)
-        out_ref[0, 2, :] = jnp.sum(w * (sz - tz), axis=1)
+        # Tile-local recentred bundle: Σ w·(s−t) = Σ w·s′ − t′·Σw with
+        # s′ = s−c, t′ = t−c, c = the first target lane.  At leaf-window
+        # scale |s′| ~ r_pair, so the global-coordinate cancellation that
+        # rejected this form (docs/design.md §5) does not apply —
+        # measured error identical to the diff form, incl. unsoftened
+        # close pairs (the shared f32 r² term dominates both).  Replaces
+        # 3 materialized (tb, S) diff buffers with 3 broadcast (1, S)
+        # rows + fused mul-reduces over the single live w buffer.
+        cx = tgt_ref[0, 0, 0]
+        cy = tgt_ref[0, 1, 0]
+        cz = tgt_ref[0, 2, 0]
+        sw = jnp.sum(w, axis=1)
+        out_ref[0, 0, :] = (jnp.sum(w * (sx - cx), axis=1)
+                            - (tx[:, 0] - cx) * sw)
+        out_ref[0, 1, :] = (jnp.sum(w * (sy - cy), axis=1)
+                            - (ty[:, 0] - cy) * sw)
+        out_ref[0, 2, :] = (jnp.sum(w * (sz - cz), axis=1)
+                            - (tz[:, 0] - cz) * sw)
     else:
         neg_phi = _phi_from_r2(kernel, r2, h)
         if kernel == KERNEL_SPLINE:

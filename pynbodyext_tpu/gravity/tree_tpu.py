@@ -1523,6 +1523,13 @@ def tree_accelerations_device_pallas(tree: Octree, theta: float = 0.7,
             and "gnear_counts" not in prep):
         near_engine = "classes"  # group lists absent (G=1 prep)
     _ensure_far_classes(prep)  # rebuilds on cache-loaded preps
+    if (far_engine == "auto" and not interpret
+            and prep.get("far_pallas", False)):
+        # MXU accel bundles (Σw·s − t·Σw with tile-local recentring)
+        # measured faster on both accel far legs at 10M (leaf 25.6→17.3 s,
+        # group 16.3→15.2 s); potentials stay on the elementwise kernel
+        # (neutral there).
+        far_engine = "mxu"
     far_all = _far_eval(prep, accel=True, interpret=interpret,
                         far_chunk=far_chunk, row_slice=slice(0, 3),
                         far_engine=far_engine, mesh=mesh)

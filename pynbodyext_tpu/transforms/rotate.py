@@ -49,9 +49,11 @@ class AlignVec(TransformBase):
         # synced here: a host readback per phase costs a full relay round
         # trip (~29 ms) and breaks async chaining — an invalid vector
         # surfaces as NaNs at the result sync instead
-        matrix = faceon_matrix(jnp.asarray(vec, dtype=jnp.float32),
+        # keep the incoming dtype: forcing f32 here broke f64 engine-vs-
+        # fused parity at the 1e-12 golden bar (x64 runs must stay x64)
+        matrix = faceon_matrix(jnp.asarray(vec),
                                None if params.up is None
-                               else jnp.asarray(params.up, dtype=jnp.float32))
+                               else jnp.asarray(params.up))
         pos = snapshot["pos"]
         updates = {"pos": QArray(apply_rotation(pos.value,
                                                 matrix.astype(pos.value.dtype)),

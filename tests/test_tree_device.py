@@ -377,9 +377,12 @@ def test_engine_guards_and_host_release(clustered):
     kern = prep["kernel"]
     with pytest.raises(ValueError, match="Gn must be <= 32"):
         tree_tpu._near_banded(prep, kern, True, accel=False, Gn=64)
-    # far_engine='pallas' requires the compiled payload kernel
+    # far_engine='pallas' requires the pre-gathered payload (absent when
+    # the monopole payload was not built, e.g. multipole order > 0); an
+    # explicit pallas request IS honored in interpret mode when present
+    no_payload = dict(prep, far_pallas=False)
     with pytest.raises(ValueError, match="far_engine='pallas'"):
-        tree_tpu._far_eval(prep, accel=False, interpret=True,
+        tree_tpu._far_eval(no_payload, accel=False, interpret=True,
                            far_engine="pallas")
     phi_ref = tree_tpu.tree_potentials_device_pallas(
         tree, prep=prep, interpret=True, far_engine="xla")
