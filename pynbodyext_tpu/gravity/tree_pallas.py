@@ -443,7 +443,8 @@ def _far_batch_kernel(tgt_ref, src_ref, out_ref, *, tb, ts, accel, B):
         else:
             neg_phi = -jax.lax.rsqrt(r2 + _TINY2)
             vals = (jnp.dot(neg_phi, sm,
-                            preferred_element_type=jnp.float32),)
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST),)
 
         @pl.when(j == 0)
         def _(b=b, vals=vals):
@@ -480,7 +481,8 @@ def _far_batch_mxu_kernel(tgt_ref, src_ref, out_ref, *, tb, ts, accel, B):
         s2 = jnp.sum(sl * sl, axis=0).reshape(1, ts)
         cross = jax.lax.dot_general(
             tl, sl, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)      # (tb, ts) on the MXU
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)     # (tb, ts) on the MXU
         r2 = jnp.maximum(t2 + s2 - 2.0 * cross, _TINY2)
         sm = src_ref[b, 3, :]
         if accel:
@@ -489,12 +491,14 @@ def _far_batch_mxu_kernel(tgt_ref, src_ref, out_ref, *, tb, ts, accel, B):
             wsum = jnp.sum(w, axis=1)                # (tb,)
             ws = jax.lax.dot_general(
                 w, sl, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)  # (tb, 3) on the MXU
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)  # (tb, 3) on the MXU
             vals = tuple(ws[:, i] - tl[i, :] * wsum for i in range(3))
         else:
             neg_phi = -jax.lax.rsqrt(r2)
             vals = (jnp.dot(neg_phi, sm,
-                            preferred_element_type=jnp.float32),)
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST),)
 
         @pl.when(j == 0)
         def _(b=b, vals=vals):
@@ -955,19 +959,25 @@ def _near_banded_kernel(gs_ref, gf_ref, blk_ref, bits_ref, tgt_ref, src_ref,
         # scale |s′| ~ r_pair, so the global-coordinate cancellation that
         # rejected this form (docs/design.md §5) does not apply —
         # measured error identical to the diff form, incl. unsoftened
-        # close pairs (the shared f32 r² term dominates both).  Replaces
-        # 3 materialized (tb, S) diff buffers with 3 broadcast (1, S)
-        # rows + fused mul-reduces over the single live w buffer.
-        cx = tgt_ref[0, 0, 0]
-        cy = tgt_ref[0, 1, 0]
-        cz = tgt_ref[0, 2, 0]
-        sw = jnp.sum(w, axis=1)
-        out_ref[0, 0, :] = (jnp.sum(w * (sx - cx), axis=1)
-                            - (tx[:, 0] - cx) * sw)
-        out_ref[0, 1, :] = (jnp.sum(w * (sy - cy), axis=1)
-                            - (ty[:, 0] - cy) * sw)
-        out_ref[0, 2, :] = (jnp.sum(w * (sz - cz), axis=1)
-                            - (tz[:, 0] - cz) * sw)
+        # close pairs (the shared f32 r² term dominates both).  All four
+        # weighted reductions (Σw·s′ₓ, Σw·s′ᵧ, Σw·s′𝓏, Σw) run as ONE MXU
+        # contraction w @ [s′; 1]ᵀ — r² stays in the accuracy-safe VPU
+        # diff form; only the already-validated bundle sums move.
+        c = tgt_ref[0, 0:3, 0:1]                       # (3, 1)
+        sl = src_ref[0, 0:3, :] - c                    # (3, S)
+        tl = tgt_ref[0, 0:3, :] - c                    # (3, tb)
+        b4 = jnp.concatenate([sl, jnp.ones((1,) + sl.shape[1:],
+                                           jnp.float32)], axis=0)  # (4, S)
+        # HIGHEST: default TPU f32 dot demotes to single-pass bf16 (~1e-3
+        # rel) — unacceptable for the dominant near term; the multi-pass
+        # product is still ~free next to the VPU r²/g work
+        ws = jax.lax.dot_general(
+            w, b4, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)       # (tb, 4)
+        out_ref[0, 0, :] = ws[:, 0] - tl[0, :] * ws[:, 3]
+        out_ref[0, 1, :] = ws[:, 1] - tl[1, :] * ws[:, 3]
+        out_ref[0, 2, :] = ws[:, 2] - tl[2, :] * ws[:, 3]
     else:
         neg_phi = _phi_from_r2(kernel, r2, h)
         if kernel == KERNEL_SPLINE:
