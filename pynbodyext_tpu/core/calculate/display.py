@@ -13,13 +13,22 @@ __all__ = ["compact_repr", "format_time", "format_mem", "html_pre",
 def compact_repr(value: Any, maxlen: int = 60) -> str:
     """Short single-line repr for node params and values."""
     try:
-        if hasattr(value, "shape") and getattr(value, "ndim", 0) > 0:
-            kind = type(value).__name__
-            if hasattr(value, "units"):
+        if hasattr(value, "shape"):
+            # repr of a DEVICE array (any ndim, incl. 0-d scalars) forces a
+            # host readback — ~29 ms per node through the TPU relay.  Only
+            # host numpy 0-d scalars are cheap enough to show by value.
+            if isinstance(value, (np.ndarray, np.generic)) \
+                    and getattr(value, "ndim", 1) == 0:
+                s = repr(value)
+            else:
+                kind = type(value).__name__
+                if hasattr(value, "units"):
+                    return (f"<{kind} {tuple(value.shape)} "
+                            f"{getattr(value, 'dtype', '?')} '{value.units}'>")
                 return (f"<{kind} {tuple(value.shape)} "
-                        f"{getattr(value, 'dtype', '?')} '{value.units}'>")
-            return f"<{kind} {tuple(value.shape)} {getattr(value, 'dtype', '?')}>"
-        s = repr(value)
+                        f"{getattr(value, 'dtype', '?')}>")
+        else:
+            s = repr(value)
     except Exception:
         s = f"<{type(value).__name__}>"
     if len(s) > maxlen:

@@ -890,9 +890,10 @@ def _build_banded_windows(prep, R: int, Gn: int):
     # upload once, padded by the max chunk width (device-side slicing;
     # per-chunk host shipping measured ~50 ms/chunk through the relay).
     # pad group id = ngn → clamps into the spill segment, never collected.
-    # pad ≥ the largest possible chunk (w_budget is clamped ≤ the SMEM cap
-    # but raised to wcounts.max() — _near_banded rejects that case)
-    pad = max(16384, int(wcounts.max()) if len(wcounts) else 0)
+    # pad ≥ the largest possible chunk: _clamp_w_budget bounds w_budget by
+    # the R-dependent SMEM cap (and rejects wcounts.max() above it), so a
+    # pad of that cap guarantees every dynamic_slice stays in bounds.
+    pad = max(98_304 // (R + 2), int(wcounts.max()) if len(wcounts) else 0)
     gf_dev = jnp.asarray(np.concatenate([wgrp, np.full(pad, ngn, np.int32)]))
     blk_dev = jnp.asarray(np.concatenate([wblk, np.zeros(pad, np.int32)]))
     bits_dev = jnp.asarray(np.concatenate([bits,
@@ -1054,7 +1055,8 @@ def _build_packed_windows(prep, R: int, K: int):
                      (np.int32(1) << (u * K + v)).astype(np.int32))
     npt = pk["n_ptiles"]
     wcounts = np.bincount(wgrp, minlength=npt).astype(np.int64)
-    pad = max(16384, int(wcounts.max()) if len(wcounts) else 0)
+    # pad ≥ any chunk budget _clamp_w_budget can allow (see banded builder)
+    pad = max(98_304 // (R + 2), int(wcounts.max()) if len(wcounts) else 0)
     gf_dev = jnp.asarray(np.concatenate([wgrp, np.full(pad, npt, np.int32)]))
     blk_dev = jnp.asarray(np.concatenate([wblk, np.zeros(pad, np.int32)]))
     bits_dev = jnp.asarray(np.concatenate([bits,
