@@ -23,6 +23,7 @@ __all__ = ["center_of_mass", "shrink_sphere_center", "potential_center",
            "hybrid_center"]
 
 
+@jax.jit
 def center_of_mass(pos, weights=None, mask=None, ref=None):
     """Weighted mean position.  ``ref`` recenters summands for conditioning."""
     n = pos.shape[0]
@@ -161,6 +162,7 @@ def shrink_sphere_center(pos, weights=None, mask=None,
     return center
 
 
+@jax.jit
 def potential_center(pos, phi, mask=None):
     """Position of the (masked) potential minimum (CenPos mode 'pot')."""
     if mask is not None:

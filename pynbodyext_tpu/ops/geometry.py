@@ -7,6 +7,7 @@ requested up vector is (nearly) parallel to the alignment vector.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 __all__ = ["faceon_matrix", "apply_rotation"]
@@ -14,6 +15,7 @@ __all__ = ["faceon_matrix", "apply_rotation"]
 _PARALLEL_TOL = 1e-6
 
 
+@jax.jit
 def faceon_matrix(vec, up=None):
     """Rotation matrix R such that ``pos @ R.T`` puts ``vec`` along +z.
 
@@ -40,6 +42,7 @@ def faceon_matrix(vec, up=None):
     return jnp.stack([x, y, z], axis=0)
 
 
+@jax.jit
 def apply_rotation(arr, matrix):
     """Rotate (N, 3) vectors: ``arr @ R.T`` (one MXU-friendly matmul)."""
     return arr @ matrix.T

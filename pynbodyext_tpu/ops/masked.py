@@ -15,6 +15,7 @@ shapes stay static under jit.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Optional
 
 import jax
@@ -32,6 +33,7 @@ def _bmask(mask, x):
     return mask.reshape(mask.shape + (1,) * extra) if extra > 0 else mask
 
 
+@partial(jax.jit, static_argnames=("axis",))
 def msum(x, mask=None, weights=None, axis=0):
     if weights is not None:
         x = x * _none_bcast(weights, x)
@@ -51,6 +53,7 @@ def mcount(mask, n: Optional[int] = None):
     return jnp.sum(mask)
 
 
+@partial(jax.jit, static_argnames=("axis",))
 def mmean(x, mask=None, weights=None, axis=0):
     if weights is None:
         if mask is None:
@@ -67,18 +70,21 @@ def mmean(x, mask=None, weights=None, axis=0):
     return num / jnp.where(den == 0, 1.0, den)
 
 
+@partial(jax.jit, static_argnames=("axis",))
 def mmin(x, mask=None, axis=0):
     if mask is not None:
         x = jnp.where(_bmask(mask, x), x, jnp.inf)
     return jnp.min(x, axis=axis)
 
 
+@partial(jax.jit, static_argnames=("axis",))
 def mmax(x, mask=None, axis=0):
     if mask is not None:
         x = jnp.where(_bmask(mask, x), x, -jnp.inf)
     return jnp.max(x, axis=axis)
 
 
+@partial(jax.jit, static_argnames=("shift_first",))
 def weighted_quantile(values, fracs, weights=None, mask=None,
                       shift_first: bool = False):
     """Weighted quantile(s) via the reference's cumulative-fraction interp.

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from typing import Any, Optional
 
+import jax
 import jax.numpy as jnp
 
 from ..core.calculate import Param, ParamView, TransformBase
@@ -33,6 +34,25 @@ _CONVENTIONS = ("center", "upper", "minirange")
 def _wrap_once(pos, L, lower):
     k = jnp.floor((pos - lower) / L)
     return pos - k * L
+
+
+@jax.jit
+def _wrap_center(p, L):
+    return _wrap_once(p, L, -0.5 * L)
+
+
+@jax.jit
+def _wrap_upper(p, L):
+    return _wrap_once(p, L, 0.0)
+
+
+@jax.jit
+def _wrap_minirange(p, L):
+    wc = _wrap_once(p, L, -0.5 * L)
+    wu = _wrap_once(p, L, 0.0)
+    range_c = jnp.max(wc, axis=0) - jnp.min(wc, axis=0)
+    range_u = jnp.max(wu, axis=0) - jnp.min(wu, axis=0)
+    return jnp.where(range_c <= range_u, wc, wu)
 
 
 @TransformBase.dataclass
@@ -80,13 +100,9 @@ class WrapBox(TransformBase):
         pos = snapshot["pos"]
         p = pos.value
         if self.convention == "center":
-            new = _wrap_once(p, L, -0.5 * L)
+            new = _wrap_center(p, L)
         elif self.convention == "upper":
-            new = _wrap_once(p, L, 0.0)
+            new = _wrap_upper(p, L)
         else:  # minirange: per axis, smaller resulting range wins
-            wc = _wrap_once(p, L, -0.5 * L)
-            wu = _wrap_once(p, L, 0.0)
-            range_c = jnp.max(wc, axis=0) - jnp.min(wc, axis=0)
-            range_u = jnp.max(wu, axis=0) - jnp.min(wu, axis=0)
-            new = jnp.where(range_c <= range_u, wc, wu)
+            new = _wrap_minirange(p, L)
         return snapshot.with_fields(pos=QArray(new, pos.units))
