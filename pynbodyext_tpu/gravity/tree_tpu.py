@@ -229,6 +229,11 @@ def _chunked_eval(prep, eval_fn, chunk_blocks: int, extra_args):
     materialize (blocks × list × payload) intermediates, which must not
     scale with the full snapshot)."""
     nb = prep["n_blocks"]
+    # never pad a small solve up to the full chunk budget: a 63-block test
+    # snapshot padded to 2048 blocks costs 32x the compute (fatal on the
+    # single-core CPU backend: (2048, tb, list, 3) elementwise passes)
+    if nb < chunk_blocks:
+        chunk_blocks = 1 << (nb - 1).bit_length() if nb > 1 else 1
     outs = []
     nchunks = -(-nb // chunk_blocks)
     for c in range(nchunks):
@@ -319,11 +324,19 @@ def _eval_accelerations(prep_tgt_pos, prep_tgt_soft, tgt_orig, node_ids,
         ncom = node_com[nids]
         nm = node_mass[nids]
         if order == 0:
-            d = ncom[None, :, :] - tpos[:, None, :]   # source − target
-            r2 = jnp.sum(d * d, axis=-1) + _TINY2
+            # component-wise 2-D math: (t, s, 3) intermediates vectorize
+            # poorly (XLA CPU/TPU lay the 3-lane axis minor — measured
+            # ~30x slower than three (t, s) passes; same lesson as the
+            # pre-gathered far kernels below)
+            dx = ncom[None, :, 0] - tpos[:, 0][:, None]
+            dy = ncom[None, :, 1] - tpos[:, 1][:, None]
+            dz = ncom[None, :, 2] - tpos[:, 2][:, None]
+            r2 = dx * dx + dy * dy + dz * dz + _TINY2
             invr = jax.lax.rsqrt(r2)
             g = nm[None, :] * invr * invr * invr
-            a_far = jnp.sum(d * g[:, :, None], axis=1)
+            a_far = jnp.stack([jnp.sum(dx * g, axis=1),
+                               jnp.sum(dy * g, axis=1),
+                               jnp.sum(dz * g, axis=1)], axis=-1)
         else:
             M = node_moments[nids]
             dt = tpos[:, None, :] - ncom[None, :, :]  # target − com
@@ -333,13 +346,17 @@ def _eval_accelerations(prep_tgt_pos, prep_tgt_soft, tgt_orig, node_ids,
         sm = leaf_mass[lids].reshape(-1)
         sh = leaf_soft[lids].reshape(-1)
         sorig = leaf_orig[lids].reshape(-1)
-        dd = spos[None, :, :] - tpos[:, None, :]
-        r = jnp.sqrt(jnp.sum(dd * dd, axis=-1) + _TINY2)
+        dx = spos[:, 0][None, :] - tpos[:, 0][:, None]
+        dy = spos[:, 1][None, :] - tpos[:, 1][:, None]
+        dz = spos[:, 2][None, :] - tpos[:, 2][:, None]
+        r = jnp.sqrt(dx * dx + dy * dy + dz * dz + _TINY2)
         h = jnp.maximum(tsoft[:, None], sh[None, :])
         g2 = kernel_accel_factor(kernel, r, h)
         same = torig[:, None] == sorig[None, :]
         w = jnp.where(same, 0.0, g2) * sm[None, :]
-        a_near = jnp.sum(dd * w[:, :, None], axis=1)
+        a_near = jnp.stack([jnp.sum(dx * w, axis=1),
+                            jnp.sum(dy * w, axis=1),
+                            jnp.sum(dz * w, axis=1)], axis=-1)
         return a_far + a_near
 
     return jax.vmap(one_block)(prep_tgt_pos, prep_tgt_soft, tgt_orig,
