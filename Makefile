@@ -19,6 +19,7 @@ native:
 
 tables:
 	$(PY) tools/gen_multipole.py
+	$(PY) tools/gen_hilbert.py
 
 bench:
 	$(PY) bench.py

@@ -30,6 +30,7 @@
 #include <thread>
 #include <vector>
 
+#include "hilbert_tables.h"
 #include "multipole_tables.h"
 
 namespace {
@@ -211,11 +212,17 @@ struct Tree {
   std::vector<std::vector<int32_t>> gl_gnearbits; // matching member bitmasks
 };
 
-// recursive builder: subdivide [start,end) of the reorder buffer
+// recursive builder: subdivide [start,end) of the reorder buffer.
+// hstate: Hilbert-curve orientation state for this node's child octant
+// enumeration (csrc/hilbert_tables.h), or -1 for plain Z/Morton order.
+// A Hilbert DFS keeps spatially adjacent leaves adjacent in sequence id,
+// which shortens the device engines' near-field window lists and makes
+// G-consecutive-leaf far groups more compact; traversal semantics are
+// unchanged (child visit order never affects BH acceptance).
 void build_rec(Tree &t, std::vector<int64_t> &idx,
                const double *pos,  // original positions (n,3)
                long start, long end, double cx, double cy, double cz,
-               double half, int leaf_capacity, int depth) {
+               double half, int leaf_capacity, int depth, int hstate) {
   int32_t me = (int32_t)t.nodes.size();
   t.nodes.push_back(Node());
   Node &node = t.nodes[me];
@@ -231,14 +238,17 @@ void build_rec(Tree &t, std::vector<int64_t> &idx,
 
   if (end - start <= leaf_capacity || depth > 60) return;  // leaf
 
-  // partition the index range into 8 octants (counting sort)
+  // partition the index range into 8 octants (counting sort), keyed by
+  // the child VISIT rank so subtree particle ranges stay in DFS order
+  const uint8_t *rank = hstate >= 0 ? HILBERT_RANK[hstate] : nullptr;
   long counts[8] = {0};
   std::vector<uint8_t> oct(end - start);
   for (long i = start; i < end; ++i) {
     const double *p = pos + 3 * idx[i];
     int o = (p[0] >= cx ? 1 : 0) | (p[1] >= cy ? 2 : 0) | (p[2] >= cz ? 4 : 0);
-    oct[i - start] = (uint8_t)o;
-    counts[o]++;
+    int r = rank ? rank[o] : o;
+    oct[i - start] = (uint8_t)r;
+    counts[r]++;
   }
   long offs[9];
   offs[0] = 0;
@@ -251,9 +261,10 @@ void build_rec(Tree &t, std::vector<int64_t> &idx,
 
   double q = half * 0.5;
   bool made_child = false;
-  for (int o = 0; o < 8; ++o) {
-    long a = start + offs[o], b = start + offs[o + 1];
+  for (int j = 0; j < 8; ++j) {
+    long a = start + offs[j], b = start + offs[j + 1];
     if (a == b) continue;
+    int o = hstate >= 0 ? HILBERT_ORDER[hstate][j] : j;  // geometric octant
     double ncx = cx + ((o & 1) ? q : -q);
     double ncy = cy + ((o & 2) ? q : -q);
     double ncz = cz + ((o & 4) ? q : -q);
@@ -262,7 +273,8 @@ void build_rec(Tree &t, std::vector<int64_t> &idx,
       t.nodes[me].first_child = child;
       made_child = true;
     }
-    build_rec(t, idx, pos, a, b, ncx, ncy, ncz, q, leaf_capacity, depth + 1);
+    build_rec(t, idx, pos, a, b, ncx, ncy, ncz, q, leaf_capacity, depth + 1,
+              hstate >= 0 ? (int)HILBERT_STATE[hstate][j] : -1);
   }
 }
 
@@ -863,9 +875,11 @@ void parallel_for_impl(long n, int threads,
 
 extern "C" {
 
+// curve: DFS child enumeration order — 1 = Hilbert (spatially contiguous
+// leaf sequence; the device-engine default), 0 = Z/Morton (legacy order)
 void *pnx_tree_build(const double *pos, long n, const double *mass,
                      long leaf_capacity, int order, const double *soft,
-                     int kernel) {
+                     int kernel, int curve) {
   if (n <= 0 || order < 0 || order > 5) return nullptr;
   init_index_pos();
   Tree *t = new Tree();
@@ -892,7 +906,8 @@ void *pnx_tree_build(const double *pos, long n, const double *mass,
   std::vector<int64_t> idx(n);
   for (long i = 0; i < n; ++i) idx[i] = i;
   t->nodes.reserve((size_t)(2.5 * n / std::max<long>(1, leaf_capacity)) + 64);
-  build_rec(*t, idx, pos, 0, n, cx, cy, cz, half, (int)leaf_capacity, 0);
+  build_rec(*t, idx, pos, 0, n, cx, cy, cz, half, (int)leaf_capacity, 0,
+            curve ? 0 : -1);
   set_links(*t);
 
   // reorder particle data

@@ -21,7 +21,8 @@ __all__ = ["lib", "ensure_built", "NativeError"]
 _THIS = Path(__file__).resolve().parent
 _REPO = _THIS.parent.parent.parent
 _SRC = _REPO / "csrc" / "octree.cpp"
-_HDR = _REPO / "csrc" / "multipole_tables.h"
+_HDRS = (_REPO / "csrc" / "multipole_tables.h",
+         _REPO / "csrc" / "hilbert_tables.h")
 _SO = _THIS / "libpnx_octree.so"
 
 
@@ -32,8 +33,8 @@ class NativeError(RuntimeError):
 def ensure_built() -> Path:
     """Compile the shared library if missing or older than its sources."""
     if _SO.exists() and _SRC.exists():
-        src_mtime = max(_SRC.stat().st_mtime,
-                        _HDR.stat().st_mtime if _HDR.exists() else 0)
+        src_mtime = max([_SRC.stat().st_mtime]
+                        + [h.stat().st_mtime for h in _HDRS if h.exists()])
         if _SO.stat().st_mtime >= src_mtime:
             return _SO
     if not _SRC.exists():
@@ -60,7 +61,8 @@ def _load() -> Optional[ctypes.CDLL]:
     dp = ctypes.POINTER(ctypes.c_double)
     dll.pnx_tree_build.restype = ctypes.c_void_p
     dll.pnx_tree_build.argtypes = [dp, ctypes.c_long, dp, ctypes.c_long,
-                                   ctypes.c_int, dp, ctypes.c_int]
+                                   ctypes.c_int, dp, ctypes.c_int,
+                                   ctypes.c_int]
     dll.pnx_tree_free.argtypes = [ctypes.c_void_p]
     dll.pnx_tree_n_nodes.restype = ctypes.c_long
     dll.pnx_tree_n_nodes.argtypes = [ctypes.c_void_p]

@@ -52,7 +52,7 @@ _SKIP_KEYS = {"_tree", "_gtt_np", "gtt_tiles", "far_classes",
               "gfar_classes", "tiles", "tgt_tiles", "tgt_pos",
               "near_classes", "gnear_classes"}
 
-_FORMAT_VERSION = 5  # v5: host-only persistence (device tables rebuilt)
+_FORMAT_VERSION = 6  # v6: Hilbert-ordered DFS default (leaf seq changed)
 
 
 def _hash_array(h, arr) -> None:

@@ -53,7 +53,7 @@ class Octree:
 
     def __init__(self, positions, masses=None, leaf_capacity: int = 32,
                  multipole_order: int = 0, softenings=None,
-                 kernel: Optional[str] = None):
+                 kernel: Optional[str] = None, curve: str = "hilbert"):
         nat = _require_native()
         self._nat = nat
         pos = nat.as_f64(np.asarray(positions))
@@ -73,11 +73,20 @@ class Octree:
         self.leaf_capacity = int(leaf_capacity)
         self.multipole_order = int(multipole_order)
         self.kernel = kernel
+        # DFS child order: "hilbert" keeps spatially adjacent leaves
+        # adjacent in sequence id (shorter device near-window lists,
+        # more compact far groups); "morton" is the legacy Z-order.
+        # Traversal results are order-independent (summation order only).
+        if curve not in ("hilbert", "morton"):
+            raise ValueError(f"curve must be 'hilbert' or 'morton', "
+                             f"got {curve!r}")
+        self.curve = curve
         code = _KERNEL_CODE[kernel]
         t0 = time.perf_counter()
         self._handle = nat.lib.pnx_tree_build(
             nat.dptr(pos), n, nat.dptr(m), self.leaf_capacity,
-            self.multipole_order, nat.dptr(h), code)
+            self.multipole_order, nat.dptr(h), code,
+            1 if curve == "hilbert" else 0)
         _stage(f"tree.build (N={n}, order={multipole_order})", t0)
         if not self._handle:
             raise RuntimeError("octree build failed")

@@ -210,3 +210,46 @@ def test_soft_admissibility_includes_target_softening():
     assert abs((pt[0] - pd[0]) / pd[0]) < 1e-3
     scale = np.linalg.norm(ad[0]) + np.abs(ad).max() * 1e-3
     assert np.linalg.norm(at[0] - ad[0]) / scale < 2e-2
+
+
+def test_hilbert_leaf_order_is_unit_step_continuous():
+    """The Hilbert DFS (csrc/hilbert_tables.h) must order leaves along a
+    unit-step-continuous space-filling curve — consecutive leaf centers
+    of a full 8x8x8 grid differ by exactly one grid step.  Morton/Z-order
+    fails this (~50% of steps are jumps), which is exactly why the device
+    engines' near-field windows fragment under it."""
+    g = np.arange(8) + 0.5
+    X, Y, Z = np.meshgrid(g, g, g, indexing="ij")
+    pos = np.stack([X.ravel(), Y.ravel(), Z.ravel()], 1)
+    rng = np.random.default_rng(0)
+    pos = pos[rng.permutation(len(pos))]  # input order must not matter
+    frac = {}
+    for curve in ("hilbert", "morton"):
+        tree = Octree(pos, leaf_capacity=1, curve=curve)
+        tree.block_lists(theta=0.7, block_size=0)  # numbers the leaves
+        p, _, _, _ = tree.particles_tree_order()
+        lstarts, lcounts = tree.leaves()
+        assert len(lstarts) == 512 and (lcounts == 1).all()
+        steps = np.abs(np.diff(p[lstarts], axis=0)).sum(axis=1)
+        frac[curve] = float((steps == 1.0).mean())
+    assert frac["hilbert"] == 1.0
+    assert frac["morton"] < 0.6  # sanity: Z-order genuinely differs
+
+
+def test_hilbert_and_morton_trees_agree():
+    """Child visit order must not change any physics: theta=0 solves are
+    bit-level-reordered sums only (1e-12 relative)."""
+    rng = np.random.default_rng(7)
+    n = 2500
+    pos = rng.normal(0, 10, (n, 3))
+    m = rng.uniform(0.5, 2, n)
+    ph = Octree(pos, m, leaf_capacity=16,
+                curve="hilbert").compute_potentials(theta=0.0)
+    pm = Octree(pos, m, leaf_capacity=16,
+                curve="morton").compute_potentials(theta=0.0)
+    assert np.abs(ph - pm).max() / np.abs(pm).max() < 1e-12
+    ah = Octree(pos, m, leaf_capacity=16,
+                curve="hilbert").compute_accelerations(theta=0.0)
+    am = Octree(pos, m, leaf_capacity=16,
+                curve="morton").compute_accelerations(theta=0.0)
+    assert np.abs(ah - am).max() / np.abs(am).max() < 1e-12
