@@ -1073,6 +1073,152 @@ def near_field_banded_chunk(gf_all, blk_all, bits_all, wstart, gstart,
                                   packed_K=packed_K)
 
 
+def _near_pdma_kernel(gk_ref, woffs_ref, blk_ref, bits_ref, tgt_ref, src_hbm,
+                      out_ref, *, cap, kernel, accel, R, packed_K, nbuf):
+    """Packed near field, DMA-pipelined: ONE grid step per dense packed
+    tile, looping over that tile's window list with an ``nbuf``-deep
+    manual DMA pipeline and REGISTER accumulation.
+
+    Why this beats the per-window banded grid (near_engine='packed'):
+    the banded engines pay a measured ~3.5 µs/window fixed grid/fetch
+    issue cost and write a (n_windows, rows, tb) intermediate that a
+    segment-sum then re-reads (~1.2 GB at 10M).  Here the grid is the
+    ~24× smaller packed-tile axis, the (8, R·cap) wide window fetches
+    overlap compute (pallas guide: Patterns/Double Buffering), and sums
+    stay in registers until the single grid-indexed output write.
+
+    Scalars: gk = [ng_eff] (tiles beyond the chunk's real range are
+    gated to zero windows — their window lists lie outside the sliced
+    SMEM arrays); woffs = LOCAL window offsets (ng+1); blk = window
+    block ids into the blocked source table (HBM); bits flat (W·R,)
+    K×K leaf-pair adjacency masks per window slot."""
+    g = pl.program_id(0)
+    S = R * cap
+    base = woffs_ref[g]
+    cnt = jnp.where(g < gk_ref[0], woffs_ref[g + 1] - base, 0)
+    tx = tgt_ref[0, 0, :].reshape(cap, 1)
+    ty = tgt_ref[0, 1, :].reshape(cap, 1)
+    tz = tgt_ref[0, 2, :].reshape(cap, 1)
+    th = tgt_ref[0, 4, :].reshape(cap, 1)
+    to = tgt_ref[0, 5, :].reshape(cap, 1)
+    tsub = tgt_ref[0, 7, :].reshape(cap, 1).astype(jnp.int32)
+    slot_lane = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1) // cap
+
+    def body(scratch, sem):
+        def get_dma(slot, j):
+            return pltpu.make_async_copy(src_hbm.at[blk_ref[base + j]],
+                                         scratch.at[slot], sem.at[slot])
+
+        for i in range(nbuf):  # warm-up: fill the pipeline
+            @pl.when(i < cnt)
+            def _(i=i):
+                get_dma(i, i).start()
+
+        def step(j, acc):
+            slot = jax.lax.rem(j, nbuf)
+            get_dma(slot, j).wait()
+            sx = scratch[slot, 0, :].reshape(1, S)
+            sy = scratch[slot, 1, :].reshape(1, S)
+            sz = scratch[slot, 2, :].reshape(1, S)
+            sm = scratch[slot, 3, :].reshape(1, S)
+            sh = scratch[slot, 4, :].reshape(1, S)
+            so = scratch[slot, 5, :].reshape(1, S)
+            ssub = scratch[slot, 7, :].reshape(1, S).astype(jnp.int32)
+            bl = jnp.zeros((1, S), jnp.int32)
+            for r in range(R):
+                bl = jnp.where(slot_lane == r,
+                               bits_ref[(base + j) * R + r], bl)
+            idx = tsub * packed_K + ssub
+            incl = (jax.lax.shift_right_logical(bl, idx) & 1) \
+                .astype(jnp.float32)                  # (cap, S)
+            dx = sx - tx
+            dy = sy - ty
+            dz = sz - tz
+            r2 = dx * dx + dy * dy + dz * dz
+            r2 = jnp.where(so == to, jnp.inf, r2)     # exact self exclusion
+
+            # refill the slot before the compute retires
+            @pl.when(j + nbuf < cnt)
+            def _():
+                get_dma(slot, j + nbuf).start()
+
+            h = jnp.maximum(th, sh)
+            if accel:
+                # VPU difference form (w·dx sums): an in-loop MXU bundle
+                # dot with the loop-carried accumulator measured 161–450 s
+                # at 10M — the tiny (cap,4)×(4,S) dots serialize against
+                # the carry instead of pipelining
+                gg = _g_from_r2(kernel, r2, h)
+                if kernel == KERNEL_SPLINE:
+                    gg = jnp.where(jnp.isfinite(r2), gg, 0.0)
+                w = gg * sm * incl
+                ax, ay, az = acc
+                return (ax + jnp.sum(w * dx, axis=1),
+                        ay + jnp.sum(w * dy, axis=1),
+                        az + jnp.sum(w * dz, axis=1))
+            neg_phi = _phi_from_r2(kernel, r2, h)
+            if kernel == KERNEL_SPLINE:
+                neg_phi = jnp.where(jnp.isfinite(r2), neg_phi, 0.0)
+            return (acc[0] + jnp.sum(neg_phi * sm * incl, axis=1),)
+
+        zero = jnp.zeros((cap,), jnp.float32)
+        init = (zero, zero, zero) if accel else (zero,)
+        acc = jax.lax.fori_loop(0, cnt, step, init)
+        for row in range(3 if accel else 1):
+            out_ref[0, row, :] = acc[row]
+
+    pl.run_scoped(body,
+                  scratch=pltpu.VMEM((nbuf, 8, R * cap), jnp.float32),
+                  sem=pltpu.SemaphoreType.DMA((nbuf,)))
+
+
+@functools.partial(jax.jit, static_argnames=("kernel", "accel", "interpret",
+                                             "R", "cap", "gcap", "W",
+                                             "packed_K", "nbuf"))
+def near_field_pdma_chunk(woffs_all, blk_all, bits_all, wstart, gk,
+                          tgt_all, src_blk, kernel: str = KERNEL_NONE,
+                          accel: bool = False, interpret: bool = False,
+                          R: int = 4, cap: int = 128, gcap: int = 4096,
+                          W: int = 16384, packed_K: int = 5,
+                          nbuf: int = 8):
+    """One chunk of the packed-DMA near field: slice ``gcap`` tiles /
+    ``W`` windows out of the once-uploaded global arrays on device
+    (per-chunk host slicing + upload measured ~50 ms/chunk through the
+    relay) and evaluate with :func:`_near_pdma_kernel`.
+
+    gk = [gstart, ng_eff]; wstart = [first window of the chunk].
+    Returns (gcap, rows, cap); rows beyond ng_eff are garbage (gated to
+    zero windows, discarded by the caller)."""
+    gs = gk[0]
+    ws = wstart[0]
+    woffs = jax.lax.dynamic_slice(woffs_all, (gs,), (gcap + 1,)) - ws
+    blk = jax.lax.dynamic_slice(blk_all, (ws,), (W,))
+    bits = jax.lax.dynamic_slice(bits_all, (ws * R,), (W * R,))
+    tgt = jax.lax.dynamic_slice(tgt_all, (gs, 0, 0),
+                                (gcap, 8, tgt_all.shape[2]))
+    rows = 3 if accel else 1
+    kern = functools.partial(_near_pdma_kernel, cap=cap, kernel=kernel,
+                             accel=accel, R=R, packed_K=packed_K, nbuf=nbuf)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(gcap,),
+        in_specs=[
+            pl.BlockSpec((1, 8, cap), lambda g, GK, WO, BLK, BITS: (g, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),  # blocked windows stay in HBM
+        ],
+        out_specs=pl.BlockSpec((1, rows, cap),
+                               lambda g, GK, WO, BLK, BITS: (g, 0, 0)),
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((gcap, rows, cap), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(gk[1:2], woffs, blk, bits, tgt, src_blk)
+
+
 def _k_for(lists) -> int:
     w = lists.shape[1]
     return 4 if w % 4 == 0 else (2 if w % 2 == 0 else 1)

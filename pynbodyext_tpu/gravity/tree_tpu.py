@@ -1150,6 +1150,55 @@ def _near_packed(prep, kern, interpret, accel, R: int = 4, K: int = 5,
     return _scatter_packed(prep, pk, out_p, accel)
 
 
+def _near_pdma(prep, kern, interpret, accel, R: int = 4, K: int = 5,
+               w_budget: int = 16384, gcap: int = 4096, nbuf: int = 8,
+               mesh=None):
+    """Packed near field with a per-tile DMA window pipeline: the grid is
+    the packed-TILE axis (one step per dense tile, ~24× fewer steps than
+    windows at 10M); each step streams its (8, R·cap) windows through an
+    ``nbuf``-deep manual DMA pipeline and accumulates in registers —
+    no per-window output buffer, no segment-sum pass, fetches overlap
+    compute.  Exactness matches near_engine='packed' (same window lists
+    and K×K adjacency bits).  Single-device (mesh ignored)."""
+    from .tree_pallas import near_field_pdma_chunk
+    cap = prep["cap"]
+    pk = _pack_dense_tiles(prep, K)
+    npt = pk["n_ptiles"]
+    _, wblk_dev, bits_dev, wcounts = _build_packed_windows(prep, R, K)
+    woffs = np.concatenate([[0], np.cumsum(wcounts)]).astype(np.int64)
+    gcap = min(gcap, npt)
+    w_budget = _clamp_w_budget(w_budget, wcounts, R)
+    key = ("pdma", R, K, gcap)
+    if key not in prep:
+        # window offsets and the tile table, padded by one chunk so the
+        # device-side dynamic_slice never clamps (a clamped start would
+        # misalign tiles against their window offsets)
+        w32 = woffs.astype(np.int32)
+        woffs_dev = jnp.asarray(
+            np.concatenate([w32, np.full(gcap, w32[-1], np.int32)]))
+        tgt_all = jnp.concatenate(
+            [pk["ptiles"],
+             jnp.zeros((gcap, 8, cap), jnp.float32)], axis=0)
+        prep[key] = (woffs_dev, tgt_all)
+    woffs_dev, tgt_all = prep[key]
+    src_blk = _ptiles_blocked(prep, R, K)
+    ranges = _banded_ranges(woffs, npt, gcap, w_budget)
+    call = partial(near_field_pdma_chunk, kernel=kern, accel=accel,
+                   interpret=interpret, R=R, cap=cap, gcap=gcap,
+                   W=w_budget, packed_K=K, nbuf=nbuf)
+    pending = []
+    for gs, ge in ranges:
+        res = call(woffs_dev, wblk_dev, bits_dev,
+                   jnp.asarray([int(woffs[gs])], np.int32),
+                   jnp.asarray([gs, ge - gs], np.int32), tgt_all, src_blk)
+        pending.append((gs, ge, res))
+    rows = 3 if accel else 1
+    out_p = np.zeros((npt, rows, cap), np.float32)
+    for s, e, res in pending:
+        out_p[s:e] = np.asarray(res)[:e - s]
+    return _scatter_packed(prep, pk, out_p, accel)
+
+
 def _near_banded(prep, kern, interpret, accel, R: int = 4, Gn: int = 1,
                  w_budget: int = 16384, gcap: int = 4096, mesh=None):
     """Banded union near field (see _build_banded_windows): one grid step
@@ -1482,9 +1531,9 @@ def tree_potentials_device_pallas(tree: Octree, theta: float = 0.7,
         else:
             near_engine = "packed" if prep["n_blocks"] >= 65536 else "classes"
     if near_engine not in ("classes", "dma", "group", "gdma", "banded",
-                           "packed"):
+                           "packed", "pdma"):
         raise ValueError(f"near_engine must be 'classes', 'dma', 'group', "
-                         f"'gdma', 'banded' or 'packed', "
+                         f"'gdma', 'banded', 'packed' or 'pdma', "
                          f"got {near_engine!r}")
     if mesh is not None and near_engine not in ("banded", "packed"):
         raise ValueError("mesh execution supports near_engine 'banded' "
@@ -1501,9 +1550,10 @@ def tree_potentials_device_pallas(tree: Octree, theta: float = 0.7,
                                             interpret=interpret,
                                             far_engine=far_engine,
                                             mesh=mesh)
-    if near_engine == "packed":
+    if near_engine in ("packed", "pdma"):
         # packed near returns particle-space results directly
-        near_p = _near_packed(prep, kern, interpret, accel=False, mesh=mesh)
+        fn = _near_pdma if near_engine == "pdma" else _near_packed
+        near_p = fn(prep, kern, interpret, accel=False, mesh=mesh)
         return near_p + _scatter_leaf_blocks(prep, far_all, 1)
     near_fn = {"classes": _near_chunked, "dma": _near_dma,
                "group": _near_group, "gdma": _near_gdma,
@@ -1531,9 +1581,9 @@ def tree_accelerations_device_pallas(tree: Octree, theta: float = 0.7,
         else:
             near_engine = "packed" if prep["n_blocks"] >= 65536 else "classes"
     if near_engine not in ("classes", "dma", "group", "gdma", "banded",
-                           "packed"):
+                           "packed", "pdma"):
         raise ValueError(f"near_engine must be 'classes', 'dma', 'group', "
-                         f"'gdma', 'banded' or 'packed', "
+                         f"'gdma', 'banded', 'packed' or 'pdma', "
                          f"got {near_engine!r}")
     if mesh is not None and near_engine not in ("banded", "packed"):
         raise ValueError("mesh execution supports near_engine 'banded' "
@@ -1557,8 +1607,9 @@ def tree_accelerations_device_pallas(tree: Octree, theta: float = 0.7,
                                             interpret=interpret,
                                             far_engine=far_engine,
                                             mesh=mesh)
-    if near_engine == "packed":
-        near_p = _near_packed(prep, kern, interpret, accel=True, mesh=mesh)
+    if near_engine in ("packed", "pdma"):
+        fn = _near_pdma if near_engine == "pdma" else _near_packed
+        near_p = fn(prep, kern, interpret, accel=True, mesh=mesh)
         return near_p + _scatter_leaf_blocks(prep, far_all, 3)
     near_fn = {"classes": _near_chunked, "dma": _near_dma,
                "group": _near_group, "gdma": _near_gdma,

@@ -345,6 +345,31 @@ def test_packed_engine_vs_numpy(clustered):
                 err_msg=f"accel={accel} R={R} K={K}")
 
 
+def test_pdma_engine_vs_numpy(clustered):
+    """Packed-DMA near engine (per-tile window loop, nbuf-deep manual DMA
+    pipeline, register accumulation) vs the numpy per-leaf reference —
+    same window lists as 'packed', different schedule.  Small w_budget /
+    gcap exercise chunk boundaries and the ng_eff gating."""
+    pos, m, h = clustered
+    tree = Octree(pos, m, leaf_capacity=128, multipole_order=0,
+                  softenings=h, kernel="plummer")
+    from pynbodyext_tpu.gravity import tree_tpu
+    prep = tree_tpu.prepare_tree_pallas(tree, theta=0.5, group_leaves=8)
+    for accel in (False, True):
+        ref_blocks = _near_ref_numpy(prep, accel)
+        ref = tree_tpu._scatter_leaf_blocks(
+            prep, np.asarray(ref_blocks, np.float32), 3 if accel else 1)
+        scale = np.abs(ref).max()
+        for R, K, wb, gc, nbuf in ((4, 5, 16384, 4096, 8),
+                                   (4, 5, 64, 16, 2)):
+            got = tree_tpu._near_pdma(prep, prep["kernel"], True,
+                                      accel=accel, R=R, K=K,
+                                      w_budget=wb, gcap=gc, nbuf=nbuf)
+            np.testing.assert_allclose(
+                got, ref, rtol=2e-4, atol=scale * 2e-6,
+                err_msg=f"accel={accel} R={R} K={K} wb={wb}")
+
+
 def test_packed_engine_theta0_e2e(clustered):
     """θ=0 through the full device-tree entry points with the packed
     near engine ≡ direct sum."""
