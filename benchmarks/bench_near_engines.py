@@ -30,26 +30,40 @@ def main(n, engines):
     print(f"prep {time.perf_counter()-t0:.1f}s stats={prep['stats']}",
           flush=True)
     kern = prep["kernel"] or "none"
+    accel = False
+    if engines and engines[0] == "accel":
+        accel = True
+        engines = engines[1:]
     ref = None
     for eng in engines:
         R = None
+        kwargs = {}
         name = eng
         if eng.startswith("banded"):
             parts = eng.split(":")
             R = int(parts[1]) if len(parts) > 1 else 8
             Gn = int(parts[2]) if len(parts) > 2 else 1
             name = f"banded R={R} Gn={Gn}"
-        for rep in range(2):
+        elif eng.startswith("pdma"):
+            parts = eng.split(":")
+            if len(parts) > 1:
+                kwargs["nbuf"] = int(parts[1])
+            if len(parts) > 2:
+                kwargs["R"] = int(parts[2])
+            eng = "pdma"
+        for rep in range(3):
             t0 = time.perf_counter()
             if R is not None:
-                out = tree_tpu._near_banded(prep, kern, False, accel=False,
+                out = tree_tpu._near_banded(prep, kern, False, accel=accel,
                                             R=R, Gn=Gn)
             else:
                 fn = {"classes": tree_tpu._near_chunked,
                       "dma": tree_tpu._near_dma,
                       "group": tree_tpu._near_group,
-                      "gdma": tree_tpu._near_gdma}[eng]
-                out = fn(prep, kern, False, accel=False)
+                      "gdma": tree_tpu._near_gdma,
+                      "packed": tree_tpu._near_packed,
+                      "pdma": tree_tpu._near_pdma}[eng]
+                out = fn(prep, kern, False, accel=accel, **kwargs)
             dt = time.perf_counter() - t0
             print(f"{name:>12} rep{rep}: {dt*1e3:8.1f} ms", flush=True)
         if ref is None:

@@ -1154,6 +1154,56 @@ void pnx_tree_moments(void *h, double *out) {
 
 int pnx_tree_nmom(void *h) { return ((Tree *)h)->nmom; }
 
+// pack (n_leaves+1, 8, cap) f32 leaf tiles straight from the tree-order
+// SoA — row layout [x, y, z, mass, soft, orig, 1, 0]; padded lanes get
+// (sentinel, 0, 0, -2); final row is the all-dummy leaf.  Replaces the
+// numpy fancy-index packer (31 s at 10M on this host; this is a straight
+// convert/stream pass, <1 s).
+void pnx_tree_pack_leaf_tiles(void *h, const int64_t *lstarts,
+                              const int64_t *lcounts, long n_leaves,
+                              const double *sentinel, long cap, float *out) {
+  Tree *t = (Tree *)h;
+  const float sx = (float)sentinel[0], sy = (float)sentinel[1],
+              sz = (float)sentinel[2];
+  parallel_for_impl(n_leaves, 0, [&](long lo, long hi) {
+    for (long l = lo; l < hi; ++l) {
+      float *tile = out + l * 8 * cap;
+      const long s = lstarts[l];
+      const long c = std::min<long>(lcounts[l], cap);
+      for (long j = 0; j < c; ++j) {
+        tile[j] = (float)t->px[s + j];
+        tile[cap + j] = (float)t->py[s + j];
+        tile[2 * cap + j] = (float)t->pz[s + j];
+        tile[3 * cap + j] = (float)t->pm[s + j];
+        tile[4 * cap + j] = (float)t->ph[s + j];
+        tile[5 * cap + j] = (float)t->orig_index[s + j];
+      }
+      for (long j = c; j < cap; ++j) {
+        tile[j] = sx;
+        tile[cap + j] = sy;
+        tile[2 * cap + j] = sz;
+        tile[3 * cap + j] = 0.0f;
+        tile[4 * cap + j] = 0.0f;
+        tile[5 * cap + j] = -2.0f;
+      }
+      for (long j = 0; j < cap; ++j) tile[6 * cap + j] = 1.0f;
+      for (long j = 0; j < cap; ++j) tile[7 * cap + j] = 0.0f;
+    }
+  });
+  // all-dummy leaf row: sentinel position, zero mass, orig -2
+  float *tile = out + n_leaves * 8 * cap;
+  for (long j = 0; j < cap; ++j) {
+    tile[j] = sx;
+    tile[cap + j] = sy;
+    tile[2 * cap + j] = sz;
+    tile[3 * cap + j] = 0.0f;
+    tile[4 * cap + j] = 0.0f;
+    tile[5 * cap + j] = -2.0f;
+    tile[6 * cap + j] = 0.0f;
+    tile[7 * cap + j] = 0.0f;
+  }
+}
+
 // reordered particle data export (tree order) + original indices
 void pnx_tree_particles(void *h, double *pos, double *mass, double *soft,
                         int64_t *orig) {

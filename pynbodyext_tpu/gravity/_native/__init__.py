@@ -103,6 +103,10 @@ def _load() -> Optional[ctypes.CDLL]:
     dll.pnx_tree_nmom.restype = ctypes.c_int
     dll.pnx_tree_nmom.argtypes = [ctypes.c_void_p]
     dll.pnx_tree_particles.argtypes = [ctypes.c_void_p, dp, dp, dp, i64p]
+    fp = ctypes.POINTER(ctypes.c_float)
+    dll.pnx_tree_pack_leaf_tiles.argtypes = [ctypes.c_void_p, i64p, i64p,
+                                             ctypes.c_long, dp,
+                                             ctypes.c_long, fp]
     return dll
 
 

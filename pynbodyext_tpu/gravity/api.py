@@ -118,6 +118,7 @@ class Gravity:
             force_reference = not _tpu_available()
         self.force_reference = force_reference
         self._tree = None
+        self._pallas_preps = {}
 
     # -- kernel resolution -------------------------------------------------
     def _kernel_key(self, kernel=None) -> str:
@@ -166,14 +167,32 @@ class Gravity:
                 kernel=self._kernel_key(self.tree_options.kernel))
         return self._tree
 
+    def _pallas_prep(self, theta: float):
+        """Per-instance cache of the production device-tree prep (the
+        expensive host phase: lists, classes, payload gathers)."""
+        key = float(theta)
+        if key not in self._pallas_preps:
+            from .tree_tpu import prepare_tree_pallas
+            self._pallas_preps[key] = prepare_tree_pallas(self.get_tree(),
+                                                          theta=theta)
+        return self._pallas_preps[key]
+
     def tree_potentials(self, targets=None, theta: float = 0.7,
                         threads: int = 0, kernel=None,
                         device: bool = False):
         """Barnes–Hut potentials.  ``device=True`` evaluates the traversal's
         interaction lists on the accelerator (tree_tpu), for the self set
-        and at arbitrary query points."""
+        and at arbitrary query points.  On TPU the self set runs the
+        production Pallas engines (packed near field + batched far field);
+        on CPU it falls back to the XLA-gather engine (the Pallas path
+        needs interpret mode there — hours at scale)."""
         if device:
             if targets is None:
+                if _tpu_available():
+                    from .tree_tpu import tree_potentials_device_pallas
+                    return tree_potentials_device_pallas(
+                        self.get_tree(), theta=theta,
+                        prep=self._pallas_prep(theta))
                 from .tree_tpu import tree_potentials_device
                 return tree_potentials_device(self.get_tree(), theta=theta)
             from .tree_tpu import tree_potentials_at_points_device
@@ -188,6 +207,11 @@ class Gravity:
                            device: bool = False):
         if device:
             if targets is None:
+                if _tpu_available():
+                    from .tree_tpu import tree_accelerations_device_pallas
+                    return tree_accelerations_device_pallas(
+                        self.get_tree(), theta=theta,
+                        prep=self._pallas_prep(theta))
                 from .tree_tpu import tree_accelerations_device
                 return tree_accelerations_device(self.get_tree(), theta=theta)
             from .tree_tpu import tree_accelerations_at_points_device

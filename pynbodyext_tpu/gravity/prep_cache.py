@@ -187,7 +187,6 @@ def load_tree_prep(path) -> Optional[dict]:
     prep["tiles"] = tiles
     nl = prep["n_blocks"]
     prep["tgt_tiles"] = tiles[:nl]
-    prep["tgt_pos"] = jnp.moveaxis(tiles[:nl, 0:3, :], 1, 2)
     prep["_cache_path"] = str(path)
     prep["_cache_keys"] = frozenset(body.keys())
     return prep

@@ -456,7 +456,6 @@ def prepare_tree_pallas(tree: Octree, theta: float = 0.7, cap: int = 128,
     """
     import time as _time
     from .tree import _stage
-    from .tree_pallas import pack_leaf_tiles
     _t0 = _time.perf_counter()
     G = max(1, int(group_leaves))
     if G > 1:
@@ -477,8 +476,9 @@ def prepare_tree_pallas(tree: Octree, theta: float = 0.7, cap: int = 128,
     cap = max(cap, int(lcounts.max()) if n_leaves else 1)
     extent = float(np.max(pos.max(0) - pos.min(0))) if n else 1.0
     sentinel = (pos.mean(0) + 3.0 * max(extent, 1e-3)).astype(np.float64)
-    tiles = pack_leaf_tiles(pos, pmass, psoft, orig, lstarts, lcounts,
-                            sentinel, cap)
+    if n >= (1 << 24):
+        raise ValueError("orig-index-in-f32 packing requires N < 2^24")
+    tiles = tree.pack_leaf_tiles(lstarts, lcounts, sentinel, cap)
     # pad the tile table to a multiple of 32 rows (all-dummy rows) so the
     # banded engine's (R, 8, cap) window BlockSpec divides it for any
     # R ∈ {4, 8, 16, 32}; leaf ids (incl. the dummy id n_leaves) unchanged
@@ -495,8 +495,12 @@ def prepare_tree_pallas(tree: Octree, theta: float = 0.7, cap: int = 128,
     nodes_packed = np.zeros((len(nmass), 8), np.float32)
     nodes_packed[:, 0:3] = com
     nodes_packed[:, 3] = nmass
+    _stage("prep.nodes", _t0); _t0 = _time.perf_counter()
     tiles_j = jnp.asarray(tiles)
-    tgt_pos = jnp.moveaxis(tiles_j[:n_leaves, 0:3, :], 1, 2)  # (nb, cap, 3)
+    _stage("prep.tiles_upload", _t0); _t0 = _time.perf_counter()
+    # NOTE: no eager (nb, cap, 3) target-position copy — the only consumer
+    # of its layout was .shape[1] (== cap); the eager jnp.moveaxis cost a
+    # remote XLA compile + 360 MB HBM at 10M for nothing
 
     prep = {
         "n": n, "n_blocks": n_leaves, "cap": cap, "theta": float(theta),
@@ -507,7 +511,6 @@ def prepare_tree_pallas(tree: Octree, theta: float = 0.7, cap: int = 128,
         "near_flat": np.asarray(leaf_idx, np.int32),
         "tiles": tiles_j,
         "tgt_tiles": tiles_j[:n_leaves],
-        "tgt_pos": tgt_pos,
         "node_counts_np": np.asarray(node_counts, np.int64),
         "node_com": jnp.asarray(com, jnp.float32),
         "node_mass": jnp.asarray(nmass, jnp.float32),
@@ -545,6 +548,7 @@ def prepare_tree_pallas(tree: Octree, theta: float = 0.7, cap: int = 128,
             axis=1).astype(np.float32)  # (n, P) node-major: 16 B row gathers
     else:
         payload_np = None
+    _stage("prep.payload", _t0); _t0 = _time.perf_counter()
     prep["far_pre"] = far_pre
     # row-batched pallas far kernel (monopole): amortizes the ~3 µs
     # per-step fixed cost the one-row-per-step schedules pay
@@ -581,6 +585,9 @@ def _ensure_far_classes(prep) -> None:
     class structures from the compact host ingredients in ``prep``."""
     if "far_classes" in prep:
         return
+    import time as _time
+    from .tree import _stage
+    _t0 = _time.perf_counter()
     n_leaves, cap, G = prep["n_blocks"], prep["cap"], prep["G"]
     dummy_node = prep["_dummy_node"]
     far_pre = prep["far_pre"]
@@ -591,6 +598,7 @@ def _ensure_far_classes(prep) -> None:
         node_counts, node_ids, 128, dummy_node,
         tiles_j[:n_leaves] if far_pre else prep["_tgt_pos_np"],
         payload=payload_np)
+    _stage("prep.far_classes.leaf", _t0); _t0 = _time.perf_counter()
     if "_gfar_lists" in prep:
         ng = prep["n_groups"]
         if far_pre:
@@ -618,6 +626,7 @@ def _ensure_far_classes(prep) -> None:
         prep["gfar_classes"] = _build_classes(
             gn_counts, gn_ids, 128, dummy_node, g_targets,
             payload=payload_np)
+        _stage("prep.far_classes.group", _t0)
 
 
 def _host_particles(prep):
@@ -637,11 +646,16 @@ def _host_particles(prep):
 def _host_tiles(prep):
     """Host copy of the (padded) leaf tile table, rebuilt on demand."""
     if prep.get("_tiles_np") is None:
-        from .tree_pallas import pack_leaf_tiles
-        pos, pmass, psoft, orig = _host_particles(prep)
-        tiles = pack_leaf_tiles(pos, pmass, psoft, orig, prep["lstarts"],
-                                prep["lcounts"], prep["_sentinel"],
-                                prep["cap"])
+        tree = prep.get("_tree")
+        if tree is not None:
+            tiles = tree.pack_leaf_tiles(prep["lstarts"], prep["lcounts"],
+                                         prep["_sentinel"], prep["cap"])
+        else:
+            from .tree_pallas import pack_leaf_tiles
+            pos, pmass, psoft, orig = _host_particles(prep)
+            tiles = pack_leaf_tiles(pos, pmass, psoft, orig,
+                                    prep["lstarts"], prep["lcounts"],
+                                    prep["_sentinel"], prep["cap"])
         pad32 = (-len(tiles)) % 32
         if pad32:
             tiles = np.concatenate(
@@ -1430,7 +1444,7 @@ def _far_eval(prep, accel: bool, interpret: bool, far_chunk: int = 8192,
     pre/gather path; "pallas" requires the payload and raises without it."""
     nb = prep["n_blocks"]
     order = prep["order"]
-    tb = prep["tgt_pos"].shape[1]
+    tb = prep["cap"]
     out = np.zeros((nb, tb, 3) if accel else (nb, tb), np.float32)
     pre = prep.get("far_pre", False)
     # interpret-mode pallas pays per-grid-step python cost — tests use XLA
@@ -1517,6 +1531,8 @@ def tree_potentials_device_pallas(tree: Octree, theta: float = 0.7,
     replicated; reference parity: the Rust tree runs rayon-parallel over
     all cores, ``tree.rs:1443-1547``).  Supported with the banded/packed
     near engines."""
+    if not interpret and mesh is None and jax.devices()[0].platform == "cpu":
+        interpret = True  # pallas kernels need interpret mode off-TPU
     if prep is None:
         prep = prepare_tree_pallas(tree, theta=theta,
                                    group_leaves=group_leaves)
@@ -1571,6 +1587,8 @@ def tree_accelerations_device_pallas(tree: Octree, theta: float = 0.7,
                                      group_leaves: int = 8,
                                      near_engine: str = "auto",
                                      mesh=None) -> np.ndarray:
+    if not interpret and mesh is None and jax.devices()[0].platform == "cpu":
+        interpret = True  # pallas kernels need interpret mode off-TPU
     if prep is None:
         prep = prepare_tree_pallas(tree, theta=theta,
                                    group_leaves=group_leaves)
@@ -1699,7 +1717,7 @@ def _prepare_at_points(tree: Octree, prep, targets, target_soft=None):
                                   prep["n_blocks"], tiles_dev)
     mini = {
         "n_blocks": nt, "order": prep["order"], "kernel": prep["kernel"],
-        "tgt_pos": np.zeros((nt, cap, 3), np.float32),  # tb source only
+        "cap": cap,
         "far_pre": True, "far_pallas": prep["order"] == 0,
         "far_classes": far_classes,
         "node_com": prep["node_com"], "node_mass": prep["node_mass"],

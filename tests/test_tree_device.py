@@ -80,6 +80,25 @@ def test_block_list_stats(clustered):
     assert prep["n_blocks"] > 10
 
 
+def test_native_tile_packer_matches_numpy(clustered):
+    """The C++ tile packer (pnx_tree_pack_leaf_tiles) is bit-identical to
+    the numpy reference packer across caps (padded lanes, sentinel, dummy
+    row, orig-index row included)."""
+    from pynbodyext_tpu.gravity.tree_pallas import pack_leaf_tiles
+    pos, m, h = clustered
+    tree = Octree(pos, m, leaf_capacity=32, multipole_order=0,
+                  softenings=h, kernel="plummer")
+    p, pm, ph, orig = tree.particles_tree_order()
+    lstarts, lcounts = tree.leaves()
+    extent = float(np.max(p.max(0) - p.min(0)))
+    sentinel = (p.mean(0) + 3.0 * extent).astype(np.float64)
+    for cap in (32, 50):
+        ref = pack_leaf_tiles(p, pm, ph, orig, lstarts, lcounts,
+                              sentinel, cap)
+        got = tree.pack_leaf_tiles(lstarts, lcounts, sentinel, cap)
+        np.testing.assert_array_equal(got, ref, err_msg=f"cap={cap}")
+
+
 def test_gravity_api_device_flag(clustered):
     from pynbodyext_tpu.gravity import Gravity
     pos, m, h = clustered
@@ -88,6 +107,29 @@ def test_gravity_api_device_flag(clustered):
     p_dev = g.tree_potentials(theta=0.5, device=True)
     p_cpu = np.asarray(g.tree_potentials(theta=0.5))
     np.testing.assert_allclose(p_dev, p_cpu, rtol=2e-2)
+
+
+def test_gravity_api_device_routes_to_pallas(clustered, monkeypatch):
+    """On TPU the self-set device path runs the production Pallas engines
+    (entry points auto-flip to interpret mode here on CPU); prep is cached
+    per (instance, theta)."""
+    from pynbodyext_tpu.gravity import Gravity, api
+    monkeypatch.setattr(api, "_tpu_available", lambda: True)
+    pos, m, h = clustered
+    pos, m, h = pos[:600], m[:600], h[:600]  # interpret mode is slow
+    g = Gravity(pos.astype(np.float32), m.astype(np.float32),
+                softening=h.astype(np.float32), force_reference=True)
+    p_dev = g.tree_potentials(theta=0.5, device=True)
+    a_dev = g.tree_accelerations(theta=0.5, device=True)
+    assert 0.5 in g._pallas_preps  # prep cached and shared between legs
+    p_cpu = np.asarray(g.tree_potentials(theta=0.5))
+    a_cpu = np.asarray(g.tree_accelerations(theta=0.5))
+    np.testing.assert_allclose(p_dev, p_cpu, rtol=2e-2)
+    # accel components cross zero — BH-band rel errors spike there (the
+    # device tree groups targets by leaf; the host tree traverses per
+    # particle, so the far/near split differs legitimately)
+    scale = np.abs(a_cpu).max()
+    np.testing.assert_allclose(a_dev, a_cpu, rtol=1e-1, atol=scale * 5e-3)
 
 
 def test_calculate_potential_tree_device(clustered):
