@@ -1219,6 +1219,136 @@ def near_field_pdma_chunk(woffs_all, blk_all, bits_all, wstart, gk,
     )(gk[1:2], woffs, blk, bits, tgt, src_blk)
 
 
+def _near_diag_kernel(bits_ref, tgt_ref, src_ref, out_ref, *, cap, kernel,
+                      accel, K, SB, NO):
+    """Diagonal-band near field: FULLY grid-indexed fetches.
+
+    The packed/banded engines pay a measured ~3.5 µs per window of
+    scalar-prefetch fetch-issue cost (prefetch-indexed input fetches do
+    not overlap compute) — ~9 s of fixed time at 10M.  Hilbert DFS leaf
+    order keeps most near partners close on the tile axis, so the in-band
+    majority of pairs can be evaluated by a kernel whose every BlockSpec
+    index is pure grid arithmetic: target tile ``i``, source block
+    ``i//SB + o`` of SB consecutive packed tiles (the source table is
+    pre-padded by (NO-1)/2 sentinel blocks per side so the band never
+    clamps), output ``i`` accumulated across the ``o`` steps.  Mosaic can
+    then double-buffer every operand at dense-kernel rates.  Out-of-band
+    pairs keep the packed-window path (same exactness; see
+    ``_build_diag_band`` in tree_tpu.py).
+
+    bits (scalar prefetch, SMEM): flat (G·NO·SB,) int32 — K×K leaf-pair
+    adjacency masks per (local target tile, offset block, slot), zero for
+    non-interacting ptile pairs.  Same bit layout as the packed engine:
+    bit (tgt_sub·K + src_sub).
+
+    Reference role: the near/leaf brute-force sums of tree.rs:98,280.
+    """
+    i = pl.program_id(0)
+    o = pl.program_id(1)
+    S = SB * cap
+    tx = tgt_ref[0, 0, :].reshape(cap, 1)
+    ty = tgt_ref[0, 1, :].reshape(cap, 1)
+    tz = tgt_ref[0, 2, :].reshape(cap, 1)
+    th = tgt_ref[0, 4, :].reshape(cap, 1)
+    to = tgt_ref[0, 5, :].reshape(cap, 1)
+    tsub = tgt_ref[0, 7, :].reshape(cap, 1).astype(jnp.int32)
+    sx = src_ref[0, 0, :].reshape(1, S)
+    sy = src_ref[0, 1, :].reshape(1, S)
+    sz = src_ref[0, 2, :].reshape(1, S)
+    sm = src_ref[0, 3, :].reshape(1, S)
+    sh = src_ref[0, 4, :].reshape(1, S)
+    so = src_ref[0, 5, :].reshape(1, S)
+    ssub = src_ref[0, 7, :].reshape(1, S).astype(jnp.int32)
+    slot = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1) // cap
+    bl = jnp.zeros((1, S), jnp.int32)
+    base = (i * NO + o) * SB
+    for k in range(SB):
+        bl = jnp.where(slot == k, bits_ref[base + k], bl)
+    idx = tsub * K + ssub
+    incl = (jax.lax.shift_right_logical(bl, idx) & 1).astype(jnp.float32)
+    dx = sx - tx
+    dy = sy - ty
+    dz = sz - tz
+    r2 = dx * dx + dy * dy + dz * dz
+    r2 = jnp.where(so == to, jnp.inf, r2)  # exact self exclusion
+    h = jnp.maximum(th, sh)
+    if accel:
+        gg = _g_from_r2(kernel, r2, h)
+        if kernel == KERNEL_SPLINE:
+            gg = jnp.where(jnp.isfinite(r2), gg, 0.0)
+        w = gg * sm * incl
+        # tile-local recentred MXU bundle (see _near_banded_kernel —
+        # identical accuracy argument; r² stays in the VPU diff form)
+        c = tgt_ref[0, 0:3, 0:1]                       # (3, 1)
+        sl = src_ref[0, 0:3, :] - c                    # (3, S)
+        tl = tgt_ref[0, 0:3, :] - c                    # (3, cap)
+        b4 = jnp.concatenate([sl, jnp.ones((1,) + sl.shape[1:],
+                                           jnp.float32)], axis=0)  # (4, S)
+        ws = jax.lax.dot_general(
+            w, b4, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)       # (cap, 4)
+        step = jnp.stack([ws[:, 0] - tl[0, :] * ws[:, 3],
+                          ws[:, 1] - tl[1, :] * ws[:, 3],
+                          ws[:, 2] - tl[2, :] * ws[:, 3]], axis=0)
+    else:
+        neg_phi = _phi_from_r2(kernel, r2, h)
+        if kernel == KERNEL_SPLINE:
+            neg_phi = jnp.where(jnp.isfinite(r2), neg_phi, 0.0)
+        step = jnp.sum(neg_phi * sm * incl, axis=1)[None, :]
+
+    @pl.when(o == 0)
+    def _():
+        out_ref[0] = step
+
+    @pl.when(o != 0)
+    def _():
+        out_ref[0] = out_ref[0] + step
+
+
+@functools.partial(jax.jit, static_argnames=("kernel", "accel", "interpret",
+                                             "K", "SB", "NO", "G", "cap"))
+def near_field_diag_chunk(bits_all, gstart, tgt_all, src_blk_pad,
+                          kernel: str = KERNEL_NONE, accel: bool = False,
+                          interpret: bool = False, K: int = 5, SB: int = 8,
+                          NO: int = 19, G: int = 640, cap: int = 128):
+    """One chunk of ``G`` packed target tiles through the diag-band
+    kernel.  Slices everything on device from the once-uploaded global
+    arrays (``gstart`` must be a multiple of SB; tgt_all/bits_all are
+    padded to a multiple of G with sentinel tiles so full-G slices never
+    clamp).  ``src_blk_pad``: ((npt_pad+NO-1)//SB… , 8, SB·cap) blocked
+    packed tiles with (NO-1)/2 sentinel blocks on each side — local
+    source block for (i, o) is ``i//SB + o``, 0-based after the slice.
+    Returns (G, rows, cap) band-partial sums."""
+    gs = gstart[0]
+    bits = jax.lax.dynamic_slice(bits_all, (gs * NO * SB,), (G * NO * SB,))
+    tgt = jax.lax.dynamic_slice(tgt_all, (gs, 0, 0), (G, 8, cap))
+    src = jax.lax.dynamic_slice(src_blk_pad, (gs // SB, 0, 0),
+                                (G // SB + NO - 1, 8, SB * cap))
+    rows = 3 if accel else 1
+    kern = functools.partial(_near_diag_kernel, cap=cap, kernel=kernel,
+                             accel=accel, K=K, SB=SB, NO=NO)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(G, NO),
+        in_specs=[
+            pl.BlockSpec((1, 8, cap), lambda i, o, BITS: (i, 0, 0)),
+            pl.BlockSpec((1, 8, SB * cap),
+                         lambda i, o, BITS: (i // SB + o, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, rows, cap),
+                               lambda i, o, BITS: (i, 0, 0)),
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((G, rows, cap), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(bits, tgt, src)
+
+
 def _k_for(lists) -> int:
     w = lists.shape[1]
     return 4 if w % 4 == 0 else (2 if w % 2 == 0 else 1)

@@ -1058,12 +1058,9 @@ def _assemble_packed_table(prep, pstarts, pcounts, sub_of) -> np.ndarray:
     return pt
 
 
-def _build_packed_windows(prep, R: int, K: int):
-    """Aligned R-tile windows over DENSE packed tiles with K×K leaf-pair
-    adjacency bits per slot (see _pack_dense_tiles)."""
-    key = ("pwin", R, K)
-    if key in prep:
-        return prep[key]
+def _packed_pairs(prep, K: int):
+    """Near-list leaf pairs mapped to packed tiles: (T, u, St, v) int64
+    rows — target ptile, target sub-leaf, source ptile, source sub-leaf."""
     pk = _pack_dense_tiles(prep, K)
     nb = prep["n_blocks"]
     counts = prep["near_counts"].astype(np.int64)
@@ -1073,7 +1070,14 @@ def _build_packed_windows(prep, R: int, K: int):
     u = pk["sub_of"][t_leaf].astype(np.int64)
     St = pk["tile_of"][seqs].astype(np.int64)
     v = pk["sub_of"][seqs].astype(np.int64)
-    ntp = pk["ptiles"].shape[0]
+    return T, u, St, v
+
+
+def _windows_from_pairs(T, u, St, v, ntp: int, npt: int, R: int, K: int):
+    """Aligned R-tile windows + per-slot K×K adjacency bits from packed
+    near pairs (shared by the packed and diag-band builders).  ``ntp``:
+    padded ptile-table rows (window block ids index it); ``npt``: real
+    ptile count (group ids)."""
     nwb = ntp // R
     kkey = T * nwb + St // R
     uk = np.unique(kkey)
@@ -1084,7 +1088,6 @@ def _build_packed_windows(prep, R: int, K: int):
     bits = np.zeros(nw * R, np.int32)
     np.bitwise_or.at(bits, win * R + St % R,
                      (np.int32(1) << (u * K + v)).astype(np.int32))
-    npt = pk["n_ptiles"]
     wcounts = np.bincount(wgrp, minlength=npt).astype(np.int64)
     # pad ≥ any chunk budget _clamp_w_budget can allow (see banded builder)
     pad = max(98_304 // (R + 2), int(wcounts.max()) if len(wcounts) else 0)
@@ -1092,7 +1095,19 @@ def _build_packed_windows(prep, R: int, K: int):
     blk_dev = jnp.asarray(np.concatenate([wblk, np.zeros(pad, np.int32)]))
     bits_dev = jnp.asarray(np.concatenate([bits,
                                            np.zeros(pad * R, np.int32)]))
-    prep[key] = (gf_dev, blk_dev, bits_dev, wcounts)
+    return gf_dev, blk_dev, bits_dev, wcounts
+
+
+def _build_packed_windows(prep, R: int, K: int):
+    """Aligned R-tile windows over DENSE packed tiles with K×K leaf-pair
+    adjacency bits per slot (see _pack_dense_tiles)."""
+    key = ("pwin", R, K)
+    if key in prep:
+        return prep[key]
+    pk = _pack_dense_tiles(prep, K)
+    T, u, St, v = _packed_pairs(prep, K)
+    prep[key] = _windows_from_pairs(T, u, St, v, pk["ptiles"].shape[0],
+                                    pk["n_ptiles"], R, K)
     return prep[key]
 
 
@@ -1210,6 +1225,110 @@ def _near_pdma(prep, kern, interpret, accel, R: int = 4, K: int = 5,
     out_p = np.zeros((npt, rows, cap), np.float32)
     for s, e, res in pending:
         out_p[s:e] = np.asarray(res)[:e - s]
+    return _scatter_packed(prep, pk, out_p, accel)
+
+
+def _build_diag_band(prep, K: int, SB: int, nb2: int, R: int):
+    """Split packed near pairs into a diagonal band (|source block −
+    target block| ≤ nb2 over SB-ptile blocks) + an out-of-band window
+    remainder, and build the device tables for the diag engine:
+
+    * ``bits``: flat (npt_pad·NO·SB,) int32 K×K adjacency masks, NO =
+      2·nb2+1 offset blocks per target tile;
+    * ``tgt``: (npt_pad, 8, cap) packed tiles padded with sentinel tiles
+      to a multiple of the chunk size G (full-G device slices never
+      clamp);
+    * ``src``: (npt_pad//SB + NO−1, 8, SB·cap) blocked tiles with nb2
+      sentinel blocks on each side so band fetches never clamp;
+    * ``rem``: packed-window arrays for the out-of-band pairs (None when
+      everything is in band).
+    """
+    key = ("diag", K, SB, nb2, R)
+    if key in prep:
+        return prep[key]
+    cap = prep["cap"]
+    pk = _pack_dense_tiles(prep, K)
+    npt = pk["n_ptiles"]
+    NO = 2 * nb2 + 1
+    # chunk size: the bits chunk must fit the SMEM prefetch budget
+    G = max(SB, (98_304 // (NO * SB)) // SB * SB)
+    G = min(G, -(-npt // SB) * SB)
+    npt_pad = -(-npt // G) * G
+    T, u, St, v = _packed_pairs(prep, K)
+    dblk = St // SB - T // SB
+    inb = np.abs(dblk) <= nb2
+    o_idx = (dblk[inb] + nb2) * SB + St[inb] % SB
+    bits = np.zeros(npt_pad * NO * SB, np.int32)
+    np.bitwise_or.at(bits, T[inb] * (NO * SB) + o_idx,
+                     (np.int32(1) << (u[inb] * K + v[inb])).astype(np.int32))
+    rem = None
+    if not inb.all():
+        r = ~inb
+        rem = _windows_from_pairs(T[r], u[r], St[r], v[r],
+                                  pk["ptiles"].shape[0], npt, R, K)
+    # sentinel-padded target and blocked-source tables (device, one-time)
+    sent = np.zeros((1, 8, cap), np.float32)
+    sent[0, 0:3] = prep["_sentinel"][:, None]
+    sent[0, 5] = -2.0
+    sent_dev = jnp.asarray(sent)
+    ntp = pk["ptiles"].shape[0]
+    tgt_all = pk["ptiles"]
+    if npt_pad > ntp:
+        tgt_all = jnp.concatenate(
+            [tgt_all, jnp.tile(sent_dev, (npt_pad - ntp, 1, 1))], axis=0)
+    else:
+        tgt_all = tgt_all[:npt_pad]
+    blocked = (tgt_all.reshape(npt_pad // SB, SB, 8, cap)
+               .transpose(0, 2, 1, 3).reshape(npt_pad // SB, 8, SB * cap))
+    spad = (jnp.tile(sent_dev, (nb2 * SB, 1, 1))
+            .reshape(nb2, SB, 8, cap).transpose(0, 2, 1, 3)
+            .reshape(nb2, 8, SB * cap))
+    src_pad = jnp.concatenate([spad, blocked, spad], axis=0)
+    out = {"bits": jnp.asarray(bits), "tgt": tgt_all, "src": src_pad,
+           "G": G, "NO": NO, "npt_pad": npt_pad, "rem": rem,
+           "band_frac": float(inb.mean()) if len(inb) else 1.0}
+    prep[key] = out
+    return out
+
+
+def _near_diag(prep, kern, interpret, accel, K: int = 5, SB: int = 8,
+               nb2: int = 9, R: int = 4, w_budget: int = 16384,
+               gcap: int = 4096, mesh=None):
+    """Diagonal-band near field over DENSE packed tiles: the in-band
+    majority of pairs runs through a FULLY grid-indexed kernel (no
+    per-window scalar-prefetch fetch stall — see _near_diag_kernel);
+    out-of-band pairs keep the packed-window path.  Exactness matches
+    near_engine='packed' (same pair set, split two ways)."""
+    from .tree_pallas import near_field_diag_chunk
+    cap = prep["cap"]
+    pk = _pack_dense_tiles(prep, K)
+    npt = pk["n_ptiles"]
+    d = _build_diag_band(prep, K, SB, nb2, R)
+    G, NO, npt_pad = d["G"], d["NO"], d["npt_pad"]
+    call = partial(near_field_diag_chunk, kernel=kern, accel=accel,
+                   interpret=interpret, K=K, SB=SB, NO=NO, G=G, cap=cap)
+    pending = []
+    for gs in range(0, npt_pad, G):
+        res = call(d["bits"], jnp.asarray([gs], np.int32), d["tgt"],
+                   d["src"])
+        pending.append((gs, res))
+    rows = 3 if accel else 1
+    out_p = np.zeros((npt, rows, cap), np.float32)
+    for gs, res in pending:
+        ge = min(gs + G, npt)
+        if ge > gs:
+            out_p[gs:ge] = np.asarray(res)[:ge - gs]
+    if d["rem"] is not None:
+        gf, wblk, bits, wcounts = d["rem"]
+        w_budget = _clamp_w_budget(w_budget, wcounts, R)
+        woffs = np.concatenate([[0], np.cumsum(wcounts)]).astype(np.int64)
+        ranges = _banded_ranges(woffs, npt, min(gcap, npt), w_budget)
+        rpend = _dispatch_banded(ranges, woffs, gf, wblk, bits,
+                                 pk["ptiles"], _ptiles_blocked(prep, R, K),
+                                 kern, accel, interpret, R, 1,
+                                 min(gcap, npt), cap, w_budget, K, mesh)
+        for s, e, res in rpend:
+            out_p[s:e] += np.asarray(res)[:e - s]
     return _scatter_packed(prep, pk, out_p, accel)
 
 
@@ -1547,9 +1666,9 @@ def tree_potentials_device_pallas(tree: Octree, theta: float = 0.7,
         else:
             near_engine = "packed" if prep["n_blocks"] >= 65536 else "classes"
     if near_engine not in ("classes", "dma", "group", "gdma", "banded",
-                           "packed", "pdma"):
+                           "packed", "pdma", "diag"):
         raise ValueError(f"near_engine must be 'classes', 'dma', 'group', "
-                         f"'gdma', 'banded', 'packed' or 'pdma', "
+                         f"'gdma', 'banded', 'packed', 'pdma' or 'diag', "
                          f"got {near_engine!r}")
     if mesh is not None and near_engine not in ("banded", "packed"):
         raise ValueError("mesh execution supports near_engine 'banded' "
@@ -1566,9 +1685,10 @@ def tree_potentials_device_pallas(tree: Octree, theta: float = 0.7,
                                             interpret=interpret,
                                             far_engine=far_engine,
                                             mesh=mesh)
-    if near_engine in ("packed", "pdma"):
+    if near_engine in ("packed", "pdma", "diag"):
         # packed near returns particle-space results directly
-        fn = _near_pdma if near_engine == "pdma" else _near_packed
+        fn = {"pdma": _near_pdma, "packed": _near_packed,
+              "diag": _near_diag}[near_engine]
         near_p = fn(prep, kern, interpret, accel=False, mesh=mesh)
         return near_p + _scatter_leaf_blocks(prep, far_all, 1)
     near_fn = {"classes": _near_chunked, "dma": _near_dma,
@@ -1599,9 +1719,9 @@ def tree_accelerations_device_pallas(tree: Octree, theta: float = 0.7,
         else:
             near_engine = "packed" if prep["n_blocks"] >= 65536 else "classes"
     if near_engine not in ("classes", "dma", "group", "gdma", "banded",
-                           "packed", "pdma"):
+                           "packed", "pdma", "diag"):
         raise ValueError(f"near_engine must be 'classes', 'dma', 'group', "
-                         f"'gdma', 'banded', 'packed' or 'pdma', "
+                         f"'gdma', 'banded', 'packed', 'pdma' or 'diag', "
                          f"got {near_engine!r}")
     if mesh is not None and near_engine not in ("banded", "packed"):
         raise ValueError("mesh execution supports near_engine 'banded' "
@@ -1625,8 +1745,9 @@ def tree_accelerations_device_pallas(tree: Octree, theta: float = 0.7,
                                             interpret=interpret,
                                             far_engine=far_engine,
                                             mesh=mesh)
-    if near_engine in ("packed", "pdma"):
-        fn = _near_pdma if near_engine == "pdma" else _near_packed
+    if near_engine in ("packed", "pdma", "diag"):
+        fn = {"pdma": _near_pdma, "packed": _near_packed,
+              "diag": _near_diag}[near_engine]
         near_p = fn(prep, kern, interpret, accel=True, mesh=mesh)
         return near_p + _scatter_leaf_blocks(prep, far_all, 3)
     near_fn = {"classes": _near_chunked, "dma": _near_dma,

@@ -412,6 +412,32 @@ def test_pdma_engine_vs_numpy(clustered):
                 err_msg=f"accel={accel} R={R} K={K} wb={wb}")
 
 
+def test_diag_engine_vs_numpy(clustered):
+    """Diagonal-band near engine (fully grid-indexed band over packed
+    tiles + packed-window remainder) vs the numpy per-leaf reference.
+    nb2=1 forces a large out-of-band remainder; nb2=16 puts everything
+    in band — both splits must agree with the reference."""
+    pos, m, h = clustered
+    tree = Octree(pos, m, leaf_capacity=128, multipole_order=0,
+                  softenings=h, kernel="plummer")
+    from pynbodyext_tpu.gravity import tree_tpu
+    prep = tree_tpu.prepare_tree_pallas(tree, theta=0.5, group_leaves=8)
+    for accel in (False, True):
+        ref_blocks = _near_ref_numpy(prep, accel)
+        ref = tree_tpu._scatter_leaf_blocks(
+            prep, np.asarray(ref_blocks, np.float32), 3 if accel else 1)
+        scale = np.abs(ref).max()
+        for nb2, SB in ((1, 8), (16, 8)):
+            got = tree_tpu._near_diag(prep, prep["kernel"], True,
+                                      accel=accel, SB=SB, nb2=nb2)
+            d = prep[("diag", 5, SB, nb2, 4)]
+            if nb2 == 1:
+                assert d["rem"] is not None  # remainder path exercised
+            np.testing.assert_allclose(
+                got, ref, rtol=2e-4, atol=scale * 2e-6,
+                err_msg=f"accel={accel} nb2={nb2}")
+
+
 def test_packed_engine_theta0_e2e(clustered):
     """θ=0 through the full device-tree entry points with the packed
     near engine ≡ direct sum."""
