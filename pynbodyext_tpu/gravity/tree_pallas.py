@@ -457,7 +457,8 @@ def _far_batch_kernel(tgt_ref, src_ref, out_ref, *, tb, ts, accel, B):
                 out_ref[b, row, :] = out_ref[b, row, :] + vals[row]
 
 
-def _far_batch_mxu_kernel(tgt_ref, src_ref, out_ref, *, tb, ts, accel, B):
+def _far_batch_mxu_kernel(tgt_ref, src_ref, out_ref, *, tb, ts, accel, B,
+                          tdot=False):
     """Monopole far field on the MXU via tile-local recentring.
 
     r² = ‖t−c‖² + ‖s−c‖² − 2(t−c)·(s−c) with c = the tile's first target
@@ -489,11 +490,19 @@ def _far_batch_mxu_kernel(tgt_ref, src_ref, out_ref, *, tb, ts, accel, B):
             invr = jax.lax.rsqrt(r2)
             w = (invr * invr * invr) * sm.reshape(1, ts)
             wsum = jnp.sum(w, axis=1)                # (tb,)
-            ws = jax.lax.dot_general(
-                w, sl, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)  # (tb, 3) on the MXU
-            vals = tuple(ws[:, i] - tl[i, :] * wsum for i in range(3))
+            if tdot:
+                # (3, ts) @ (ts, tb): result lane dim = tb (full), not 3
+                ws = jax.lax.dot_general(
+                    sl, w, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)  # (3, tb)
+                vals = tuple(ws[i, :] - tl[i, :] * wsum for i in range(3))
+            else:
+                ws = jax.lax.dot_general(
+                    w, sl, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)  # (tb, 3)
+                vals = tuple(ws[:, i] - tl[i, :] * wsum for i in range(3))
         else:
             neg_phi = -jax.lax.rsqrt(r2)
             vals = (jnp.dot(neg_phi, sm,
@@ -533,9 +542,12 @@ def far_payload_batch_eval(tgt_tiles, payload, accel: bool = False,
         payload = jnp.pad(payload, ((0, 0), (0, 0), (0, ts - rem)))
         w += ts - rem
     rows = 3 if accel else 1
-    kern = functools.partial(
-        _far_batch_mxu_kernel if mxu else _far_batch_kernel,
-        tb=tb, ts=ts, accel=accel, B=B)
+    if mxu:
+        kern = functools.partial(_far_batch_mxu_kernel, tb=tb, ts=ts,
+                                 accel=accel, B=B, tdot=(mxu == "mxu_t"))
+    else:
+        kern = functools.partial(_far_batch_kernel, tb=tb, ts=ts,
+                                 accel=accel, B=B)
     return pl.pallas_call(
         kern,
         grid=(c // B, w // ts),
@@ -883,7 +895,7 @@ def near_field_eval_dma(offsets, counts, flat_lists, tgt_tiles, leaf_tiles,
 
 def _near_banded_kernel(gs_ref, gf_ref, blk_ref, bits_ref, tgt_ref, src_ref,
                         out_ref, *, tb, cap, kernel, accel, R, Gn, ng_out,
-                        packed_K=0):
+                        packed_K=0, accel_form="bundle"):
     """Banded union near field, WIDE-LANE layout: one grid step streams R
     CONSECUTIVE leaf tiles as a single (8, R·cap) lane-major block (tree
     order keeps a group's near set in short consecutive runs, so aligned
@@ -954,6 +966,14 @@ def _near_banded_kernel(gs_ref, gf_ref, blk_ref, bits_ref, tgt_ref, src_ref,
         w = gg * sm
         if incl2 is not None:
             w = w * incl2
+        if accel_form == "diff":
+            # plain per-axis diff form (dx already live): 6 extra VPU
+            # flops/pair over potentials — the measurement control for
+            # the MXU bundle below
+            out_ref[0, 0, :] = jnp.sum(w * dx, axis=1)
+            out_ref[0, 1, :] = jnp.sum(w * dy, axis=1)
+            out_ref[0, 2, :] = jnp.sum(w * dz, axis=1)
+            return
         # Tile-local recentred bundle: Σ w·(s−t) = Σ w·s′ − t′·Σw with
         # s′ = s−c, t′ = t−c, c = the first target lane.  At leaf-window
         # scale |s′| ~ r_pair, so the global-coordinate cancellation that
@@ -971,10 +991,24 @@ def _near_banded_kernel(gs_ref, gf_ref, blk_ref, bits_ref, tgt_ref, src_ref,
         # HIGHEST: default TPU f32 dot demotes to single-pass bf16 (~1e-3
         # rel) — unacceptable for the dominant near term; the multi-pass
         # product is still ~free next to the VPU r²/g work
+        prec = (jax.lax.Precision.DEFAULT if accel_form == "bundle_bf16"
+                else jax.lax.Precision.HIGHEST)
+        if accel_form == "bundle_t":
+            # transposed contraction: (4, S) @ (S, tb) keeps the result's
+            # minor (lane) dim at tb=128·k instead of 4 — a (tb, 4) result
+            # wastes 124/128 lanes of every store
+            ws = jax.lax.dot_general(
+                b4, w, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=prec)                        # (4, tb)
+            out_ref[0, 0, :] = ws[0, :] - tl[0, :] * ws[3, :]
+            out_ref[0, 1, :] = ws[1, :] - tl[1, :] * ws[3, :]
+            out_ref[0, 2, :] = ws[2, :] - tl[2, :] * ws[3, :]
+            return
         ws = jax.lax.dot_general(
             w, b4, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)       # (tb, 4)
+            precision=prec)                            # (tb, 4)
         out_ref[0, 0, :] = ws[:, 0] - tl[0, :] * ws[:, 3]
         out_ref[0, 1, :] = ws[:, 1] - tl[1, :] * ws[:, 3]
         out_ref[0, 2, :] = ws[:, 2] - tl[2, :] * ws[:, 3]
@@ -991,12 +1025,12 @@ def _near_banded_kernel(gs_ref, gf_ref, blk_ref, bits_ref, tgt_ref, src_ref,
 
 @functools.partial(jax.jit, static_argnames=("kernel", "accel", "interpret",
                                              "R", "Gn", "ng_out", "cap",
-                                             "packed_K"))
+                                             "packed_K", "accel_form"))
 def near_field_banded_eval(gf, blk, bits, gstart, tgt_blk, src_blk,
                            kernel: str = KERNEL_NONE, accel: bool = False,
                            interpret: bool = False, R: int = 8, Gn: int = 1,
                            ng_out: int = 1024, cap: int = 128,
-                           packed_K: int = 0):
+                           packed_K: int = 0, accel_form: str = "bundle"):
     """Banded union near field over one chunk of ``ng_out`` Gn-leaf groups.
 
     gf: (W,) int32 local group ids, sorted ascending (rows past the
@@ -1016,7 +1050,8 @@ def near_field_banded_eval(gf, blk, bits, gstart, tgt_blk, src_blk,
     rows = 3 if accel else 1
     kern = functools.partial(_near_banded_kernel, tb=tb, cap=cap,
                              kernel=kernel, accel=accel, R=R, Gn=Gn,
-                             ng_out=ng_out, packed_K=packed_K)
+                             ng_out=ng_out, packed_K=packed_K,
+                             accel_form=accel_form)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
@@ -1051,12 +1086,13 @@ def near_field_banded_eval(gf, blk, bits, gstart, tgt_blk, src_blk,
 @functools.partial(jax.jit, static_argnames=("kernel", "accel",
                                              "interpret", "R", "Gn",
                                              "ng_out", "cap", "W",
-                                             "packed_K"))
+                                             "packed_K", "accel_form"))
 def near_field_banded_chunk(gf_all, blk_all, bits_all, wstart, gstart,
                             tgt_blk, src_blk, kernel: str = KERNEL_NONE,
                             accel: bool = False, interpret: bool = False,
                             R: int = 8, Gn: int = 1, ng_out: int = 1024,
-                            cap: int = 128, W: int = 8192, packed_K: int = 0):
+                            cap: int = 128, W: int = 8192, packed_K: int = 0,
+                            accel_form: str = "bundle"):
     """Device-side chunking for the banded near field: slice W windows at
     ``wstart`` out of the ONCE-uploaded global window arrays and localize
     group ids on device — per-chunk host work and uploads were the wall
@@ -1070,7 +1106,7 @@ def near_field_banded_chunk(gf_all, blk_all, bits_all, wstart, gstart,
                                   kernel=kernel, accel=accel,
                                   interpret=interpret, R=R, Gn=Gn,
                                   ng_out=ng_out, cap=cap,
-                                  packed_K=packed_K)
+                                  packed_K=packed_K, accel_form=accel_form)
 
 
 def _near_pdma_kernel(gk_ref, woffs_ref, blk_ref, bits_ref, tgt_ref, src_hbm,

@@ -1154,7 +1154,8 @@ def _clamp_w_budget(w_budget: int, wcounts, R: int) -> int:
 
 
 def _near_packed(prep, kern, interpret, accel, R: int = 4, K: int = 5,
-                 w_budget: int = 16384, gcap: int = 4096, mesh=None):
+                 w_budget: int = 16384, gcap: int = 4096, mesh=None,
+                 accel_form: str = "bundle"):
     """Banded near field over DENSE packed tiles (K consecutive leaves per
     cap-lane tile, K×K adjacency bits): ~3× fewer windows than per-leaf
     banded at the same exactness.  Returns PARTICLE-space results
@@ -1171,7 +1172,8 @@ def _near_packed(prep, kern, interpret, accel, R: int = 4, K: int = 5,
     ranges = _banded_ranges(woffs, npt, gcap, w_budget)
     pending = _dispatch_banded(ranges, woffs, gf, wblk, bits, tgt_blk,
                                src_blk, kern, accel, interpret, R, 1, gcap,
-                               cap, w_budget, K, mesh)
+                               cap, w_budget, K, mesh,
+                               accel_form=accel_form)
     rows = 3 if accel else 1
     out_p = np.zeros((npt, rows, cap), np.float32)
     for s, e, res in pending:
@@ -1458,7 +1460,8 @@ def _shard_call(mesh, fn, in_specs, out_spec, *args):
 
 
 def _dispatch_banded(ranges, woffs, gf, wblk, bits, tgt_blk, src_blk, kern,
-                     accel, interpret, R, Gn, gcap, cap, W, packed_K, mesh):
+                     accel, interpret, R, Gn, gcap, cap, W, packed_K, mesh,
+                     accel_form="bundle"):
     """Dispatch banded near-field chunks — single device, or round-robin
     over a mesh via shard_map (chip d takes the d-th chunk of each group
     of ``n_devices``: targets are tree-order contiguous, so chunk→chip
@@ -1467,7 +1470,7 @@ def _dispatch_banded(ranges, woffs, gf, wblk, bits, tgt_blk, src_blk, kern,
     from .tree_pallas import near_field_banded_chunk
     call = partial(near_field_banded_chunk, kernel=kern, accel=accel,
                    interpret=interpret, R=R, Gn=Gn, ng_out=gcap, cap=cap,
-                   W=W, packed_K=packed_K)
+                   W=W, packed_K=packed_K, accel_form=accel_form)
     pending = []
     if mesh is None or mesh.devices.size == 1:
         for gs, ge in ranges:
@@ -1570,8 +1573,9 @@ def _far_eval(prep, accel: bool, interpret: bool, far_chunk: int = 8192,
     # interpret-mode pallas pays per-grid-step python cost — auto mode
     # stays on XLA there, but an explicit pallas/mxu request is honored
     pallas_far = (prep.get("far_pallas", False) and far_engine != "xla"
-                  and (not interpret or far_engine in ("pallas", "mxu")))
-    mxu = far_engine == "mxu"
+                  and (not interpret
+                       or far_engine in ("pallas", "mxu", "mxu_t")))
+    mxu = far_engine if far_engine in ("mxu", "mxu_t") else False
     if far_engine == "pallas" and not pallas_far:
         raise ValueError("far_engine='pallas' needs the pre-gathered "
                          "monopole payload (order 0, payload within budget) "
@@ -1606,8 +1610,9 @@ def _group_far_eval(prep, accel: bool, group_chunk: int = 1024,
     # interpret-mode pallas pays per-grid-step python cost — auto mode
     # stays on XLA there, but an explicit pallas/mxu request is honored
     pallas_far = (prep.get("far_pallas", False) and far_engine != "xla"
-                  and (not interpret or far_engine in ("pallas", "mxu")))
-    mxu = far_engine == "mxu"
+                  and (not interpret
+                       or far_engine in ("pallas", "mxu", "mxu_t")))
+    mxu = far_engine if far_engine in ("mxu", "mxu_t") else False
     res = np.zeros((ng, G * cap, 3) if accel else (ng, G * cap), np.float32)
     budget = group_chunk * 1024 * 8 // G
     ndev = mesh.devices.size if mesh is not None else 1
