@@ -387,6 +387,46 @@ def test_packed_engine_vs_numpy(clustered):
                 err_msg=f"accel={accel} R={R} K={K}")
 
 
+def test_packed_accel_forms_agree(clustered):
+    """The switchable accel bundle forms (plain diff, transposed MXU
+    contraction, bf16 bundle) are measurement variants of the SAME sum —
+    they must agree with the default bundle to f32 noise.  (bf16 only
+    differs on real TPU dots; interpret mode ignores precision hints.)"""
+    pos, m, h = clustered
+    tree = Octree(pos, m, leaf_capacity=128, multipole_order=0,
+                  softenings=h, kernel="plummer")
+    from pynbodyext_tpu.gravity import tree_tpu
+    prep = tree_tpu.prepare_tree_pallas(tree, theta=0.5, group_leaves=8)
+    base = tree_tpu._near_packed(prep, prep["kernel"], True, accel=True)
+    scale = np.abs(base).max()
+    for form in ("diff", "bundle_t", "bundle_bf16"):
+        got = tree_tpu._near_packed(prep, prep["kernel"], True, accel=True,
+                                    accel_form=form)
+        np.testing.assert_allclose(got, base, rtol=5e-4,
+                                   atol=scale * 5e-5, err_msg=form)
+
+
+def test_far_mxu_t_matches_mxu(clustered):
+    """Transposed far accel contraction ((3,ts)@(ts,tb) keeps the lane
+    dim full) is numerically the same sum as far_engine='mxu'."""
+    pos, m, h = clustered
+    from pynbodyext_tpu.gravity import tree_tpu
+    tree = Octree(pos + 250.0, m, leaf_capacity=128, multipole_order=0,
+                  softenings=h, kernel="plummer")
+    prep = tree_tpu.prepare_tree_pallas(tree, theta=0.6, group_leaves=8)
+    tree_tpu._ensure_far_classes(prep)
+    fm = np.asarray(tree_tpu._far_eval(prep, accel=True, interpret=True,
+                                       row_slice=slice(0, 3),
+                                       far_engine="mxu"))
+    ft = np.asarray(tree_tpu._far_eval(prep, accel=True, interpret=True,
+                                       row_slice=slice(0, 3),
+                                       far_engine="mxu_t"))
+    ok = np.isfinite(fm)  # padded lanes are NaN in BOTH engines
+    assert ok.any()
+    np.testing.assert_allclose(ft[ok], fm[ok], rtol=1e-4,
+                               atol=np.abs(fm[ok]).max() * 1e-5)
+
+
 def test_pdma_engine_vs_numpy(clustered):
     """Packed-DMA near engine (per-tile window loop, nbuf-deep manual DMA
     pipeline, register accumulation) vs the numpy per-leaf reference —
