@@ -92,7 +92,12 @@ def main():
     ]:
         if only and name not in only:
             continue
-        m, ts = med3(fn)
+        try:
+            m, ts = med3(fn)
+        except Exception as e:  # noqa: BLE001 — keep profiling other legs
+            print(f"{name:18s} FAILED: {type(e).__name__}: "
+                  f"{str(e)[:200]}", flush=True)
+            continue
         legs[name] = m
         print(f"{name:18s} median {m:7.2f}s  all={[round(t, 2) for t in ts]}",
               flush=True)

@@ -47,7 +47,8 @@ __all__ = ["tree_prep_fingerprint", "save_tree_prep", "load_tree_prep",
 #: downloading them through the relay measured ~20-40 MB/s (a 10M save
 #: was 329 s), while the host-side rebuild is seconds.  The loader
 #: re-uploads the tile table; drivers lazily rebuild classes/windows.
-_SKIP_PREFIXES = ("tiles_blk", "ptiles_blk", "tgt_blk", "banded", "pwin")
+_SKIP_PREFIXES = ("tiles_blk", "ptiles_blk", "tgt_blk", "banded", "pwin",
+                  "diag")
 _SKIP_KEYS = {"_tree", "_gtt_np", "gtt_tiles", "far_classes",
               "gfar_classes", "tiles", "tgt_tiles", "tgt_pos",
               "near_classes", "gnear_classes"}

@@ -1320,13 +1320,15 @@ def _near_diag_kernel(bits_ref, tgt_ref, src_ref, out_ref, *, cap, kernel,
         tl = tgt_ref[0, 0:3, :] - c                    # (3, cap)
         b4 = jnp.concatenate([sl, jnp.ones((1,) + sl.shape[1:],
                                            jnp.float32)], axis=0)  # (4, S)
+        # transposed contraction: (4, S) @ (S, cap) keeps the result's
+        # minor (lane) dim at cap=128; the (cap, 4) form also tripped a
+        # Mosaic bug when its rows were re-stacked ("result/input offset
+        # mismatch on non-concat dimension" in tpu.concatenate)
         ws = jax.lax.dot_general(
-            w, b4, (((1,), (1,)), ((), ())),
+            b4, w, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)       # (cap, 4)
-        step = jnp.stack([ws[:, 0] - tl[0, :] * ws[:, 3],
-                          ws[:, 1] - tl[1, :] * ws[:, 3],
-                          ws[:, 2] - tl[2, :] * ws[:, 3]], axis=0)
+            precision=jax.lax.Precision.HIGHEST)       # (4, cap)
+        step = ws[0:3, :] - tl * ws[3:4, :]
     else:
         neg_phi = _phi_from_r2(kernel, r2, h)
         if kernel == KERNEL_SPLINE:

@@ -473,8 +473,13 @@ def test_diag_engine_vs_numpy(clustered):
             d = prep[("diag", 5, SB, nb2, 4)]
             if nb2 == 1:
                 assert d["rem"] is not None  # remainder path exercised
+            # accel atol: the transposed (4,S)@(S,cap) bundle contraction
+            # (needed on TPU — the (cap,4) rows re-stacked tripped a
+            # Mosaic concat bug) rounds ~1e-5·scale differently from the
+            # f64 reference sum order
             np.testing.assert_allclose(
-                got, ref, rtol=2e-4, atol=scale * 2e-6,
+                got, ref, rtol=2e-4,
+                atol=scale * (2e-5 if accel else 2e-6),
                 err_msg=f"accel={accel} nb2={nb2}")
 
 
