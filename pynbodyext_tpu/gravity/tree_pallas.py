@@ -895,7 +895,7 @@ def near_field_eval_dma(offsets, counts, flat_lists, tgt_tiles, leaf_tiles,
 
 def _near_banded_kernel(gs_ref, gf_ref, blk_ref, bits_ref, tgt_ref, src_ref,
                         out_ref, *, tb, cap, kernel, accel, R, Gn, ng_out,
-                        packed_K=0, accel_form="bundle"):
+                        packed_K=0, accel_form="diff"):
     """Banded union near field, WIDE-LANE layout: one grid step streams R
     CONSECUTIVE leaf tiles as a single (8, R·cap) lane-major block (tree
     order keeps a group's near set in short consecutive runs, so aligned
@@ -1030,7 +1030,7 @@ def near_field_banded_eval(gf, blk, bits, gstart, tgt_blk, src_blk,
                            kernel: str = KERNEL_NONE, accel: bool = False,
                            interpret: bool = False, R: int = 8, Gn: int = 1,
                            ng_out: int = 1024, cap: int = 128,
-                           packed_K: int = 0, accel_form: str = "bundle"):
+                           packed_K: int = 0, accel_form: str = "diff"):
     """Banded union near field over one chunk of ``ng_out`` Gn-leaf groups.
 
     gf: (W,) int32 local group ids, sorted ascending (rows past the
@@ -1092,7 +1092,7 @@ def near_field_banded_chunk(gf_all, blk_all, bits_all, wstart, gstart,
                             accel: bool = False, interpret: bool = False,
                             R: int = 8, Gn: int = 1, ng_out: int = 1024,
                             cap: int = 128, W: int = 8192, packed_K: int = 0,
-                            accel_form: str = "bundle"):
+                            accel_form: str = "diff"):
     """Device-side chunking for the banded near field: slice W windows at
     ``wstart`` out of the ONCE-uploaded global window arrays and localize
     group ids on device — per-chunk host work and uploads were the wall
@@ -1256,7 +1256,7 @@ def near_field_pdma_chunk(woffs_all, blk_all, bits_all, wstart, gk,
 
 
 def _near_diag_kernel(bits_ref, tgt_ref, src_ref, out_ref, *, cap, kernel,
-                      accel, K, SB, NO):
+                      accel, K, SB, NO, accel_form="diff"):
     """Diagonal-band near field: FULLY grid-indexed fetches.
 
     The packed/banded engines pay a measured ~3.5 µs per window of
@@ -1313,6 +1313,29 @@ def _near_diag_kernel(bits_ref, tgt_ref, src_ref, out_ref, *, cap, kernel,
         if kernel == KERNEL_SPLINE:
             gg = jnp.where(jnp.isfinite(r2), gg, 0.0)
         w = gg * sm * incl
+        if accel_form == "diff":
+            # plain per-axis diff form: measured 10M near accel at 1.38×
+            # the potentials leg (the flop ratio) vs 2.3–3.2× for every
+            # MXU bundle variant — narrow-output bundle dots do not pay
+            # on this hardware (see CLAUDE.md round-3).  Rows written
+            # individually: stacking (1, cap) vectors trips a Mosaic
+            # tpu.concatenate offset bug on real TPU.
+            ax = jnp.sum(w * dx, axis=1)
+            ay = jnp.sum(w * dy, axis=1)
+            az = jnp.sum(w * dz, axis=1)
+
+            @pl.when(o == 0)
+            def _():
+                out_ref[0, 0, :] = ax
+                out_ref[0, 1, :] = ay
+                out_ref[0, 2, :] = az
+
+            @pl.when(o != 0)
+            def _():
+                out_ref[0, 0, :] = out_ref[0, 0, :] + ax
+                out_ref[0, 1, :] = out_ref[0, 1, :] + ay
+                out_ref[0, 2, :] = out_ref[0, 2, :] + az
+            return
         # tile-local recentred MXU bundle (see _near_banded_kernel —
         # identical accuracy argument; r² stays in the VPU diff form)
         c = tgt_ref[0, 0:3, 0:1]                       # (3, 1)
@@ -1345,11 +1368,13 @@ def _near_diag_kernel(bits_ref, tgt_ref, src_ref, out_ref, *, cap, kernel,
 
 
 @functools.partial(jax.jit, static_argnames=("kernel", "accel", "interpret",
-                                             "K", "SB", "NO", "G", "cap"))
+                                             "K", "SB", "NO", "G", "cap",
+                                             "accel_form"))
 def near_field_diag_chunk(bits_all, gstart, tgt_all, src_blk_pad,
                           kernel: str = KERNEL_NONE, accel: bool = False,
                           interpret: bool = False, K: int = 5, SB: int = 8,
-                          NO: int = 19, G: int = 640, cap: int = 128):
+                          NO: int = 19, G: int = 640, cap: int = 128,
+                          accel_form: str = "diff"):
     """One chunk of ``G`` packed target tiles through the diag-band
     kernel.  Slices everything on device from the once-uploaded global
     arrays (``gstart`` must be a multiple of SB; tgt_all/bits_all are
@@ -1365,7 +1390,8 @@ def near_field_diag_chunk(bits_all, gstart, tgt_all, src_blk_pad,
                                 (G // SB + NO - 1, 8, SB * cap))
     rows = 3 if accel else 1
     kern = functools.partial(_near_diag_kernel, cap=cap, kernel=kernel,
-                             accel=accel, K=K, SB=SB, NO=NO)
+                             accel=accel, K=K, SB=SB, NO=NO,
+                             accel_form=accel_form)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(G, NO),

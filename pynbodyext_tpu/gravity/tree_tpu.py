@@ -714,18 +714,30 @@ def _ensure_gnear(prep):
     return prep["gnear_classes"]
 
 
+def _compose_scatter(prep, starts, counts, cap, cache_key):
+    """Cached (valid, final) scatter index pair: valid lanes of the
+    (nblocks, cap) layout mapped STRAIGHT to original particle order
+    (one fancy-index scatter instead of two chained ones — the two-hop
+    f64 version cost ~5-10 s per 10M accel eval on the one-core host)."""
+    cached = prep.get(cache_key)
+    if cached is None:
+        n = prep["n"]
+        idx = _range_index_matrix(starts, counts, cap, fill=n).reshape(-1)
+        valid = idx < n
+        final = prep["orig_index"][idx[valid]]
+        cached = prep[cache_key] = (valid, final)
+    return cached
+
+
 def _scatter_leaf_blocks(prep, block_vals: np.ndarray, ncols: int):
     n = prep["n"]
     nb = prep["n_blocks"]
     cap = prep["cap"]
-    idx = _range_index_matrix(prep["lstarts"], prep["lcounts"], cap, fill=n)
-    flat_idx = idx.reshape(-1)
+    valid, final = _compose_scatter(prep, prep["lstarts"],
+                                    prep["lcounts"], cap, "_scat_leaf")
     flat = np.asarray(block_vals).reshape(nb * cap, -1)
-    valid = flat_idx < n
-    tree_order = np.zeros((n, flat.shape[1]))
-    tree_order[flat_idx[valid]] = flat[valid]
-    out = np.zeros((n, flat.shape[1]))
-    out[prep["orig_index"]] = tree_order
+    out = np.zeros((n, flat.shape[1]), np.float32)
+    out[final] = flat[valid]
     return out[:, 0] if ncols == 1 else out
 
 
@@ -1126,15 +1138,16 @@ def _scatter_packed(prep, pk, out_packed, accel: bool):
     n = prep["n"]
     cap = prep["cap"]
     rows = 3 if accel else 1
-    idx = _range_index_matrix(pk["pstarts"], pk["pcounts"], cap, fill=n)
-    flat_idx = idx.reshape(-1)
+    if "_scat" not in pk:
+        idx = _range_index_matrix(pk["pstarts"], pk["pcounts"], cap,
+                                  fill=n).reshape(-1)
+        valid = idx < n
+        pk["_scat"] = (valid, prep["orig_index"][idx[valid]])
+    valid, final = pk["_scat"]
     flat = (np.moveaxis(np.asarray(out_packed), 1, 2)
             .reshape(-1, rows))
-    valid = flat_idx < n
-    tree_order = np.zeros((n, rows))
-    tree_order[flat_idx[valid]] = flat[valid]
-    out = np.zeros((n, rows))
-    out[prep["orig_index"]] = tree_order
+    out = np.zeros((n, rows), np.float32)
+    out[final] = flat[valid]
     return out[:, 0] if rows == 1 else out
 
 
@@ -1155,7 +1168,7 @@ def _clamp_w_budget(w_budget: int, wcounts, R: int) -> int:
 
 def _near_packed(prep, kern, interpret, accel, R: int = 4, K: int = 5,
                  w_budget: int = 16384, gcap: int = 4096, mesh=None,
-                 accel_form: str = "bundle"):
+                 accel_form: str = "diff"):
     """Banded near field over DENSE packed tiles (K consecutive leaves per
     cap-lane tile, K×K adjacency bits): ~3× fewer windows than per-leaf
     banded at the same exactness.  Returns PARTICLE-space results
@@ -1295,7 +1308,7 @@ def _build_diag_band(prep, K: int, SB: int, nb2: int, R: int):
 
 def _near_diag(prep, kern, interpret, accel, K: int = 5, SB: int = 8,
                nb2: int = 9, R: int = 4, w_budget: int = 16384,
-               gcap: int = 4096, mesh=None):
+               gcap: int = 4096, mesh=None, accel_form: str = "diff"):
     """Diagonal-band near field over DENSE packed tiles: the in-band
     majority of pairs runs through a FULLY grid-indexed kernel (no
     per-window scalar-prefetch fetch stall — see _near_diag_kernel);
@@ -1308,7 +1321,8 @@ def _near_diag(prep, kern, interpret, accel, K: int = 5, SB: int = 8,
     d = _build_diag_band(prep, K, SB, nb2, R)
     G, NO, npt_pad = d["G"], d["NO"], d["npt_pad"]
     call = partial(near_field_diag_chunk, kernel=kern, accel=accel,
-                   interpret=interpret, K=K, SB=SB, NO=NO, G=G, cap=cap)
+                   interpret=interpret, K=K, SB=SB, NO=NO, G=G, cap=cap,
+                   accel_form=accel_form)
     pending = []
     for gs in range(0, npt_pad, G):
         res = call(d["bits"], jnp.asarray([gs], np.int32), d["tgt"],
@@ -1328,7 +1342,8 @@ def _near_diag(prep, kern, interpret, accel, K: int = 5, SB: int = 8,
         rpend = _dispatch_banded(ranges, woffs, gf, wblk, bits,
                                  pk["ptiles"], _ptiles_blocked(prep, R, K),
                                  kern, accel, interpret, R, 1,
-                                 min(gcap, npt), cap, w_budget, K, mesh)
+                                 min(gcap, npt), cap, w_budget, K, mesh,
+                                 accel_form=accel_form)
         for s, e, res in rpend:
             out_p[s:e] += np.asarray(res)[:e - s]
     return _scatter_packed(prep, pk, out_p, accel)
@@ -1461,7 +1476,7 @@ def _shard_call(mesh, fn, in_specs, out_spec, *args):
 
 def _dispatch_banded(ranges, woffs, gf, wblk, bits, tgt_blk, src_blk, kern,
                      accel, interpret, R, Gn, gcap, cap, W, packed_K, mesh,
-                     accel_form="bundle"):
+                     accel_form="diff"):
     """Dispatch banded near-field chunks — single device, or round-robin
     over a mesh via shard_map (chip d takes the d-th chunk of each group
     of ``n_devices``: targets are tree-order contiguous, so chunk→chip
@@ -1669,7 +1684,12 @@ def tree_potentials_device_pallas(tree: Octree, theta: float = 0.7,
         if mesh is not None:
             near_engine = "packed" if prep["n_blocks"] >= 65536 else "banded"
         else:
-            near_engine = "packed" if prep["n_blocks"] >= 65536 else "classes"
+            # diag band measured 12.05 s vs packed 22.3 s at 10M (pot) and
+            # 17-24 s vs 30.8 s (accel) — the fully grid-indexed band
+            # removes the ~3.5 µs/window scalar-prefetch fetch stall.
+            # Below the crossover the band's empty slots dominate (1M
+            # same-run: packed 1.70 s, diag 2.00, classes 3.37) — packed.
+            near_engine = "diag" if prep["n_blocks"] >= 65536 else "packed"
     if near_engine not in ("classes", "dma", "group", "gdma", "banded",
                            "packed", "pdma", "diag"):
         raise ValueError(f"near_engine must be 'classes', 'dma', 'group', "
@@ -1722,7 +1742,12 @@ def tree_accelerations_device_pallas(tree: Octree, theta: float = 0.7,
         if mesh is not None:
             near_engine = "packed" if prep["n_blocks"] >= 65536 else "banded"
         else:
-            near_engine = "packed" if prep["n_blocks"] >= 65536 else "classes"
+            # diag band measured 12.05 s vs packed 22.3 s at 10M (pot) and
+            # 17-24 s vs 30.8 s (accel) — the fully grid-indexed band
+            # removes the ~3.5 µs/window scalar-prefetch fetch stall.
+            # Below the crossover the band's empty slots dominate (1M
+            # same-run: packed 1.70 s, diag 2.00, classes 3.37) — packed.
+            near_engine = "diag" if prep["n_blocks"] >= 65536 else "packed"
     if near_engine not in ("classes", "dma", "group", "gdma", "banded",
                            "packed", "pdma", "diag"):
         raise ValueError(f"near_engine must be 'classes', 'dma', 'group', "
@@ -1737,11 +1762,11 @@ def tree_accelerations_device_pallas(tree: Octree, theta: float = 0.7,
     _ensure_far_classes(prep)  # rebuilds on cache-loaded preps
     if (far_engine == "auto" and not interpret
             and prep.get("far_pallas", False)):
-        # MXU accel bundles (Σw·s − t·Σw with tile-local recentring)
-        # measured faster on both accel far legs at 10M (leaf 25.6→17.3 s,
-        # group 16.3→15.2 s); potentials stay on the elementwise kernel
-        # (neutral there).
-        far_engine = "mxu"
+        # transposed-contraction MXU accel bundles: same-run 10M medians
+        # leaf 11.9 (mxu) / 10.1 (mxu_t) / 10.3 (pallas diff), group
+        # 14.0 / 10.2 / 11.7 — the (3,ts)@(ts,tb) form keeps the result
+        # lane dim full.  Potentials stay on the elementwise kernel.
+        far_engine = "mxu_t"
     far_all = _far_eval(prep, accel=True, interpret=interpret,
                         far_chunk=far_chunk, row_slice=slice(0, 3),
                         far_engine=far_engine, mesh=mesh)

@@ -388,10 +388,11 @@ def test_packed_engine_vs_numpy(clustered):
 
 
 def test_packed_accel_forms_agree(clustered):
-    """The switchable accel bundle forms (plain diff, transposed MXU
+    """The switchable accel bundle forms (MXU bundle, transposed MXU
     contraction, bf16 bundle) are measurement variants of the SAME sum —
-    they must agree with the default bundle to f32 noise.  (bf16 only
-    differs on real TPU dots; interpret mode ignores precision hints.)"""
+    they must agree with the default (plain diff, the measured-fastest
+    form) to f32 noise.  (bf16 only differs on real TPU dots; interpret
+    mode ignores precision hints.)"""
     pos, m, h = clustered
     tree = Octree(pos, m, leaf_capacity=128, multipole_order=0,
                   softenings=h, kernel="plummer")
@@ -399,7 +400,7 @@ def test_packed_accel_forms_agree(clustered):
     prep = tree_tpu.prepare_tree_pallas(tree, theta=0.5, group_leaves=8)
     base = tree_tpu._near_packed(prep, prep["kernel"], True, accel=True)
     scale = np.abs(base).max()
-    for form in ("diff", "bundle_t", "bundle_bf16"):
+    for form in ("bundle", "bundle_t", "bundle_bf16"):
         got = tree_tpu._near_packed(prep, prep["kernel"], True, accel=True,
                                     accel_form=form)
         np.testing.assert_allclose(got, base, rtol=5e-4,
