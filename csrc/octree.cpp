@@ -1276,4 +1276,29 @@ void pnx_direct_accelerations(const double *pos, long n, const double *mass,
   });
 }
 
+// Fused far-class payload gather: for each block i, gather the contiguous
+// id run flat_ids[starts[i] : starts[i]+counts[i]] of (P,) payload rows
+// straight into the TRANSPOSED (ns, P, w) class matrix, fill-row padded.
+// Replaces three numpy passes (padded id matrix -> row gather ->
+// moveaxis copy) with one: the separate passes were ~55 s of 10M prep.
+void pnx_gather_payload_t(const float *payload, const int32_t *flat_ids,
+                          const int64_t *starts, const int64_t *counts,
+                          long ns, long w, long P, int64_t fill,
+                          float *out) {
+  parallel_for_impl(ns, 0, [&](long lo, long hi) {
+    for (long i = lo; i < hi; ++i) {
+      float *o = out + i * P * w;
+      const int32_t *ids = flat_ids + starts[i];
+      const long c = std::min<long>(counts[i], w);
+      for (long j = 0; j < c; ++j) {
+        const float *row = payload + (long)ids[j] * P;
+        for (long p = 0; p < P; ++p) o[p * w + j] = row[p];
+      }
+      const float *frow = payload + fill * P;
+      for (long p = 0; p < P; ++p)
+        for (long j = c; j < w; ++j) o[p * w + j] = frow[p];
+    }
+  });
+}
+
 }  // extern "C"

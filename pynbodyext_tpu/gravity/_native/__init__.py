@@ -107,6 +107,9 @@ def _load() -> Optional[ctypes.CDLL]:
     dll.pnx_tree_pack_leaf_tiles.argtypes = [ctypes.c_void_p, i64p, i64p,
                                              ctypes.c_long, dp,
                                              ctypes.c_long, fp]
+    dll.pnx_gather_payload_t.argtypes = [fp, ip, i64p, i64p,
+                                         ctypes.c_long, ctypes.c_long,
+                                         ctypes.c_long, ctypes.c_int64, fp]
     return dll
 
 

@@ -597,7 +597,7 @@ def _ensure_far_classes(prep) -> None:
     prep["far_classes"] = _build_classes(
         node_counts, node_ids, 128, dummy_node,
         tiles_j[:n_leaves] if far_pre else prep["_tgt_pos_np"],
-        payload=payload_np)
+        payload=payload_np)  # (entries, shared device targets)
     _stage("prep.far_classes.leaf", _t0); _t0 = _time.perf_counter()
     if "_gfar_lists" in prep:
         ng = prep["n_groups"]
@@ -707,10 +707,11 @@ def _ensure_gnear(prep):
     if "gnear_classes" not in prep:
         gtt_np = _gtt_np(prep)
         counts = prep["gnear_counts"].astype(np.int64)
-        prep["gnear_classes"] = _build_classes(
+        classes, gtt_dev = _build_classes(
             counts, prep["gnear_flat"], 64, prep["n_blocks"], gtt_np,
             flat_aux=prep["gnear_bits_flat"])
-        prep["gtt_tiles"] = jnp.asarray(gtt_np)
+        prep["gnear_classes"] = (classes, gtt_dev)
+        prep["gtt_tiles"] = gtt_dev
     return prep["gnear_classes"]
 
 
@@ -748,6 +749,26 @@ def _pad_rows(x, rows: int):
     return jnp.concatenate([x, jnp.repeat(x[-1:], pad, axis=0)])
 
 
+@partial(jax.jit, static_argnames=("rows",))
+def _take_rows(x, start, last, rows: int):
+    """``rows``-row chunk ``x[start : start+rows]`` with rows past ``last``
+    clamped to ``last`` (repeat-last-valid padding, same semantics as
+    ``_pad_rows``).  ``start``/``last`` are traced, so XLA compiles ONE
+    gather per (x shape, rows) — a Python-slice chunk loop compiled a
+    fresh trivial computation per (lo, hi) through the remote relay
+    (~1.5-3 s each, hundreds of chunks on a 10M first solve)."""
+    idx = jnp.minimum(start + jnp.arange(rows, dtype=jnp.int32), last)
+    return jnp.take(x, idx, axis=0)
+
+
+@partial(jax.jit, static_argnames=("rows",))
+def _take_sel_rows(tgt, sel_dev, start, last, rows: int):
+    """Chunk rows ``sel_dev[start : start+rows]`` of the leg-shared target
+    array (see :func:`_build_classes`): one compile per (tgt shape, rows)."""
+    idx = jnp.minimum(start + jnp.arange(rows, dtype=jnp.int32), last)
+    return jnp.take(tgt, jnp.take(sel_dev, idx, axis=0), axis=0)
+
+
 def _near_dma(prep, kern, interpret, accel, nbuf: int = 8,
               nb_chunk: int = 2048, flat_cap: int = 196_608):
     """Near field via the manual-DMA ragged kernel (zero list padding).
@@ -776,7 +797,8 @@ def _near_dma(prep, kern, interpret, accel, nbuf: int = 8,
         cnt_local[:rows] = cnts[start:end]
         flat_local = np.zeros(flat_cap, np.int32)
         flat_local[:tot] = flat[offs[start]:offs[start] + tot]
-        tt = _pad_rows(prep["tgt_tiles"][start:end], nb_chunk)
+        tt = _take_rows(prep["tgt_tiles"], np.int32(start),
+                        np.int32(end - 1), nb_chunk)
         res = near_field_eval_dma(jnp.asarray(off_local),
                                   jnp.asarray(cnt_local),
                                   jnp.asarray(flat_local), tt,
@@ -803,11 +825,15 @@ def _near_group(prep, kern, interpret, accel, k: int = 4):
     out_g = np.zeros((ng, 8, tb), np.float32)
     budget = 50_000  # two SMEM-prefetched arrays share the ~0.4 MB budget
     pending = []
-    for w, sel, li_dev, tt_dev, bits_dev in _ensure_gnear(prep):
+    classes, gtt_dev = _ensure_gnear(prep)
+    for w, sel, li_dev, sel_dev, bits_dev in classes:
         for lo, hi, rows in _class_chunks(w, len(sel), budget):
-            res = near_field_group_eval(_pad_rows(li_dev[lo:hi], rows),
-                                        _pad_rows(bits_dev[lo:hi], rows),
-                                        _pad_rows(tt_dev[lo:hi], rows),
+            lo32, la32 = np.int32(lo), np.int32(hi - 1)
+            res = near_field_group_eval(_take_rows(li_dev, lo32, la32, rows),
+                                        _take_rows(bits_dev, lo32, la32,
+                                                   rows),
+                                        _take_sel_rows(gtt_dev, sel_dev,
+                                                       lo32, la32, rows),
                                         prep["tiles"], kernel=kern,
                                         accel=accel, interpret=interpret,
                                         k=min(k, w), G=G)
@@ -852,7 +878,8 @@ def _near_gdma(prep, kern, interpret, accel, nbuf: int = 8,
         bits_l = np.zeros(flat_cap, np.int32)
         flat_l[:tot] = flat[offs[start]:offs[start] + tot]
         bits_l[:tot] = bits[offs[start]:offs[start] + tot]
-        tt = _pad_rows(prep["gtt_tiles"][start:end], ng_chunk)
+        tt = _take_rows(prep["gtt_tiles"], np.int32(start),
+                        np.int32(end - 1), ng_chunk)
         res = near_field_group_dma(jnp.asarray(off_l), jnp.asarray(cnt_l),
                                    jnp.asarray(flat_l), jnp.asarray(bits_l),
                                    tt, prep["tiles"], kernel=kern,
@@ -882,10 +909,13 @@ def _near_chunked(prep, kern, interpret, accel, k: int = 4):
     out = np.zeros((nb, 8, tb), np.float32)
     budget = 100_000  # SMEM words for the prefetched list slice
     pending = []
-    for w, sel, li_dev, tt_dev in _ensure_near_classes(prep):
+    classes, tt_all = _ensure_near_classes(prep)
+    for w, sel, li_dev, sel_dev in classes:
         for lo, hi, rows in _class_chunks(w, len(sel), budget):
-            res = near_field_eval(_pad_rows(li_dev[lo:hi], rows),
-                                  _pad_rows(tt_dev[lo:hi], rows),
+            lo32, la32 = np.int32(lo), np.int32(hi - 1)
+            res = near_field_eval(_take_rows(li_dev, lo32, la32, rows),
+                                  _take_sel_rows(tt_all, sel_dev,
+                                                 lo32, la32, rows),
                                   prep["tiles"], kernel=kern, accel=accel,
                                   interpret=interpret, k=min(k, w))
             pending.append((sel[lo:hi], hi - lo, res))  # async dispatch
@@ -1386,10 +1416,10 @@ def _near_banded(prep, kern, interpret, accel, R: int = 4, Gn: int = 1,
 def _build_classes(counts, flat_ids, min_width: int, fill: int, targets,
                    flat_aux=None, payload=None):
     """Partition blocks into power-of-two width classes by list length and
-    upload each class's padded list matrix + gathered target rows to the
-    device ONCE — built straight from the ragged (counts, flat ids) data,
-    never materializing a global pad-to-max matrix (at 10M that matrix and
-    its per-class row copies dominated prep: ~60 s of _pad_lists alone).
+    upload each class's padded list matrix to the device ONCE — built
+    straight from the ragged (counts, flat ids) data, never materializing
+    a global pad-to-max matrix (at 10M that matrix and its per-class row
+    copies dominated prep: ~60 s of _pad_lists alone).
 
     Eliminates (a) pad-to-global-max compute waste (up to ~9× on the group
     residual lists), (b) per-chunk host→device list shipping — fatal under
@@ -1401,10 +1431,21 @@ def _build_classes(counts, flat_ids, min_width: int, fill: int, targets,
     speed — ~200 s/leg at 10M — and per-class device transposes each paid
     a remote XLA compile).  Per-eval row gathers stay pre-gathered — those
     were the measured eval wall (~0.23 GB/s).
-    Returns [(width, sel_np, lists_or_payload_dev, targets_dev), …]."""
+
+    Round-3 measured prep rules baked in here:
+    * the padded list matrix is a contiguous-run GATHER + where (each
+      block's list is contiguous in ``flat_ids``) — the old 2-index fancy
+      SCATTER ran 54 s on the 10M group lists, this form is seconds;
+    * targets are kept as ONE shared device array; each class stores its
+      row-selection ``sel`` on device and eval chunks gather rows via the
+      jitted :func:`_take_sel_rows` — per-class device takes paid a
+      ~2.7 s remote XLA compile EACH (52 s of 10M prep).
+
+    Returns ``(entries, targets_dev)`` with entries
+    ``[(width, sel_np, lists_or_payload_dev, sel_dev[, aux_dev]), …]``."""
     counts = np.asarray(counts, np.int64)
     flat_ids = np.asarray(flat_ids, np.int32)
-    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
     lmax = int(counts.max()) if len(counts) else 1
     lmax4 = -(-max(lmax, 1) // 4) * 4  # widths stay multiples of fan-in k
     # vectorized width class per block
@@ -1412,37 +1453,68 @@ def _build_classes(counts, flat_ids, min_width: int, fill: int, targets,
     widths = min_width * (2 ** np.clip(expo, 0, None)).astype(np.int64)
     widths = np.minimum(np.maximum(widths, min_width), max(lmax4, min_width))
     out = []
-    # device targets: per-class selection runs as an on-device gather —
-    # host fancy-index + upload of the ~1 GB 10M target copies was ~30 s
-    # of prep; the device take of 4 KB rows is bandwidth-bound and cheap
-    targets_dev = isinstance(targets, jnp.ndarray)
-    targets_np = targets if targets_dev else np.asarray(targets)
+    targets_dev = (targets if isinstance(targets, jnp.ndarray)
+                   else jnp.asarray(np.ascontiguousarray(targets)))
+    if len(flat_ids) == 0:  # all-empty lists: gather source = one sentinel
+        flat_ids = np.asarray([fill], np.int32)
+        flat_aux = None if flat_aux is None else np.zeros(1, np.int32)
+    nflat = len(flat_ids)
+    flat_aux_np = (None if flat_aux is None
+                   else np.asarray(flat_aux, np.int32))
+    native = None
+    if payload is not None:
+        from . import _native
+        if _native.lib is not None and payload.dtype == np.float32 \
+                and payload.flags.c_contiguous:
+            native = _native
     for w in np.unique(widths):
         sel = np.nonzero(widths == w)[0]
         c = counts[sel]
-        mat = np.full((len(sel), int(w)), fill, np.int32)
-        row = np.repeat(np.arange(len(sel), dtype=np.int64), c)
-        within = (np.arange(row.size, dtype=np.int64)
-                  - np.repeat(np.cumsum(c) - c, c))
-        src = np.repeat(starts[sel], c) + within
-        mat[row, within] = flat_ids[src]
-        tgt_sel = (targets_np[jnp.asarray(sel)] if targets_dev
-                   else jnp.asarray(targets_np[sel]))
         if payload is not None:
             # (ns, P, w): node lanes last — feeds both the pallas far
             # kernel ((1, 4, ts) blocks) and the XLA pre evaluators
-            gat = payload[mat]  # (ns, w, P) contiguous host row gather
-            pay_cls = jnp.asarray(
-                np.ascontiguousarray(np.moveaxis(gat, 2, 1)))
-            entry = [int(w), sel, pay_cls, tgt_sel]
+            if native is not None:
+                import ctypes
+                ns, P = len(sel), payload.shape[1]
+                st = np.ascontiguousarray(starts[sel])
+                ct = np.ascontiguousarray(c)
+                tr = np.empty((ns, P, int(w)), np.float32)
+                fp = ctypes.POINTER(ctypes.c_float)
+                i64 = ctypes.POINTER(ctypes.c_int64)
+                native.lib.pnx_gather_payload_t(
+                    payload.ctypes.data_as(fp),
+                    flat_ids.ctypes.data_as(
+                        ctypes.POINTER(ctypes.c_int32)),
+                    st.ctypes.data_as(i64), ct.ctypes.data_as(i64),
+                    ns, int(w), P, int(fill),
+                    tr.ctypes.data_as(fp))
+            else:
+                lane = np.arange(int(w), dtype=np.int64)
+                idx = starts[sel][:, None] + lane[None, :]
+                valid = lane[None, :] < c[:, None]
+                np.minimum(idx, nflat - 1, out=idx)
+                mat = np.where(valid, flat_ids[idx], np.int32(fill))
+                gat = payload[mat]  # (ns, w, P) contiguous row gather
+                tr = np.ascontiguousarray(np.moveaxis(gat, 2, 1))
+            entry = [int(w), sel, jnp.asarray(tr),
+                     jnp.asarray(sel.astype(np.int32))]
         else:
-            entry = [int(w), sel, jnp.asarray(mat), tgt_sel]
-        if flat_aux is not None:
-            aux = np.zeros((len(sel), int(w)), np.int32)
-            aux[row, within] = np.asarray(flat_aux, np.int32)[src]
-            entry.append(jnp.asarray(aux))
+            lane = np.arange(int(w), dtype=np.int64)
+            idx = starts[sel][:, None] + lane[None, :]
+            valid = lane[None, :] < c[:, None]
+            np.minimum(idx, nflat - 1, out=idx)
+            mat = np.where(valid, flat_ids[idx], np.int32(fill))
+            entry = [int(w), sel, jnp.asarray(mat),
+                     jnp.asarray(sel.astype(np.int32))]
+        if flat_aux_np is not None:
+            lane = np.arange(int(w), dtype=np.int64)
+            idx = starts[sel][:, None] + lane[None, :]
+            valid = lane[None, :] < c[:, None]
+            np.minimum(idx, nflat - 1, out=idx)
+            entry.append(jnp.asarray(
+                np.where(valid, flat_aux_np[idx], np.int32(0))))
         out.append(tuple(entry))
-    return out
+    return out, targets_dev
 
 
 def _class_chunks(width: int, n_in_class: int, rows_budget: int,
@@ -1597,13 +1669,17 @@ def _far_eval(prep, accel: bool, interpret: bool, far_chunk: int = 8192,
                          "and a compiled (non-interpret) backend")
     ndev = mesh.devices.size if mesh is not None else 1
     pending = []
-    for w, sel, li_dev, tp_dev in prep["far_classes"]:
+    classes, tgt_all = prep["far_classes"]
+    for w, sel, li_dev, sel_dev in classes:
         B = _far_batch_B(tb, int(w), len(sel))
         for lo, hi, rows in _class_chunks(w, len(sel), far_chunk * 1024,
                                           multiple=B * ndev):
+            lo32, la32 = np.int32(lo), np.int32(hi - 1)
             res = _far_call(prep, accel, interpret, pallas_far, pre, order,
-                            B, _pad_rows(tp_dev[lo:hi], rows),
-                            _pad_rows(li_dev[lo:hi], rows), mesh, mxu=mxu)
+                            B, _take_sel_rows(tgt_all, sel_dev,
+                                              lo32, la32, rows),
+                            _take_rows(li_dev, lo32, la32, rows),
+                            mesh, mxu=mxu)
             pending.append((sel[lo:hi], hi - lo, res))
     for s_idx, cnt, res in pending:
         out[s_idx] = np.asarray(res)[:cnt]
@@ -1632,13 +1708,17 @@ def _group_far_eval(prep, accel: bool, group_chunk: int = 1024,
     budget = group_chunk * 1024 * 8 // G
     ndev = mesh.devices.size if mesh is not None else 1
     pending = []
-    for w, sel, li_dev, tp_dev in prep["gfar_classes"]:
+    classes, tgt_all = prep["gfar_classes"]
+    for w, sel, li_dev, sel_dev in classes:
         B = _far_batch_B(G * cap, int(w), len(sel))
         for lo, hi, rows in _class_chunks(w, len(sel), budget,
                                           multiple=B * ndev):
+            lo32, la32 = np.int32(lo), np.int32(hi - 1)
             out = _far_call(prep, accel, interpret, pallas_far, pre, order,
-                            B, _pad_rows(tp_dev[lo:hi], rows),
-                            _pad_rows(li_dev[lo:hi], rows), mesh, mxu=mxu)
+                            B, _take_sel_rows(tgt_all, sel_dev,
+                                              lo32, la32, rows),
+                            _take_rows(li_dev, lo32, la32, rows),
+                            mesh, mxu=mxu)
             pending.append((sel[lo:hi], hi - lo, out))
     for s_idx, cnt, out in pending:
         res[s_idx] = np.asarray(out)[:cnt]
@@ -1885,10 +1965,13 @@ def _near_at_points(ap, prep, kern, interpret, accel):
     out = np.zeros((nt, 8, cap), np.float32)
     budget = 100_000
     pending = []
-    for w, sel, li_dev, tt_dev in ap["near_classes"]:
+    classes, tt_all = ap["near_classes"]
+    for w, sel, li_dev, sel_dev in classes:
         for lo, hi, rows in _class_chunks(w, len(sel), budget):
-            res = near_field_eval(_pad_rows(li_dev[lo:hi], rows),
-                                  _pad_rows(tt_dev[lo:hi], rows),
+            lo32, la32 = np.int32(lo), np.int32(hi - 1)
+            res = near_field_eval(_take_rows(li_dev, lo32, la32, rows),
+                                  _take_sel_rows(tt_all, sel_dev,
+                                                 lo32, la32, rows),
                                   prep["tiles"], kernel=kern, accel=accel,
                                   interpret=interpret, k=min(4, w))
             pending.append((sel[lo:hi], hi - lo, res))
