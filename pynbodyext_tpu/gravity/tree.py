@@ -19,6 +19,8 @@ from typing import Optional
 
 import numpy as np
 
+from ..util.thp import thp_empty, thp_zeros
+
 from .kernels import KERNEL_NONE, KERNEL_PLUMMER, KERNEL_SPLINE
 
 __all__ = ["Octree"]
@@ -118,7 +120,7 @@ class Octree:
             self_mode = 0
             tsoft = None
         m = tgt.shape[0]
-        out = np.zeros(m * ncols, dtype=np.float64)
+        out = thp_zeros(m * ncols, np.float64)
         t0 = time.perf_counter()
         fn(self._handle, nat.dptr(tgt), m, self_mode, nat.dptr(tsoft),
            float(theta), int(threads), nat.dptr(out))
@@ -158,8 +160,8 @@ class Octree:
         nat.lib.pnx_tree_block_list_sizes(
             self._handle, node_counts.ctypes.data_as(lp),
             leaf_counts.ctypes.data_as(lp))
-        node_ids = np.zeros(int(node_counts.sum()), dtype=np.int32)
-        leaf_idx = np.zeros(int(leaf_counts.sum()), dtype=np.int32)
+        node_ids = thp_zeros(int(node_counts.sum()), np.int32)
+        leaf_idx = thp_zeros(int(leaf_counts.sum()), np.int32)
         ip = ctypes.POINTER(ctypes.c_int32)
         nat.lib.pnx_tree_block_list_data(
             self._handle, node_ids.ctypes.data_as(ip),
@@ -198,9 +200,9 @@ class Octree:
             self._handle, gnode_counts.ctypes.data_as(lp),
             lnode_counts.ctypes.data_as(lp),
             lleaf_counts.ctypes.data_as(lp))
-        gnode_ids = np.zeros(int(gnode_counts.sum()), dtype=np.int32)
-        lnode_ids = np.zeros(int(lnode_counts.sum()), dtype=np.int32)
-        lleaf_idx = np.zeros(int(lleaf_counts.sum()), dtype=np.int32)
+        gnode_ids = thp_zeros(int(gnode_counts.sum()), np.int32)
+        lnode_ids = thp_zeros(int(lnode_counts.sum()), np.int32)
+        lleaf_idx = thp_zeros(int(lleaf_counts.sum()), np.int32)
         ip = ctypes.POINTER(ctypes.c_int32)
         nat.lib.pnx_tree_group_list_data(
             self._handle, gnode_ids.ctypes.data_as(ip),
@@ -213,8 +215,8 @@ class Octree:
         gnear_counts = np.zeros(ng, dtype=np.int64)
         nat.lib.pnx_tree_group_near_sizes(
             self._handle, gnear_counts.ctypes.data_as(lp))
-        gnear_seqs = np.zeros(int(gnear_counts.sum()), dtype=np.int32)
-        gnear_bits = np.zeros(int(gnear_counts.sum()), dtype=np.int32)
+        gnear_seqs = thp_zeros(int(gnear_counts.sum()), np.int32)
+        gnear_bits = thp_zeros(int(gnear_counts.sum()), np.int32)
         nat.lib.pnx_tree_group_near_data(
             self._handle, gnear_seqs.ctypes.data_as(ip),
             gnear_bits.ctypes.data_as(ip))
@@ -280,33 +282,38 @@ class Octree:
         """(pos, mass, soft, orig_index) in tree order."""
         import ctypes
         nat = self._nat
-        pos = np.zeros((self.n, 3))
-        mass = np.zeros(self.n)
-        soft = np.zeros(self.n)
-        orig = np.zeros(self.n, dtype=np.int64)
+        pos = thp_zeros((self.n, 3), np.float64)
+        mass = thp_zeros(self.n, np.float64)
+        soft = thp_zeros(self.n, np.float64)
+        orig = thp_zeros(self.n, np.int64)
         nat.lib.pnx_tree_particles(
             self._handle, nat.dptr(pos), nat.dptr(mass), nat.dptr(soft),
             orig.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
         return pos, mass, soft, orig
 
     def pack_leaf_tiles(self, lstarts, lcounts, sentinel,
-                        cap: int) -> np.ndarray:
-        """(n_leaves+1, 8, cap) f32 leaf tiles packed natively from the
-        tree-order SoA (row layout matches
+                        cap: int, pad_rows: int = 0) -> np.ndarray:
+        """(n_leaves+1+pad_rows, 8, cap) f32 leaf tiles packed natively
+        from the tree-order SoA (row layout matches
         :func:`tree_pallas.pack_leaf_tiles`; the numpy packer's
-        fancy-index pass was 31 s at 10M on this single-core host)."""
+        fancy-index pass was 31 s at 10M on this single-core host).
+        ``pad_rows`` extra copies of the all-dummy row are appended in
+        place (a post-hoc concatenate re-faulted the whole 1 GB table —
+        ~15 s/GB on this host, util/thp.py)."""
         import ctypes
         nat = self._nat
         ls = np.ascontiguousarray(lstarts, np.int64)
         lc = np.ascontiguousarray(lcounts, np.int64)
         sent = np.ascontiguousarray(sentinel, np.float64)
         n_leaves = len(ls)
-        out = np.empty((n_leaves + 1, 8, cap), np.float32)
+        out = thp_empty((n_leaves + 1 + pad_rows, 8, cap), np.float32)
         i64p = ctypes.POINTER(ctypes.c_int64)
         nat.lib.pnx_tree_pack_leaf_tiles(
             self._handle, ls.ctypes.data_as(i64p), lc.ctypes.data_as(i64p),
             n_leaves, nat.dptr(sent), cap,
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+        if pad_rows:
+            out[n_leaves + 1:] = out[n_leaves]  # replicate the dummy row
         return out
 
     # reference API aliases (gravity.rs:321,381)
@@ -340,7 +347,7 @@ def native_direct_potentials(pos, masses=None, softenings=None, targets=None,
         self_mode = 0
         tsoft = None if target_softenings is None else nat.as_f64(
             np.broadcast_to(np.asarray(target_softenings), (tgt.shape[0],)))
-    out = np.zeros(tgt.shape[0], dtype=np.float64)
+    out = thp_zeros(tgt.shape[0], np.float64)
     nat.lib.pnx_direct_potentials(
         nat.dptr(pos), n, nat.dptr(m), nat.dptr(h),
         _KERNEL_CODE[kernel], nat.dptr(tgt), tgt.shape[0], self_mode,
@@ -366,7 +373,7 @@ def native_direct_accelerations(pos, masses=None, softenings=None,
         self_mode = 0
         tsoft = None if target_softenings is None else nat.as_f64(
             np.broadcast_to(np.asarray(target_softenings), (tgt.shape[0],)))
-    out = np.zeros((tgt.shape[0], 3), dtype=np.float64)
+    out = thp_zeros((tgt.shape[0], 3), np.float64)
     nat.lib.pnx_direct_accelerations(
         nat.dptr(pos), n, nat.dptr(m), nat.dptr(h),
         _KERNEL_CODE[kernel], nat.dptr(tgt), tgt.shape[0], self_mode,

@@ -31,6 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..util.thp import thp_empty, thp_zeros
 from .kernels import (KERNEL_NONE, kernel_accel_factor,
                       kernel_potential_per_unit_mass)
 from .tree import Octree
@@ -217,9 +218,9 @@ def _scatter_out(prep, block_vals: np.ndarray, ncols: int) -> np.ndarray:
     flat_idx = prep["tgt_idx"].reshape(-1)
     flat = np.asarray(block_vals).reshape(len(flat_idx), -1)
     valid = flat_idx < n
-    tree_order = np.zeros((n, flat.shape[1]))
+    tree_order = thp_zeros((n, flat.shape[1]), np.float64)
     tree_order[flat_idx[valid]] = flat[valid]
-    out = np.zeros((n, flat.shape[1]))
+    out = thp_zeros((n, flat.shape[1]), np.float64)
     out[prep["orig_index"]] = tree_order
     return out[:, 0] if ncols == 1 else out
 
@@ -478,13 +479,15 @@ def prepare_tree_pallas(tree: Octree, theta: float = 0.7, cap: int = 128,
     sentinel = (pos.mean(0) + 3.0 * max(extent, 1e-3)).astype(np.float64)
     if n >= (1 << 24):
         raise ValueError("orig-index-in-f32 packing requires N < 2^24")
-    tiles = tree.pack_leaf_tiles(lstarts, lcounts, sentinel, cap)
     # pad the tile table to a multiple of 32 rows (all-dummy rows) so the
     # banded engine's (R, 8, cap) window BlockSpec divides it for any
-    # R ∈ {4, 8, 16, 32}; leaf ids (incl. the dummy id n_leaves) unchanged
-    pad32 = (-len(tiles)) % 32
-    if pad32:
-        tiles = np.concatenate([tiles, np.repeat(tiles[-1:], pad32, axis=0)])
+    # R ∈ {4, 8, 16, 32}; leaf ids (incl. the dummy id n_leaves) unchanged.
+    # The pad rows are requested up front: a post-hoc np.concatenate
+    # re-allocated the whole 1 GB table (first-touch faults cost ~15 s/GB
+    # on this host — util/thp.py).
+    pad32 = (-(n_leaves + 1)) % 32
+    tiles = tree.pack_leaf_tiles(lstarts, lcounts, sentinel, cap,
+                                 pad_rows=pad32)
     _stage("prep.tiles", _t0); _t0 = _time.perf_counter()
     com, nmass, _ = tree.node_data()
     com = np.vstack([com, sentinel[None, :]])
@@ -737,7 +740,7 @@ def _scatter_leaf_blocks(prep, block_vals: np.ndarray, ncols: int):
     valid, final = _compose_scatter(prep, prep["lstarts"],
                                     prep["lcounts"], cap, "_scat_leaf")
     flat = np.asarray(block_vals).reshape(nb * cap, -1)
-    out = np.zeros((n, flat.shape[1]), np.float32)
+    out = thp_zeros((n, flat.shape[1]), np.float32)
     out[final] = flat[valid]
     return out[:, 0] if ncols == 1 else out
 
@@ -781,7 +784,7 @@ def _near_dma(prep, kern, interpret, accel, nbuf: int = 8,
     offs = prep["near_offsets"]
     cnts = prep["near_counts"].astype(np.int32)
     flat = prep["near_flat"]
-    out = np.zeros((nb, 8, tb), np.float32)
+    out = thp_zeros((nb, 8, tb), np.float32)
     pending = []
     start = 0
     while start < nb:
@@ -822,7 +825,7 @@ def _near_group(prep, kern, interpret, accel, k: int = 4):
     nb, cap, G = prep["n_blocks"], prep["cap"], prep["G"]
     ng = prep["n_groups"]
     tb = G * cap
-    out_g = np.zeros((ng, 8, tb), np.float32)
+    out_g = thp_zeros((ng, 8, tb), np.float32)
     budget = 50_000  # two SMEM-prefetched arrays share the ~0.4 MB budget
     pending = []
     classes, gtt_dev = _ensure_gnear(prep)
@@ -860,7 +863,7 @@ def _near_gdma(prep, kern, interpret, accel, nbuf: int = 8,
     cnts = prep["gnear_counts"]
     flat = prep["gnear_flat"]
     bits = prep["gnear_bits_flat"]
-    out_g = np.zeros((ng, 8, tb), np.float32)
+    out_g = thp_zeros((ng, 8, tb), np.float32)
     pending = []
     start = 0
     while start < ng:
@@ -906,7 +909,7 @@ def _near_chunked(prep, kern, interpret, accel, k: int = 4):
     from .tree_pallas import near_field_eval
     nb = prep["n_blocks"]
     tb = prep["tgt_tiles"].shape[2]
-    out = np.zeros((nb, 8, tb), np.float32)
+    out = thp_zeros((nb, 8, tb), np.float32)
     budget = 100_000  # SMEM words for the prefetched list slice
     pending = []
     classes, tt_all = _ensure_near_classes(prep)
@@ -1082,7 +1085,7 @@ def _assemble_packed_table(prep, pstarts, pcounts, sub_of) -> np.ndarray:
     m_pad = np.concatenate([pmass, [0.0]])
     h_pad = np.concatenate([psoft, [0.0]])
     o_pad = np.concatenate([orig, [-2]])
-    pt = np.zeros((npt, 8, cap), np.float32)
+    pt = thp_zeros((npt, 8, cap), np.float32)
     pt[:, 0] = pos_pad[idx, 0]
     pt[:, 1] = pos_pad[idx, 1]
     pt[:, 2] = pos_pad[idx, 2]
@@ -1176,7 +1179,7 @@ def _scatter_packed(prep, pk, out_packed, accel: bool):
     valid, final = pk["_scat"]
     flat = (np.moveaxis(np.asarray(out_packed), 1, 2)
             .reshape(-1, rows))
-    out = np.zeros((n, rows), np.float32)
+    out = thp_zeros((n, rows), np.float32)
     out[final] = flat[valid]
     return out[:, 0] if rows == 1 else out
 
@@ -1218,7 +1221,7 @@ def _near_packed(prep, kern, interpret, accel, R: int = 4, K: int = 5,
                                cap, w_budget, K, mesh,
                                accel_form=accel_form)
     rows = 3 if accel else 1
-    out_p = np.zeros((npt, rows, cap), np.float32)
+    out_p = thp_zeros((npt, rows, cap), np.float32)
     for s, e, res in pending:
         out_p[s:e] = np.asarray(res)[:e - s]
     return _scatter_packed(prep, pk, out_p, accel)
@@ -1267,7 +1270,7 @@ def _near_pdma(prep, kern, interpret, accel, R: int = 4, K: int = 5,
                    jnp.asarray([gs, ge - gs], np.int32), tgt_all, src_blk)
         pending.append((gs, ge, res))
     rows = 3 if accel else 1
-    out_p = np.zeros((npt, rows, cap), np.float32)
+    out_p = thp_zeros((npt, rows, cap), np.float32)
     for s, e, res in pending:
         out_p[s:e] = np.asarray(res)[:e - s]
     return _scatter_packed(prep, pk, out_p, accel)
@@ -1359,7 +1362,7 @@ def _near_diag(prep, kern, interpret, accel, K: int = 5, SB: int = 8,
                    d["src"])
         pending.append((gs, res))
     rows = 3 if accel else 1
-    out_p = np.zeros((npt, rows, cap), np.float32)
+    out_p = thp_zeros((npt, rows, cap), np.float32)
     for gs, res in pending:
         ge = min(gs + G, npt)
         if ge > gs:
@@ -1402,7 +1405,7 @@ def _near_banded(prep, kern, interpret, accel, R: int = 4, Gn: int = 1,
                                src_blk, kern, accel, interpret, R, Gn, gcap,
                                cap, w_budget, 0, mesh)
     rows = 3 if accel else 1
-    out_g = np.zeros((ngn, rows, tb), np.float32)
+    out_g = thp_zeros((ngn, rows, tb), np.float32)
     for s, e, res in pending:
         out_g[s:e] = np.asarray(res)[:e - s]
     # (ngn, rows, Gn·cap) → per-leaf-block (nb, rows, cap)
@@ -1478,7 +1481,7 @@ def _build_classes(counts, flat_ids, min_width: int, fill: int, targets,
                 ns, P = len(sel), payload.shape[1]
                 st = np.ascontiguousarray(starts[sel])
                 ct = np.ascontiguousarray(c)
-                tr = np.empty((ns, P, int(w)), np.float32)
+                tr = thp_empty((ns, P, int(w)), np.float32)
                 fp = ctypes.POINTER(ctypes.c_float)
                 i64 = ctypes.POINTER(ctypes.c_int64)
                 native.lib.pnx_gather_payload_t(
@@ -1654,7 +1657,7 @@ def _far_eval(prep, accel: bool, interpret: bool, far_chunk: int = 8192,
     nb = prep["n_blocks"]
     order = prep["order"]
     tb = prep["cap"]
-    out = np.zeros((nb, tb, 3) if accel else (nb, tb), np.float32)
+    out = thp_zeros((nb, tb, 3) if accel else (nb, tb), np.float32)
     pre = prep.get("far_pre", False)
     # interpret-mode pallas pays per-grid-step python cost — tests use XLA
     # interpret-mode pallas pays per-grid-step python cost — auto mode
@@ -1704,7 +1707,8 @@ def _group_far_eval(prep, accel: bool, group_chunk: int = 1024,
                   and (not interpret
                        or far_engine in ("pallas", "mxu", "mxu_t")))
     mxu = far_engine if far_engine in ("mxu", "mxu_t") else False
-    res = np.zeros((ng, G * cap, 3) if accel else (ng, G * cap), np.float32)
+    res = thp_zeros((ng, G * cap, 3) if accel else (ng, G * cap),
+                    np.float32)
     budget = group_chunk * 1024 * 8 // G
     ndev = mesh.devices.size if mesh is not None else 1
     pending = []
@@ -1962,7 +1966,7 @@ def _prepare_at_points(tree: Octree, prep, targets, target_soft=None):
 def _near_at_points(ap, prep, kern, interpret, accel):
     from .tree_pallas import near_field_eval
     nt, cap = ap["nt"], ap["cap"]
-    out = np.zeros((nt, 8, cap), np.float32)
+    out = thp_zeros((nt, 8, cap), np.float32)
     budget = 100_000
     pending = []
     classes, tt_all = ap["near_classes"]
@@ -1999,7 +2003,7 @@ def _at_points_eval(tree: Octree, targets, prep=None, theta: float = 0.7,
     near = _near_at_points(ap, prep, kern, interpret, accel)
     tot = near + far
     out_sorted = tot[ap["tidx"], ap["lane"]]
-    out = np.zeros_like(out_sorted)
+    out = thp_zeros(out_sorted.shape, out_sorted.dtype)
     out[ap["order_idx"]] = out_sorted
     return out
 
