@@ -13,9 +13,19 @@ BASELINE_HOST.json).  Fixed constant so rounds stay comparable.
 """
 
 import json
+import os
 import pathlib
 import sys
 import time
+
+# glibc hugepage-backed malloc: this host's 4 KB first-touch faults cost
+# ~150 µs each (util/thp.py) — THP arenas make anonymous numpy
+# temporaries ~6× faster to first-fill.  Must be set before glibc init,
+# so re-exec once.
+if (os.environ.get("GLIBC_TUNABLES") is None and sys.platform == "linux"
+        and sys.argv and os.path.isfile(sys.argv[0])):
+    env = dict(os.environ, GLIBC_TUNABLES="glibc.malloc.hugetlb=1")
+    os.execve(sys.executable, [sys.executable] + sys.argv, env)
 
 import numpy as np
 
