@@ -97,7 +97,8 @@ def main():
     tree_detail = {}
     if on_tpu:
         try:
-            from pynbodyext_tpu.gravity.tree import Octree
+            from pynbodyext_tpu.gravity import tree_tpu
+            from pynbodyext_tpu.gravity.tree import Octree, stage_records
             from pynbodyext_tpu.gravity.tree_tpu import (
                 prepare_tree_pallas, release_host_buffers,
                 tree_accelerations_device_pallas,
@@ -108,25 +109,34 @@ def main():
             vt /= np.linalg.norm(vt, axis=1, keepdims=True)
             pos_t = vt * rt[:, None]
             m_t = rng.uniform(0.5, 2.0, n_tree)
+            stage_records()  # reset the stage log
             t0 = time.perf_counter()
             tree = Octree(pos_t, m_t, leaf_capacity=128, multipole_order=0)
             prep = prepare_tree_pallas(tree, theta=0.7, group_leaves=8)
             prep_s = time.perf_counter() - t0
+            # per-stage prep breakdown (aggregate repeated labels)
+            prep_stages = {}
+            for lbl, s in stage_records():
+                prep_stages[lbl] = round(prep_stages.get(lbl, 0.0) + s, 2)
             phi = tree_potentials_device_pallas(tree, prep=prep)  # warm
             release_host_buffers(prep)
-            # relay variance is ±50% on a single rep: median of 3
-            tts = []
+            # relay variance is ±50% on a single rep: median of 3;
+            # record every rep + the per-leg split of the last one so
+            # variance vs misconfiguration is distinguishable post hoc
+            tts, eval_legs = [], []
             for _ in range(3):
                 t0 = time.perf_counter()
                 phi = tree_potentials_device_pallas(tree, prep=prep)
-                tts.append(time.perf_counter() - t0)
+                tts.append(round(time.perf_counter() - t0, 2))
+                eval_legs.append(dict(tree_tpu.EVAL_INFO))
             eval_s = sorted(tts)[1]
             acc = tree_accelerations_device_pallas(tree, prep=prep)  # warm
-            ats = []
+            ats, accel_legs = [], []
             for _ in range(3):
                 t0 = time.perf_counter()
                 acc = tree_accelerations_device_pallas(tree, prep=prep)
-                ats.append(time.perf_counter() - t0)
+                ats.append(round(time.perf_counter() - t0, 2))
+                accel_legs.append(dict(tree_tpu.EVAL_INFO))
             accel_s = sorted(ats)[1]
             # warm-start story: persist the prep and time the disk reload
             # (what a second process pays instead of the host build)
@@ -144,6 +154,7 @@ def main():
                     float(np.asarray(prep2["tiles"][0, 0, 0]))
                     warm_s = time.perf_counter() - t0
             dense_equiv_s = n_tree * n_tree / pair_rate
+            li = accel_legs[-1] if accel_legs else {}
             tree_detail = {
                 "tree10m_eval_s": round(eval_s, 2),
                 "tree10m_accel_s": round(accel_s, 2),
@@ -155,6 +166,14 @@ def main():
                 "tree10m_vs_dense": round(dense_equiv_s / eval_s, 1),
                 "tree10m_phi0": float(phi[0]),
                 "tree10m_acc0": float(np.linalg.norm(acc[0])),
+                "tree10m_engines": {
+                    "near": li.get("near_engine"),
+                    "far": li.get("far_engine")},
+                "tree10m_eval_reps": tts,
+                "tree10m_accel_reps": ats,
+                "tree10m_eval_legs": eval_legs[-1] if eval_legs else {},
+                "tree10m_accel_legs": li,
+                "tree10m_prep_stages": prep_stages,
             }
         except Exception as e:  # never fail the whole bench on the tree leg
             tree_detail = {"tree10m_error": f"{type(e).__name__}: {e}"}
@@ -166,6 +185,8 @@ def main():
         "vs_baseline": round(pair_rate / REFERENCE_PAIR_RATE, 2),
         "detail": {
             "device": str(dev),
+            "hugetlb_malloc": "hugetlb" in os.environ.get(
+                "GLIBC_TUNABLES", ""),
             "gravity_N": n_grav,
             "gravity_ms": round(dt * 1e3, 2),
             "kappa_pipeline_N": n_pipe,

@@ -32,7 +32,20 @@ from .kernels import KERNEL_NONE, KERNEL_PLUMMER, KERNEL_SPLINE
 from . import pallas_direct, reference
 
 __all__ = ["KernelKind", "TreeOptions", "Gravity", "calculate_potential",
-           "calculate_acceleration"]
+           "calculate_acceleration", "DENSE_TREE_CROSSOVER_TPU",
+           "DENSE_TREE_CROSSOVER_CPU"]
+
+#: measured dense/tree crossover on a single v5e chip: the dense Pallas
+#: pipe runs 262k in ~0.65 s while the device tree takes ~1.3 s there, but
+#: dense is O(N²) (~9.5 s at 1M) vs the tree's ~O(N) — the curves cross
+#: near 4×10⁵ particles.  ``method="auto"`` picks dense at or below this.
+#: (Reference idiom: the serial/parallel work threshold in direct.rs:115-187.)
+DENSE_TREE_CROSSOVER_TPU = 400_000
+
+#: host fallback crossover: the native direct sum sustains ~1.2e8 pairs/s
+#: on this one-core host (BASELINE_HOST.json) while the native BH tree
+#: solve is ~O(N log N) — direct wins only for small N.
+DENSE_TREE_CROSSOVER_CPU = 32_768
 
 
 class KernelKind(enum.Enum):
@@ -221,6 +234,51 @@ class Gravity:
                                                      targets=targets,
                                                      threads=threads)
 
+    # -- auto method selection ----------------------------------------------
+    def auto_method(self) -> str:
+        """Pick the fastest solver for this problem size on the attached
+        backend: dense direct sum at or below the measured crossover
+        (:data:`DENSE_TREE_CROSSOVER_TPU` / ``_CPU``), tree above it."""
+        n = self.pos.shape[0]
+        if self.force_reference:
+            return ("direct" if n <= DENSE_TREE_CROSSOVER_CPU else "tree")
+        return ("direct" if n <= DENSE_TREE_CROSSOVER_TPU
+                else "tree-device")
+
+    def potentials(self, targets=None, theta: float = 0.7,
+                   threads: int = 0, method: str = "auto"):
+        """Potentials via ``method``: 'auto' (size-based dense/tree pick),
+        'direct', 'tree' (native host BH) or 'tree-device'."""
+        if method == "auto":
+            method = self.auto_method()
+        if method == "direct":
+            return self.direct_potentials(targets=targets, threads=threads)
+        if method == "tree":
+            return self.tree_potentials(targets=targets, theta=theta,
+                                        threads=threads)
+        if method == "tree-device":
+            return self.tree_potentials(targets=targets, theta=theta,
+                                        device=True)
+        raise ValueError(f"unknown method {method!r}; use 'auto', "
+                         "'direct', 'tree' or 'tree-device'")
+
+    def accelerations(self, targets=None, theta: float = 0.7,
+                      threads: int = 0, method: str = "auto"):
+        """Accelerations via ``method`` (see :meth:`potentials`)."""
+        if method == "auto":
+            method = self.auto_method()
+        if method == "direct":
+            return self.direct_accelerations(targets=targets,
+                                             threads=threads)
+        if method == "tree":
+            return self.tree_accelerations(targets=targets, theta=theta,
+                                           threads=threads)
+        if method == "tree-device":
+            return self.tree_accelerations(targets=targets, theta=theta,
+                                           device=True)
+        raise ValueError(f"unknown method {method!r}; use 'auto', "
+                         "'direct', 'tree' or 'tree-device'")
+
 
 # ---------------------------------------------------------------------------
 # Snapshot-level helpers (reference ``pyn_gravity.py``)
@@ -264,15 +322,7 @@ def calculate_potential(sim, softening=None, kernel=None,
     """Gravitational potential per particle in km² s⁻²
     (reference ``pyn_gravity.py:31-123``)."""
     g = _gravity_for(sim, softening, kernel)
-    if method == "direct":
-        pot = g.direct_potentials(threads=threads)
-    elif method == "tree":
-        pot = g.tree_potentials(theta=theta, threads=threads)
-    elif method == "tree-device":
-        pot = g.tree_potentials(theta=theta, device=True)
-    else:
-        raise ValueError(f"unknown method {method!r}; use 'direct', "
-                         "'tree' or 'tree-device'")
+    pot = g.potentials(theta=theta, threads=threads, method=method)
     units = G_UNIT * sim["mass"].units / sim["pos"].units
     q = QArray(pot * units.ratio("km**2 s**-2", **sim.units_context()),
                "km**2 s**-2")
@@ -285,15 +335,7 @@ def calculate_acceleration(sim, softening=None, kernel=None,
     """Gravitational acceleration per particle in km s⁻²
     (reference ``pyn_gravity.py:125-216``)."""
     g = _gravity_for(sim, softening, kernel)
-    if method == "direct":
-        acc = g.direct_accelerations(threads=threads)
-    elif method == "tree":
-        acc = g.tree_accelerations(theta=theta, threads=threads)
-    elif method == "tree-device":
-        acc = g.tree_accelerations(theta=theta, device=True)
-    else:
-        raise ValueError(f"unknown method {method!r}; use 'direct', "
-                         "'tree' or 'tree-device'")
+    acc = g.accelerations(theta=theta, threads=threads, method=method)
     units = G_UNIT * sim["mass"].units / sim["pos"].units ** 2
     return QArray(acc * units.ratio("km s**-2", **sim.units_context()),
                   "km s**-2")

@@ -31,11 +31,30 @@ _TIMING = bool(os.environ.get("PNX_GRAVITY_TIMING")
                or os.environ.get("GRAVITY_TIMING"))
 
 
+#: rolling in-memory stage log (label, seconds) — read via
+#: :func:`stage_records`; lets bench/driver report per-leg wall times
+#: without parsing stderr (VERDICT r3 §next-1/3: per-leg breakdown)
+_STAGES: list = []
+_STAGES_MAX = 512
+
+
 def _stage(label: str, t0: float) -> None:
+    dt = time.perf_counter() - t0
+    _STAGES.append((label, dt))
+    if len(_STAGES) > _STAGES_MAX:
+        del _STAGES[:-_STAGES_MAX]
     if _TIMING:
         import sys
-        print(f"[pnx-gravity] {label}: {(time.perf_counter() - t0) * 1e3:.2f} ms",
-              file=sys.stderr)
+        print(f"[pnx-gravity] {label}: {dt * 1e3:.2f} ms", file=sys.stderr)
+
+
+def stage_records(clear: bool = True):
+    """Return (and by default clear) the recorded ``(label, seconds)``
+    stage list accumulated since the last call."""
+    out = list(_STAGES)
+    if clear:
+        _STAGES.clear()
+    return out
 
 _KERNEL_CODE = {KERNEL_NONE: 0, KERNEL_PLUMMER: 1, KERNEL_SPLINE: 2,
                 None: 0}

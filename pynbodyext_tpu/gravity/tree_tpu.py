@@ -24,6 +24,7 @@ compact, so list lengths are similar across blocks.
 
 from __future__ import annotations
 
+import time as _time
 from functools import partial
 from typing import Optional
 
@@ -37,10 +38,17 @@ from .kernels import (KERNEL_NONE, kernel_accel_factor,
 from .tree import Octree
 
 __all__ = ["tree_potentials_device", "tree_accelerations_device",
-           "prepare_tree_device", "release_host_buffers"]
+           "prepare_tree_device", "release_host_buffers", "EVAL_INFO"]
 
 _TINY2 = 1e-38
 _FAR = 1e15
+
+#: per-call diagnostics from the last device-tree eval: which engines ran
+#: and per-leg wall seconds (far leaf / far group / near / scatter).
+#: Read by bench.py so driver-captured numbers carry engine labels
+#: (VERDICT r3 §next-1: variance vs misconfiguration must be
+#: distinguishable from the BENCH artifact alone).
+EVAL_INFO: dict = {}
 
 
 def _pad_lists(counts, ids, fill):
@@ -1730,6 +1738,75 @@ def _group_far_eval(prep, accel: bool, group_chunk: int = 1024,
     return res[..., 0] if not accel else res
 
 
+def _resolve_near_engine(prep, near_engine: str, mesh) -> str:
+    """Resolve/validate the near-engine choice (shared by pot/accel).
+
+    auto: the dense-packed diag band wins at scale on a single device
+    (10M pot 12.05 s vs packed 22.3 s); below ~65k leaves the band's
+    empty slots dominate and packed wins (1M same-run: packed 1.70 s,
+    diag 2.00, classes 3.37).  Mesh execution needs a chunk-sharded
+    engine (banded/packed)."""
+    if near_engine == "auto":
+        if mesh is not None:
+            return "packed" if prep["n_blocks"] >= 65536 else "banded"
+        return "diag" if prep["n_blocks"] >= 65536 else "packed"
+    if near_engine not in ("classes", "dma", "group", "gdma", "banded",
+                           "packed", "pdma", "diag"):
+        raise ValueError(f"near_engine must be 'classes', 'dma', 'group', "
+                         f"'gdma', 'banded', 'packed', 'pdma' or 'diag', "
+                         f"got {near_engine!r}")
+    if mesh is not None and near_engine not in ("banded", "packed"):
+        raise ValueError("mesh execution supports near_engine 'banded' "
+                         f"or 'packed', got {near_engine!r}")
+    if near_engine in ("group", "gdma") and "gnear_counts" not in prep:
+        return "classes"  # group lists absent (G=1 prep)
+    return near_engine
+
+
+def _eval_tree_legs(prep, kern, interpret, accel, far_chunk, far_engine,
+                    near_engine, mesh):
+    """Run the far (leaf + group) and near legs + output scatter, timing
+    each leg into :data:`EVAL_INFO` (engine labels + per-leg seconds)."""
+    ncols = 3 if accel else 1
+    info = {"near_engine": near_engine, "far_engine": far_engine,
+            "accel": accel}
+    t0 = _time.perf_counter()
+    far_all = _far_eval(prep, accel=accel, interpret=interpret,
+                        far_chunk=far_chunk, row_slice=slice(0, ncols),
+                        far_engine=far_engine, mesh=mesh)
+    info["t_far_leaf_s"] = round(_time.perf_counter() - t0, 3)
+    t0 = _time.perf_counter()
+    if "gfar_classes" in prep:
+        far_all = far_all + _group_far_eval(prep, accel=accel,
+                                            interpret=interpret,
+                                            far_engine=far_engine,
+                                            mesh=mesh)
+    info["t_far_group_s"] = round(_time.perf_counter() - t0, 3)
+    t0 = _time.perf_counter()
+    if near_engine in ("packed", "pdma", "diag"):
+        # packed-family near returns particle-space results directly
+        fn = {"pdma": _near_pdma, "packed": _near_packed,
+              "diag": _near_diag}[near_engine]
+        near_p = fn(prep, kern, interpret, accel=accel, mesh=mesh)
+        info["t_near_s"] = round(_time.perf_counter() - t0, 3)
+        t0 = _time.perf_counter()
+        out = near_p + _scatter_leaf_blocks(prep, far_all, ncols)
+    else:
+        near_fn = {"classes": _near_chunked, "dma": _near_dma,
+                   "group": _near_group, "gdma": _near_gdma,
+                   "banded": _near_banded}[near_engine]
+        kw = {"mesh": mesh} if near_engine == "banded" else {}
+        near = near_fn(prep, kern, interpret, accel=accel, **kw)
+        info["t_near_s"] = round(_time.perf_counter() - t0, 3)
+        t0 = _time.perf_counter()
+        total = np.asarray(near) + far_all
+        out = _scatter_leaf_blocks(prep, total, ncols)
+    info["t_scatter_s"] = round(_time.perf_counter() - t0, 3)
+    EVAL_INFO.clear()
+    EVAL_INFO.update(info)
+    return out
+
+
 def tree_potentials_device_pallas(tree: Octree, theta: float = 0.7,
                                   prep=None, interpret: bool = False,
                                   far_chunk: int = 8192,
@@ -1760,53 +1837,11 @@ def tree_potentials_device_pallas(tree: Octree, theta: float = 0.7,
         prep = prepare_tree_pallas(tree, theta=theta,
                                    group_leaves=group_leaves)
     kern = prep["kernel"] or KERNEL_NONE
-    if near_engine == "auto":
-        # classes wins below ~65k leaves (2.8 vs 3.7 s at 1M); above it
-        # the dense-packed banded engine dominates (10M: packed 14.8 s
-        # vs banded 48 s vs classes 73 s).  Mesh execution needs a banded
-        # engine (chunk scalars shard over chips).
-        if mesh is not None:
-            near_engine = "packed" if prep["n_blocks"] >= 65536 else "banded"
-        else:
-            # diag band measured 12.05 s vs packed 22.3 s at 10M (pot) and
-            # 17-24 s vs 30.8 s (accel) — the fully grid-indexed band
-            # removes the ~3.5 µs/window scalar-prefetch fetch stall.
-            # Below the crossover the band's empty slots dominate (1M
-            # same-run: packed 1.70 s, diag 2.00, classes 3.37) — packed.
-            near_engine = "diag" if prep["n_blocks"] >= 65536 else "packed"
-    if near_engine not in ("classes", "dma", "group", "gdma", "banded",
-                           "packed", "pdma", "diag"):
-        raise ValueError(f"near_engine must be 'classes', 'dma', 'group', "
-                         f"'gdma', 'banded', 'packed', 'pdma' or 'diag', "
-                         f"got {near_engine!r}")
-    if mesh is not None and near_engine not in ("banded", "packed"):
-        raise ValueError("mesh execution supports near_engine 'banded' "
-                         f"or 'packed', got {near_engine!r}")
-    if (near_engine in ("group", "gdma")
-            and "gnear_counts" not in prep):
-        near_engine = "classes"  # group lists absent (G=1 prep)
+    near_engine = _resolve_near_engine(prep, near_engine, mesh)
     _ensure_far_classes(prep)  # rebuilds on cache-loaded preps
-    far_all = _far_eval(prep, accel=False, interpret=interpret,
-                        far_chunk=far_chunk, row_slice=slice(0, 1),
-                        far_engine=far_engine, mesh=mesh)
-    if "gfar_classes" in prep:
-        far_all = far_all + _group_far_eval(prep, accel=False,
-                                            interpret=interpret,
-                                            far_engine=far_engine,
-                                            mesh=mesh)
-    if near_engine in ("packed", "pdma", "diag"):
-        # packed near returns particle-space results directly
-        fn = {"pdma": _near_pdma, "packed": _near_packed,
-              "diag": _near_diag}[near_engine]
-        near_p = fn(prep, kern, interpret, accel=False, mesh=mesh)
-        return near_p + _scatter_leaf_blocks(prep, far_all, 1)
-    near_fn = {"classes": _near_chunked, "dma": _near_dma,
-               "group": _near_group, "gdma": _near_gdma,
-               "banded": _near_banded}[near_engine]
-    kw = {"mesh": mesh} if near_engine == "banded" else {}
-    near = near_fn(prep, kern, interpret, accel=False, **kw)
-    total = np.asarray(near) + far_all
-    return _scatter_leaf_blocks(prep, total, 1)
+    return _eval_tree_legs(prep, kern, interpret, accel=False,
+                           far_chunk=far_chunk, far_engine=far_engine,
+                           near_engine=near_engine, mesh=mesh)
 
 
 def tree_accelerations_device_pallas(tree: Octree, theta: float = 0.7,
@@ -1822,27 +1857,7 @@ def tree_accelerations_device_pallas(tree: Octree, theta: float = 0.7,
         prep = prepare_tree_pallas(tree, theta=theta,
                                    group_leaves=group_leaves)
     kern = prep["kernel"] or KERNEL_NONE
-    if near_engine == "auto":
-        if mesh is not None:
-            near_engine = "packed" if prep["n_blocks"] >= 65536 else "banded"
-        else:
-            # diag band measured 12.05 s vs packed 22.3 s at 10M (pot) and
-            # 17-24 s vs 30.8 s (accel) — the fully grid-indexed band
-            # removes the ~3.5 µs/window scalar-prefetch fetch stall.
-            # Below the crossover the band's empty slots dominate (1M
-            # same-run: packed 1.70 s, diag 2.00, classes 3.37) — packed.
-            near_engine = "diag" if prep["n_blocks"] >= 65536 else "packed"
-    if near_engine not in ("classes", "dma", "group", "gdma", "banded",
-                           "packed", "pdma", "diag"):
-        raise ValueError(f"near_engine must be 'classes', 'dma', 'group', "
-                         f"'gdma', 'banded', 'packed', 'pdma' or 'diag', "
-                         f"got {near_engine!r}")
-    if mesh is not None and near_engine not in ("banded", "packed"):
-        raise ValueError("mesh execution supports near_engine 'banded' "
-                         f"or 'packed', got {near_engine!r}")
-    if (near_engine in ("group", "gdma")
-            and "gnear_counts" not in prep):
-        near_engine = "classes"  # group lists absent (G=1 prep)
+    near_engine = _resolve_near_engine(prep, near_engine, mesh)
     _ensure_far_classes(prep)  # rebuilds on cache-loaded preps
     if (far_engine == "auto" and not interpret
             and prep.get("far_pallas", False)):
@@ -1851,26 +1866,9 @@ def tree_accelerations_device_pallas(tree: Octree, theta: float = 0.7,
         # 14.0 / 10.2 / 11.7 — the (3,ts)@(ts,tb) form keeps the result
         # lane dim full.  Potentials stay on the elementwise kernel.
         far_engine = "mxu_t"
-    far_all = _far_eval(prep, accel=True, interpret=interpret,
-                        far_chunk=far_chunk, row_slice=slice(0, 3),
-                        far_engine=far_engine, mesh=mesh)
-    if "gfar_classes" in prep:
-        far_all = far_all + _group_far_eval(prep, accel=True,
-                                            interpret=interpret,
-                                            far_engine=far_engine,
-                                            mesh=mesh)
-    if near_engine in ("packed", "pdma", "diag"):
-        fn = {"pdma": _near_pdma, "packed": _near_packed,
-              "diag": _near_diag}[near_engine]
-        near_p = fn(prep, kern, interpret, accel=True, mesh=mesh)
-        return near_p + _scatter_leaf_blocks(prep, far_all, 3)
-    near_fn = {"classes": _near_chunked, "dma": _near_dma,
-               "group": _near_group, "gdma": _near_gdma,
-               "banded": _near_banded}[near_engine]
-    kw = {"mesh": mesh} if near_engine == "banded" else {}
-    near = near_fn(prep, kern, interpret, accel=True, **kw)
-    total = np.asarray(near) + far_all
-    return _scatter_leaf_blocks(prep, total, 3)
+    return _eval_tree_legs(prep, kern, interpret, accel=True,
+                           far_chunk=far_chunk, far_engine=far_engine,
+                           near_engine=near_engine, mesh=mesh)
 
 
 # ---------------------------------------------------------------------------

@@ -191,3 +191,30 @@ def test_energy_conservation_virial_scale(cloud):
     p1 = np.asarray(direct_potentials_ref(pos, m, kernel="none"))
     p2 = np.asarray(direct_potentials_ref(pos, 2 * m, kernel="none"))
     np.testing.assert_allclose(p2, 2 * p1, rtol=1e-5)
+
+
+def test_auto_method_selection(cloud):
+    """method='auto' picks dense below the measured crossover, tree above
+    (VERDICT r3 §next-8; reference threshold idiom: direct.rs:115-187)."""
+    from pynbodyext_tpu.gravity.api import (DENSE_TREE_CROSSOVER_CPU,
+                                            DENSE_TREE_CROSSOVER_TPU)
+    pos, m, h = cloud
+    g = Gravity(pos, m, 0.05, force_reference=True)
+    assert g.auto_method() == "direct"  # tiny cloud → dense
+    # auto == direct result for small N
+    np.testing.assert_allclose(np.asarray(g.potentials(method="auto")),
+                               np.asarray(g.direct_potentials()), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(g.accelerations(method="auto")),
+        np.asarray(g.direct_accelerations()), rtol=1e-6)
+    # above the crossover the pick flips to a tree path (no solve run)
+    big = np.zeros((DENSE_TREE_CROSSOVER_CPU + 1, 3), np.float32)
+    g_big = Gravity(big, force_reference=True)
+    assert g_big.auto_method() == "tree"
+    g_tpu = Gravity(big, force_reference=False)
+    assert g_tpu.auto_method() == "direct"  # below the TPU crossover
+    big_tpu = np.zeros((DENSE_TREE_CROSSOVER_TPU + 1, 3), np.float32)
+    assert Gravity(big_tpu,
+                   force_reference=False).auto_method() == "tree-device"
+    with pytest.raises(ValueError):
+        g.potentials(method="bogus")
