@@ -2,10 +2,14 @@
 
 PY ?= python
 
-.PHONY: test lint bench bench-continuous native tables clean
+.PHONY: test test-full lint bench bench-continuous native tables clean
 
 test:
 	$(PY) -m pytest tests/ -x -q
+
+# include the @pytest.mark.slow interpret-mode kernel / mesh suites
+test-full:
+	$(PY) -m pytest tests/ -x -q -m "slow or not slow"
 
 # lint gate (reference parity: ruff + mypy pre-commit hooks); falls back
 # to the bundled AST linter when ruff/mypy are not installed

@@ -266,6 +266,34 @@ def test_streaming_radial_profile_matches(chunked, centered_snap):
                                rtol=2e-3, atol=1e-4)
     # family subprofile
     np.testing.assert_array_equal(pr_str.s.npart_bins, pr_ref.s.npart_bins)
-    # rank statistics are explicitly unsupported on the streaming path
-    with pytest.raises(NotImplementedError):
-        pr_str["vr"]["p16"]
+
+
+def test_streaming_rank_statistics_match(chunked, centered_snap):
+    """Streamed histogram-bisection percentiles match the in-HBM sorted
+    quantiles on a ≥3-chunk snapshot (VERDICT r3 §next-5; reference
+    materializes instead, proarray.py:316-334)."""
+    from pynbodyext_tpu.profiles import RadialProfile
+    pr_ref = RadialProfile(centered_snap, ndim=3, weight="mass", nbins=12,
+                           bin_min=0.1, bin_max=8.0)
+    pr_str = RadialProfile(chunked, ndim=3, weight="mass", nbins=12,
+                           bin_min=0.1, bin_max=8.0)
+    assert pr_str.sim.n_chunks >= 3
+    scale = float(np.nanmax(np.abs(np.asarray(pr_ref["vr"]["med"].value))))
+    for stat in ("p16", "med", "p50", "p84"):
+        a = np.asarray(pr_str["vr"][stat].value)
+        b = np.asarray(pr_ref["vr"][stat].value)
+        assert np.isnan(a).tolist() == np.isnan(b).tolist()
+        # documented tolerance: exact local resolve up to f32
+        # accumulation-order noise in the streamed CDF masses
+        np.testing.assert_allclose(np.nan_to_num(a), np.nan_to_num(b),
+                                   rtol=2e-4, atol=2e-4 * scale,
+                                   err_msg=stat)
+    # unweighted profile takes the same path
+    pu_ref = RadialProfile(centered_snap, ndim=3, weight=None, nbins=8,
+                           bin_min=0.1, bin_max=8.0)
+    pu_str = RadialProfile(chunked, ndim=3, weight=None, nbins=8,
+                           bin_min=0.1, bin_max=8.0)
+    a = np.asarray(pu_str["vr"]["p30"].value)
+    b = np.asarray(pu_ref["vr"]["p30"].value)
+    np.testing.assert_allclose(np.nan_to_num(a), np.nan_to_num(b),
+                               rtol=2e-4, atol=2e-4 * scale)

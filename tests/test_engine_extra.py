@@ -90,6 +90,7 @@ def test_sharded_profile_percentiles(snap):
                                rtol=1e-4, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_cpu():
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)

@@ -94,6 +94,7 @@ def test_golden_config4_engine_and_fused(snap64):
     assert k_fused == pytest.approx(k_engine, rel=1e-12)
 
 
+@pytest.mark.slow
 def test_golden_config5(snap64):
     from pynbodyext_tpu.gravity import (direct_accelerations_ref,
                                         direct_potentials_ref)

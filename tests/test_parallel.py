@@ -84,6 +84,7 @@ def test_sharded_full_pipeline(mesh, snap):
     assert k_sharded == pytest.approx(k_single, rel=1e-4)
 
 
+@pytest.mark.slow
 def test_grid_2d_decomposition_matches_reference(cloud):
     """2-D (targets × sources) mesh decomposition + psum (gravity_grid)."""
     from pynbodyext_tpu.parallel import (grid_direct_accelerations,
@@ -104,6 +105,7 @@ def test_grid_2d_decomposition_matches_reference(cloud):
                                atol=np.abs(refa).max() * 1e-5)
 
 
+@pytest.mark.slow
 def test_ring_at_points(mesh):
     """At-points evaluation in the multi-chip ring path (VERDICT round-1
     missing item 3; reference direct.rs:443,526,587)."""
@@ -145,6 +147,7 @@ def test_ring_compiled_on_tpu(mesh, cloud):
     np.testing.assert_allclose(np.asarray(pot), np.asarray(ref), rtol=2e-5)
 
 
+@pytest.mark.slow
 def test_mesh_sharded_device_tree(mesh):
     """Mesh-sharded device-tree solve (banded + packed near engines, far
     classes row-sharded) ≡ the single-device tree to f32 tolerance —

@@ -22,6 +22,7 @@ def clustered():
     return pos, rng.uniform(0.5, 2, n), rng.uniform(0.02, 0.08, n)
 
 
+@pytest.mark.slow
 def test_theta0_equals_direct(clustered):
     """θ=0 → everything near-field → exact (f32) match with the direct sum,
     validating near-field math + target scatter."""
@@ -219,6 +220,7 @@ def test_far_monopole_eval_nonmultiple_width():
         np.testing.assert_allclose(out[b, 0], ref, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_near_engines_agree():
     """All near-field engines (classes / dma / group / gdma / banded)
     produce the same near field (independent schedules of the same exact
@@ -279,6 +281,7 @@ def _near_ref_numpy(prep, accel):
     return out
 
 
+@pytest.mark.slow
 def test_banded_engine_vs_numpy_and_chunking(clustered):
     """Banded near engine vs a plain-numpy near-field reference, for both
     potentials and accelerations, across window sizes R and chunk
@@ -407,6 +410,7 @@ def test_packed_accel_forms_agree(clustered):
                                    atol=scale * 5e-5, err_msg=form)
 
 
+@pytest.mark.slow
 def test_far_mxu_t_matches_mxu(clustered):
     """Transposed far accel contraction ((3,ts)@(ts,tb) keeps the lane
     dim full) is numerically the same sum as far_engine='mxu'."""
@@ -428,6 +432,7 @@ def test_far_mxu_t_matches_mxu(clustered):
                                atol=np.abs(fm[ok]).max() * 1e-5)
 
 
+@pytest.mark.slow
 def test_pdma_engine_vs_numpy(clustered):
     """Packed-DMA near engine (per-tile window loop, nbuf-deep manual DMA
     pipeline, register accumulation) vs the numpy per-leaf reference —
@@ -453,6 +458,7 @@ def test_pdma_engine_vs_numpy(clustered):
                 err_msg=f"accel={accel} R={R} K={K} wb={wb}")
 
 
+@pytest.mark.slow
 def test_diag_engine_vs_numpy(clustered):
     """Diagonal-band near engine (fully grid-indexed band over packed
     tiles + packed-window remainder) vs the numpy per-leaf reference.
@@ -564,6 +570,7 @@ def test_prep_disk_cache_roundtrip(clustered, tmp_path):
     assert tree3 is not None
 
 
+@pytest.mark.slow
 def test_device_at_points_vs_native(clustered):
     """Device-evaluated tree at arbitrary query points: exact (f32) match
     with the native C++ at-points traversal at θ=0; BH-band agreement at
@@ -598,6 +605,7 @@ def test_device_at_points_vs_native(clustered):
     assert rel.max() < 5e-3
 
 
+@pytest.mark.slow
 def test_gravity_api_device_at_points(clustered):
     from pynbodyext_tpu.gravity import Gravity
     pos, m, h = clustered
@@ -614,6 +622,7 @@ def test_gravity_api_device_at_points(clustered):
                                atol=np.abs(a_cpu).max() * 2e-2)
 
 
+@pytest.mark.slow
 def test_far_mxu_engine_matches_xla(clustered):
     """MXU far engine (tile-local recentring + acceleration bundles) vs
     the fused XLA pre path: far-field-only difference, f32-tight on
