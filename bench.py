@@ -153,6 +153,51 @@ def main():
                     # sync the tile re-upload
                     float(np.asarray(prep2["tiles"][0, 0, 0]))
                     warm_s = time.perf_counter() - t0
+                    del prep2  # free the duplicate device buffers
+            # order-3 multipole far field (reference default operating
+            # point: theta=0.7, order 3 — bench_gravity.py:148-166): same
+            # particles, order-3 tree + compact moment payload, one warm
+            # + median-of-3 timing for pot and accel (VERDICT r3 item 4)
+            o3_detail = {}
+            try:
+                del prep, tree  # free the order-0 device buffers (HBM)
+                t0 = time.perf_counter()
+                tree3 = Octree(pos_t, m_t, leaf_capacity=128,
+                               multipole_order=3)
+                prep3 = prepare_tree_pallas(tree3, theta=0.7,
+                                            group_leaves=8)
+                o3_prep_s = time.perf_counter() - t0
+                phi3 = tree_potentials_device_pallas(tree3, prep=prep3)
+                release_host_buffers(prep3)
+                o3_tts = []
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    phi3 = tree_potentials_device_pallas(tree3, prep=prep3)
+                    o3_tts.append(round(time.perf_counter() - t0, 2))
+                acc3 = tree_accelerations_device_pallas(tree3, prep=prep3)
+                o3_ats = []
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    acc3 = tree_accelerations_device_pallas(tree3,
+                                                            prep=prep3)
+                    o3_ats.append(round(time.perf_counter() - t0, 2))
+                dphi = np.abs((phi3 - phi) / phi)
+                o3_detail = {
+                    "tree10m_o3_eval_s": sorted(o3_tts)[1],
+                    "tree10m_o3_accel_s": sorted(o3_ats)[1],
+                    "tree10m_o3_prep_s": round(o3_prep_s, 2),
+                    "tree10m_o3_eval_reps": o3_tts,
+                    "tree10m_o3_accel_reps": o3_ats,
+                    # median |phi_o3 - phi_o0|/|phi_o0|: the far-field
+                    # truncation error the order-3 moments remove
+                    "tree10m_o3_vs_o0_med": float(np.median(dphi)),
+                    "tree10m_o3_far_engine":
+                        dict(tree_tpu.EVAL_INFO).get("far_engine"),
+                }
+                del prep3, tree3, acc3, phi3
+            except Exception as e:
+                o3_detail = {"tree10m_o3_error":
+                             f"{type(e).__name__}: {e}"}
             dense_equiv_s = n_tree * n_tree / pair_rate
             li = accel_legs[-1] if accel_legs else {}
             tree_detail = {
@@ -174,6 +219,7 @@ def main():
                 "tree10m_eval_legs": eval_legs[-1] if eval_legs else {},
                 "tree10m_accel_legs": li,
                 "tree10m_prep_stages": prep_stages,
+                **o3_detail,
             }
         except Exception as e:  # never fail the whole bench on the tree leg
             tree_detail = {"tree10m_error": f"{type(e).__name__}: {e}"}

@@ -410,12 +410,21 @@ def far_payload_eval(tgt_tiles, payload, accel: bool = False,
     )(tgt_tiles, payload)
 
 
-def _far_batch_kernel(tgt_ref, src_ref, out_ref, *, tb, ts, accel, B):
-    """Row-batched monopole far field: each grid step evaluates B target
-    blocks against their (1, 4, ts) payload chunks — amortizing the
-    ~3 µs/step fixed cost that walls one-row-per-step schedules (the
-    whole-class XLA path measured 2.3 Gpairs/s at 10M for the same
-    reason: effectively row-at-a-time scheduling)."""
+def _far_batch_kernel(tgt_ref, src_ref, out_ref, *, tb, ts, accel, B,
+                      order=0):
+    """Row-batched far field: each grid step evaluates B target blocks
+    against their (1, P, ts) payload chunks — amortizing the ~3 µs/step
+    fixed cost that walls one-row-per-step schedules (the whole-class XLA
+    path measured 2.3 Gpairs/s at 10M for the same reason: effectively
+    row-at-a-time scheduling).
+
+    ``order ≥ 2`` adds the Cartesian multipole contraction: payload rows
+    4… carry the |n| ≥ 2 moments at their canonical index (COMPACT
+    layout — M_000 == mass, COM dipoles identically zero; see
+    multipole_eval).  The moment polynomials are pure (tb, ts)
+    elementwise VPU work sharing the monopole's ri."""
+    from .multipole_eval import acc_moments_xyz, phi_moments_xyz
+
     j = pl.program_id(1)
     rows = 3 if accel else 1
     for b in range(B):
@@ -426,6 +435,10 @@ def _far_batch_kernel(tgt_ref, src_ref, out_ref, *, tb, ts, accel, B):
         sy = src_ref[b, 1, :].reshape(1, ts)
         sz = src_ref[b, 2, :].reshape(1, ts)
         sm = src_ref[b, 3, :]
+
+        def get_m(p, b=b):
+            return src_ref[b, p, :].reshape(1, ts)
+
         dx = sx - tx
         dy = sy - ty
         dz = sz - tz
@@ -433,13 +446,27 @@ def _far_batch_kernel(tgt_ref, src_ref, out_ref, *, tb, ts, accel, B):
         if accel:
             invr = jax.lax.rsqrt(r2 + _TINY2)
             w = (invr * invr * invr) * sm.reshape(1, ts)
-            # recompute the diffs per component instead of keeping
-            # dx/dy/dz live across the three reductions: 3 extra subs for
-            # ~half the live (tb, ts) buffers (VMEM pressure was the
-            # reason the accel kernel needed the 512k-lane cap)
-            vals = (jnp.sum(w * (sx - tx), axis=1),
-                    jnp.sum(w * (sy - ty), axis=1),
-                    jnp.sum(w * (sz - tz), axis=1))
+            if order >= 2:
+                # moment evaluators take d = t − com = −(s − t)
+                ms = acc_moments_xyz(tx - sx, ty - sy, tz - sz, invr,
+                                     get_m, order)
+                vals = (jnp.sum(w * (sx - tx) + ms[0], axis=1),
+                        jnp.sum(w * (sy - ty) + ms[1], axis=1),
+                        jnp.sum(w * (sz - tz) + ms[2], axis=1))
+            else:
+                # recompute the diffs per component instead of keeping
+                # dx/dy/dz live across the three reductions: 3 extra subs
+                # for ~half the live (tb, ts) buffers (VMEM pressure was
+                # the reason the accel kernel needed the 512k-lane cap)
+                vals = (jnp.sum(w * (sx - tx), axis=1),
+                        jnp.sum(w * (sy - ty), axis=1),
+                        jnp.sum(w * (sz - tz), axis=1))
+        elif order >= 2:
+            ri = jax.lax.rsqrt(r2 + _TINY2)
+            phi = sm.reshape(1, ts) * ri
+            phi = phi + phi_moments_xyz(tx - sx, ty - sy, tz - sz, ri,
+                                        get_m, order)
+            vals = (-jnp.sum(phi, axis=1),)
         else:
             neg_phi = -jax.lax.rsqrt(r2 + _TINY2)
             vals = (jnp.dot(neg_phi, sm,
@@ -521,40 +548,47 @@ def _far_batch_mxu_kernel(tgt_ref, src_ref, out_ref, *, tb, ts, accel, B,
 
 
 @functools.partial(jax.jit, static_argnames=("accel", "interpret", "B",
-                                             "mxu"))
+                                             "mxu", "order"))
 def far_payload_batch_eval(tgt_tiles, payload, accel: bool = False,
                            interpret: bool = False, B: int = 8,
-                           mxu: bool = False):
+                           mxu: bool = False, order: int = 0):
     """Row-batched dense far field over pre-gathered payload.
 
-    tgt_tiles: (C, 8, TB); payload: (C, 4, W) node rows x, y, z, mass
-    (padded nodes carry zero mass); C must be a multiple of B.
+    tgt_tiles: (C, 8, TB); payload: (C, P, W) node rows x, y, z, mass
+    [, |n| ≥ 2 moments when order ≥ 2] (padded nodes carry zero mass and
+    zero moments); C must be a multiple of B.
     Returns (C, rows, TB) with rows = 3 when accel else 1."""
     c, _, tb = tgt_tiles.shape
+    pcols = payload.shape[1]
     w = payload.shape[2]
     if c % B:
         raise ValueError(f"C={c} not a multiple of B={B}")
     # accel working set bounded via the recompute-diff kernel form; keep
     # tb·ts ≤ 512k lanes (tb=1024 × ts=2048 crashed the remote compiler)
     ts = min(w, 2048, max(128, 524288 // tb))
+    if order >= 2:
+        # the multipole contraction holds ~15-25 live (tb, ts) f32
+        # intermediates (power caches + accumulators) vs ~6 for the
+        # monopole — shrink the tile so the working set stays ≤ ~12 MB
+        ts = min(ts, max(128, 131072 // tb))
     rem = w % ts
     if rem:
         payload = jnp.pad(payload, ((0, 0), (0, 0), (0, ts - rem)))
         w += ts - rem
     rows = 3 if accel else 1
-    if mxu:
+    if mxu and order < 2:
         kern = functools.partial(_far_batch_mxu_kernel, tb=tb, ts=ts,
                                  accel=accel, B=B, tdot=(mxu == "mxu_t"))
     else:
         kern = functools.partial(_far_batch_kernel, tb=tb, ts=ts,
-                                 accel=accel, B=B)
+                                 accel=accel, B=B, order=order)
     return pl.pallas_call(
         kern,
         grid=(c // B, w // ts),
         in_specs=[
             pl.BlockSpec((B, 8, tb), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, 4, ts), lambda i, j: (i, 0, j),
+            pl.BlockSpec((B, pcols, ts), lambda i, j: (i, 0, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((B, rows, tb), lambda i, j: (i, 0, 0),

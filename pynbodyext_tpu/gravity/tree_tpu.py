@@ -163,26 +163,18 @@ def prepare_tree_device(tree: Octree, theta: float = 0.7,
 def _phi_multipole_jnp(d, M, order: int):
     """φ contribution of moments M at displacement d (vectorized).
 
-    Uses the generated exact derivative tables; d: (..., 3), M: (..., nmom).
     Matches the native evaluator: φ_partial = Σ_n M_n (−1)^{|n|} D_n(d).
-    """
-    from ._multipole_tables import TABLES
-
-    def multi_indices(L):
-        return [(i, j, t - i - j) for t in range(L + 1)
-                for i in range(t, -1, -1) for j in range(t - i, -1, -1)]
+    d: (..., 3), M: (..., nmom) FULL canonical moment layout.  Component
+    math via :mod:`multipole_eval` (the (..., 3)-trailing layout only
+    survives to the component split; dipoles about the COM are
+    identically zero and skipped)."""
+    from .multipole_eval import phi_moments_xyz
 
     x, y, z = d[..., 0], d[..., 1], d[..., 2]
-    r = jnp.sqrt(x * x + y * y + z * z + _TINY2)
-    ri = 1.0 / r
-    out = 0.0
-    for pos_i, n in enumerate(multi_indices(order)):
-        sign = -1.0 if sum(n) % 2 else 1.0
-        dn = 0.0
-        for (a, b, c, m, coef) in TABLES[n]:
-            dn = dn + coef * (x ** a) * (y ** b) * (z ** c) * (ri ** m)
-        out = out + M[..., pos_i] * sign * dn
-    return out
+    ri = jax.lax.rsqrt(x * x + y * y + z * z + _TINY2)
+    out = M[..., 0] * ri
+    ms = phi_moments_xyz(x, y, z, ri, lambda p: M[..., p], order)
+    return out if ms is None else out + ms
 
 
 @partial(jax.jit, static_argnames=("kernel", "order"))
@@ -297,30 +289,18 @@ def tree_potentials_device(tree: Octree, theta: float = 0.7,
 
 def _acc_multipole_jnp(d, M, order: int):
     """Acceleration contribution of moments M at displacement d = t − com:
-    a_i = Σ_n M_n (−1)^{|n|} D_{n+e_i}(d) (matches the native evaluator)."""
-    from ._multipole_tables import TABLES
-
-    def multi_indices(L):
-        return [(i, j, t - i - j) for t in range(L + 1)
-                for i in range(t, -1, -1) for j in range(t - i, -1, -1)]
+    a_i = Σ_n M_n (−1)^{|n|} D_{n+e_i}(d) (matches the native evaluator).
+    Component math via :mod:`multipole_eval`; COM dipoles skipped."""
+    from .multipole_eval import acc_moments_xyz
 
     x, y, z = d[..., 0], d[..., 1], d[..., 2]
-    r = jnp.sqrt(x * x + y * y + z * z + _TINY2)
-    ri = 1.0 / r
-
-    def eval_D(n):
-        out = 0.0
-        for (a, b, c, m, coef) in TABLES[n]:
-            out = out + coef * (x ** a) * (y ** b) * (z ** c) * (ri ** m)
-        return out
-
-    ax = ay = az = 0.0
-    for pos_i, n in enumerate(multi_indices(order)):
-        sign = -1.0 if sum(n) % 2 else 1.0
-        cm = M[..., pos_i] * sign
-        ax = ax + cm * eval_D((n[0] + 1, n[1], n[2]))
-        ay = ay + cm * eval_D((n[0], n[1] + 1, n[2]))
-        az = az + cm * eval_D((n[0], n[1], n[2] + 1))
+    ri = jax.lax.rsqrt(x * x + y * y + z * z + _TINY2)
+    ri3 = ri * ri * ri
+    m0 = M[..., 0] * ri3
+    ax, ay, az = -m0 * x, -m0 * y, -m0 * z
+    ms = acc_moments_xyz(x, y, z, ri, lambda p: M[..., p], order)
+    if ms is not None:
+        ax, ay, az = ax + ms[0], ay + ms[1], az + ms[2]
     return jnp.stack([ax, ay, az], axis=-1)
 
 
@@ -412,27 +392,38 @@ def _far_accelerations(tgt_pos, node_ids, node_com, node_mass, node_moments,
 
 @partial(jax.jit, static_argnames=("order",))
 def _far_potentials_pre(tgt_tiles, payload, order: int):
-    """Far potentials from PRE-GATHERED node payload (rows, 4+nmom, w):
-    rows x, y, z, mass[, moments·w] — no device gathers, 2-D component
+    """Far potentials from PRE-GATHERED node payload (rows, P, w): rows
+    x, y, z, mass[, moments |n|≥2] — no device gathers, 2-D component
     math (3-D (tb, w, 3) intermediates measured ~3 Gpairs/s).  Targets
-    come as (rows, 8, TB) tiles (same operand as the pallas kernel)."""
+    come as (rows, 8, TB) tiles (same operand as the pallas kernel).
+    COMPACT payload: M_000 == mass and COM dipoles are identically
+    zero, so row p (p ≥ 4) holds canonical moment index p."""
+    from .multipole_eval import phi_moments_xyz
+
     def one_block(tt, pay):
-        if order == 0:
+        if order < 2:
             dx = pay[0][None, :] - tt[0][:, None]
             dy = pay[1][None, :] - tt[1][:, None]
             dz = pay[2][None, :] - tt[2][:, None]
             r2 = dx * dx + dy * dy + dz * dz + _TINY2
             return -jnp.sum(pay[3][None, :] * jax.lax.rsqrt(r2), axis=1)
-        d = tt[0:3].T[:, None, :] - pay[0:3].T[None, :, :]
-        return -jnp.sum(_phi_multipole_jnp(d, pay[4:].T[None, :, :], order),
-                        axis=1)
+        dx = tt[0][:, None] - pay[0][None, :]   # t − com, (tb, w)
+        dy = tt[1][:, None] - pay[1][None, :]
+        dz = tt[2][:, None] - pay[2][None, :]
+        ri = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz + _TINY2)
+        phi = pay[3][None, :] * ri
+        phi = phi + phi_moments_xyz(dx, dy, dz, ri,
+                                    lambda p: pay[p][None, :], order)
+        return -jnp.sum(phi, axis=1)
     return jax.vmap(one_block)(tgt_tiles, payload)
 
 
 @partial(jax.jit, static_argnames=("order",))
 def _far_accelerations_pre(tgt_tiles, payload, order: int):
+    from .multipole_eval import acc_moments_xyz
+
     def one_block(tt, pay):
-        if order == 0:
+        if order < 2:
             dx = pay[0][None, :] - tt[0][:, None]
             dy = pay[1][None, :] - tt[1][:, None]
             dz = pay[2][None, :] - tt[2][:, None]
@@ -442,15 +433,26 @@ def _far_accelerations_pre(tgt_tiles, payload, order: int):
             return jnp.stack([jnp.sum(g * dx, axis=1),
                               jnp.sum(g * dy, axis=1),
                               jnp.sum(g * dz, axis=1)], axis=-1)
-        dt = tt[0:3].T[:, None, :] - pay[0:3].T[None, :, :]
-        return jnp.sum(_acc_multipole_jnp(dt, pay[4:].T[None, :, :], order),
-                       axis=1)
+        dx = tt[0][:, None] - pay[0][None, :]   # t − com, (tb, w)
+        dy = tt[1][:, None] - pay[1][None, :]
+        dz = tt[2][:, None] - pay[2][None, :]
+        ri = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz + _TINY2)
+        ri3 = ri * ri * ri
+        g = pay[3][None, :] * ri3
+        ax, ay, az = -g * dx, -g * dy, -g * dz
+        ms = acc_moments_xyz(dx, dy, dz, ri,
+                             lambda p: pay[p][None, :], order)
+        return jnp.stack([jnp.sum(ax + ms[0], axis=1),
+                          jnp.sum(ay + ms[1], axis=1),
+                          jnp.sum(az + ms[2], axis=1)], axis=-1)
     return jax.vmap(one_block)(tgt_tiles, payload)
 
 
-# pre-gathered far payload budget (bytes); above it fall back to device
-# gathers (order-5 moments at 10M would need ~9 GB).  ~2.1 GB at 10M
-# order 0 — fine in 16 GB HBM next to the tile tables.
+# pre-gathered far payload budget (DEVICE-resident class bytes:
+# far_rows · pcols · 4); above it fall back to device gathers.  ~1 GB at
+# 10M order 0, ~5.3 GB at 10M order 3 (compact moments) — fine in 16 GB
+# HBM next to the ~1 GB tile table.  The host keeps one more copy of the
+# same bytes transiently during the class build (125 GB host RAM).
 _FAR_PREGATHER_BUDGET = 6_000_000_000
 
 
@@ -548,22 +550,28 @@ def prepare_tree_pallas(tree: Octree, theta: float = 0.7, cap: int = 128,
     # pre-gather node payload per class on the host when it fits HBM
     # (order 0: 16 B/entry; moments push it over budget at large N)
     order = tree.multipole_order
-    pcols = 4 + (moments.shape[1] if order > 0 else 0)
+    # COMPACT payload columns: the monopole M_000 duplicates mass and the
+    # COM dipoles are identically zero (csrc/octree.cpp build_payloads),
+    # so only |n| ≥ 2 moments ship — canonical index p lives at row p.
+    mom_cols = moments[:, 4:] if order >= 2 else None
+    pcols = 4 + (mom_cols.shape[1] if mom_cols is not None else 0)
     far_rows = int(node_counts.sum()) + (int(gl["gnode_counts"].sum())
                                          if gl is not None else 0)
-    far_pre = 2 * far_rows * pcols * 4 <= _FAR_PREGATHER_BUDGET
+    far_pre = far_rows * pcols * 4 <= _FAR_PREGATHER_BUDGET
     if far_pre:
         payload_np = np.concatenate(
             [com, nmass[:, None]]
-            + ([moments] if order > 0 else []),
-            axis=1).astype(np.float32)  # (n, P) node-major: 16 B row gathers
+            + ([mom_cols] if mom_cols is not None else []),
+            axis=1).astype(np.float32)  # (n, P) node-major: 4P B row gathers
+        payload_np = np.ascontiguousarray(payload_np)
     else:
         payload_np = None
     _stage("prep.payload", _t0); _t0 = _time.perf_counter()
     prep["far_pre"] = far_pre
-    # row-batched pallas far kernel (monopole): amortizes the ~3 µs
-    # per-step fixed cost the one-row-per-step schedules pay
-    prep["far_pallas"] = far_pre and order == 0
+    # row-batched pallas far kernel (any order: the batched kernel carries
+    # the |n| ≥ 2 moment contraction): amortizes the ~3 µs per-step fixed
+    # cost the one-row-per-step schedules pay
+    prep["far_pallas"] = far_pre
     # pre-gathered paths (pallas kernel AND the XLA pre evaluators) take
     # (C, 8, TB) tile targets; the gather path takes (C, TB, 3) positions
     if not far_pre:
@@ -1613,13 +1621,18 @@ def _banded_ranges(woffs, n_groups: int, gcap: int, w_budget: int):
     return ranges
 
 
-def _far_batch_B(tb: int, w: int, n_in_class: int = 1 << 30) -> int:
+def _far_batch_B(tb: int, w: int, n_in_class: int = 1 << 30,
+                 order: int = 0) -> int:
     """Rows per grid step for the batched far kernel: aim ≥~0.5 Mpairs of
     compute per step, power of two, ≤16 — and never above the class size
     (chunk rows are rounded up to a multiple of B; a B above the class
-    size would pad tiny classes with dead rows)."""
+    size would pad tiny classes with dead rows).  Order ≥ 2 kernels do
+    ~10-30× the per-pair flops and hold more live (tb, ts) intermediates:
+    cap the unrolled row batch at 4."""
     ts = min(w, 2048)
     b = max(1, min(16, 524288 // max(tb * ts, 1), max(n_in_class, 1)))
+    if order >= 2:
+        b = min(b, 4)
     return 1 << (b.bit_length() - 1)
 
 
@@ -1630,7 +1643,7 @@ def _far_call(prep, accel, interpret, pallas_far, pre, order, B, tp, li,
     if pallas_far:
         from .tree_pallas import far_payload_batch_eval
         call = partial(far_payload_batch_eval, accel=accel,
-                       interpret=interpret, B=B, mxu=mxu)
+                       interpret=interpret, B=B, mxu=mxu, order=order)
         extra, especs = (), ()
     elif pre:
         fn = _far_accelerations_pre if accel else _far_potentials_pre
@@ -1673,16 +1686,19 @@ def _far_eval(prep, accel: bool, interpret: bool, far_chunk: int = 8192,
     pallas_far = (prep.get("far_pallas", False) and far_engine != "xla"
                   and (not interpret
                        or far_engine in ("pallas", "mxu", "mxu_t")))
-    mxu = far_engine if far_engine in ("mxu", "mxu_t") else False
+    # the recentred-matmul r² form is a monopole trick; order ≥ 2 runs the
+    # component kernel (the moment polynomials need dx/dy/dz anyway)
+    mxu = (far_engine if far_engine in ("mxu", "mxu_t") and order < 2
+           else False)
     if far_engine == "pallas" and not pallas_far:
         raise ValueError("far_engine='pallas' needs the pre-gathered "
-                         "monopole payload (order 0, payload within budget) "
-                         "and a compiled (non-interpret) backend")
+                         "node payload (within budget) and a compiled "
+                         "(non-interpret) backend")
     ndev = mesh.devices.size if mesh is not None else 1
     pending = []
     classes, tgt_all = prep["far_classes"]
     for w, sel, li_dev, sel_dev in classes:
-        B = _far_batch_B(tb, int(w), len(sel))
+        B = _far_batch_B(tb, int(w), len(sel), order)
         for lo, hi, rows in _class_chunks(w, len(sel), far_chunk * 1024,
                                           multiple=B * ndev):
             lo32, la32 = np.int32(lo), np.int32(hi - 1)
@@ -1714,7 +1730,8 @@ def _group_far_eval(prep, accel: bool, group_chunk: int = 1024,
     pallas_far = (prep.get("far_pallas", False) and far_engine != "xla"
                   and (not interpret
                        or far_engine in ("pallas", "mxu", "mxu_t")))
-    mxu = far_engine if far_engine in ("mxu", "mxu_t") else False
+    mxu = (far_engine if far_engine in ("mxu", "mxu_t") and order < 2
+           else False)
     res = thp_zeros((ng, G * cap, 3) if accel else (ng, G * cap),
                     np.float32)
     budget = group_chunk * 1024 * 8 // G
@@ -1722,7 +1739,7 @@ def _group_far_eval(prep, accel: bool, group_chunk: int = 1024,
     pending = []
     classes, tgt_all = prep["gfar_classes"]
     for w, sel, li_dev, sel_dev in classes:
-        B = _far_batch_B(G * cap, int(w), len(sel))
+        B = _far_batch_B(G * cap, int(w), len(sel), order)
         for lo, hi, rows in _class_chunks(w, len(sel), budget,
                                           multiple=B * ndev):
             lo32, la32 = np.int32(lo), np.int32(hi - 1)

@@ -653,3 +653,97 @@ def test_far_mxu_engine_matches_xla(clustered):
                                              near_engine="packed")
     scale = np.abs(acc_x).max()
     np.testing.assert_allclose(acc_m, acc_x, rtol=1e-3, atol=scale * 3e-5)
+
+
+def test_multipole_eval_matches_tables_f64():
+    """Component-form evaluator (multipole_eval) vs an independent
+    brute-force evaluation of the derivative tables, in pure f64 numpy
+    (the module is backend-agnostic: only * and + on the inputs).
+    Validates the COM-moment compaction invariants the fast far paths
+    rely on: M_000 == mass handled by the caller, dipoles skipped."""
+    from pynbodyext_tpu.gravity._multipole_tables import TABLES
+    from pynbodyext_tpu.gravity.multipole_eval import (acc_moments_xyz,
+                                                       multi_indices,
+                                                       phi_moments_xyz)
+    rng = np.random.default_rng(0)
+    for order in (2, 3, 5):
+        nm = len(multi_indices(order))
+        x, y, z = rng.normal(0, 5, (3, 7, 11))
+        M = rng.normal(0, 1, (nm, 1, 11))
+        M[1:4] = 0.0  # COM moments: dipoles identically zero
+        ri = 1.0 / np.sqrt(x * x + y * y + z * z)
+
+        def D(n):
+            out = 0.0
+            for (a, b, c, m, coef) in TABLES[n]:
+                out = out + coef * x**a * y**b * z**c * ri**m
+            return out
+
+        phi = M[0] * D((0, 0, 0))
+        ax = ay = az = 0.0
+        for p, n in enumerate(multi_indices(order)):
+            s = -1.0 if sum(n) % 2 else 1.0
+            cm = M[p] * s
+            phi = phi + (0.0 if 1 <= p <= 3 else cm * D(n)) \
+                if p else phi
+            ax = ax + cm * D((n[0] + 1, n[1], n[2]))
+            ay = ay + cm * D((n[0], n[1] + 1, n[2]))
+            az = az + cm * D((n[0], n[1], n[2] + 1))
+        got_phi = M[0] * ri + phi_moments_xyz(x, y, z, ri,
+                                              lambda p: M[p], order)
+        ri3 = ri ** 3
+        ms = acc_moments_xyz(x, y, z, ri, lambda p: M[p], order)
+        got = np.stack([-M[0] * x * ri3 + ms[0],
+                        -M[0] * y * ri3 + ms[1],
+                        -M[0] * z * ri3 + ms[2]])
+        ref = np.stack([ax, ay, az])
+        assert np.abs(got_phi - phi).max() / np.abs(phi).max() < 1e-12
+        assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-12
+
+
+def test_far_order3_payload_engines_agree():
+    """Order-3 far field: the COMPACT pre-gathered payload (XLA pre and
+    the batched Pallas kernel with the in-kernel moment contraction)
+    agrees with the full-moment device-gather path to f32 noise on the
+    same interaction lists (VERDICT r3 item 4)."""
+    import jax.numpy as jnp  # noqa: F401
+
+    from pynbodyext_tpu.gravity import tree_tpu
+    from pynbodyext_tpu.gravity.tree_tpu import (
+        prepare_tree_pallas, tree_accelerations_device_pallas,
+        tree_potentials_device_pallas)
+    rng = np.random.default_rng(6)
+    n = 6000
+    cen = rng.normal(0, 50, (8, 3))
+    pos = cen[rng.integers(0, 8, n)] + rng.normal(0, 2.0, (n, 3))
+    m = rng.uniform(0.5, 2.0, n)
+    tree = Octree(pos, m, leaf_capacity=64, multipole_order=3)
+    prep_pre = prepare_tree_pallas(tree, theta=0.7)
+    assert prep_pre["far_pre"] and prep_pre["far_pallas"]
+    old = tree_tpu._FAR_PREGATHER_BUDGET
+    try:
+        tree_tpu._FAR_PREGATHER_BUDGET = 0
+        prep_g = prepare_tree_pallas(tree, theta=0.7)
+    finally:
+        tree_tpu._FAR_PREGATHER_BUDGET = old
+    assert not prep_g["far_pre"]
+    p_pre = tree_potentials_device_pallas(tree, prep=prep_pre,
+                                          interpret=True)
+    p_gat = tree_potentials_device_pallas(tree, prep=prep_g,
+                                          interpret=True)
+    a_pre = tree_accelerations_device_pallas(tree, prep=prep_pre,
+                                             interpret=True)
+    a_gat = tree_accelerations_device_pallas(tree, prep=prep_g,
+                                             interpret=True)
+    assert np.abs((p_pre - p_gat) / p_gat).max() < 5e-6
+    scale = np.abs(a_gat).max(1).clip(1e-30)
+    assert (np.abs(a_pre - a_gat).max(1) / scale).max() < 5e-6
+    # explicit pallas far engine: in-kernel order-3 moment contraction
+    p_pal = tree_potentials_device_pallas(tree, prep=prep_pre,
+                                          interpret=True,
+                                          far_engine="pallas")
+    a_pal = tree_accelerations_device_pallas(tree, prep=prep_pre,
+                                             interpret=True,
+                                             far_engine="pallas")
+    assert np.abs((p_pal - p_gat) / p_gat).max() < 5e-6
+    assert (np.abs(a_pal - a_gat).max(1) / scale).max() < 5e-6
