@@ -25,7 +25,8 @@ from . import log, ops, units
 from .quantity import QArray, qarray
 from .snap import (ParticleView, Snapshot, SubfindCatalog, from_pynbody,
                    load_gadget_binary, load_gadget_hdf5, load_subfind_hdf5,
-                   load_via_pynbody, make_test_galaxy, save_gadget_binary,
+                   load_via_pynbody, make_adversarial_galaxy, make_test_galaxy,
+                   save_gadget_binary,
                    save_gadget_hdf5)
 from .units import G, Unit, parse_unit
 
@@ -43,6 +44,7 @@ __all__ = [
     "QArray", "qarray", "Unit", "parse_unit", "G", "units",
     "Snapshot", "ParticleView",
     "load_gadget_hdf5", "save_gadget_hdf5", "make_test_galaxy",
+    "make_adversarial_galaxy",
     "load_gadget_binary", "save_gadget_binary", "from_pynbody",
     "SubfindCatalog", "load_subfind_hdf5",
     "load_via_pynbody",

@@ -99,28 +99,52 @@ class _Dev:
         self.arr = arr
 
 
-def _encode(v: Any) -> Any:
+class _Ext:
+    """Pickle tag: large array stored as a sidecar ``.npy``, memory-mapped
+    on load.  pickle.load copies every byte into freshly-faulted pages
+    (~150 µs per 4 KB on this host — the round-3 warm reload spent ~100 s
+    there); ``np.load(mmap_mode='r')`` costs nothing until a consumer
+    streams the pages, and a device upload reads them once at page-cache
+    / disk-readahead speed."""
+    __slots__ = ("name",)
+
+    def __init__(self, name: str):
+        self.name = name
+
+
+#: arrays at or above this size go to the sidecar dir instead of the pickle
+_EXT_THRESHOLD = 4 * 2**20
+
+
+def _encode(v: Any, sink) -> Any:
     if _is_device_array(v):
-        return _Dev(np.asarray(v))
+        return _Dev(_encode(np.asarray(v), sink))
+    if isinstance(v, np.ndarray) and v.nbytes >= _EXT_THRESHOLD and sink \
+            is not None:
+        name = f"a{len(sink)}.npy"
+        sink.append((name, v))
+        return _Ext(name)
     if isinstance(v, tuple):
-        return tuple(_encode(x) for x in v)
+        return tuple(_encode(x, sink) for x in v)
     if isinstance(v, list):
-        return [_encode(x) for x in v]
+        return [_encode(x, sink) for x in v]
     if isinstance(v, dict):
-        return {k: _encode(x) for k, x in v.items()}
+        return {k: _encode(x, sink) for k, x in v.items()}
     return v
 
 
-def _decode(v: Any) -> Any:
+def _decode(v: Any, extdir) -> Any:
     import jax.numpy as jnp
     if isinstance(v, _Dev):
-        return jnp.asarray(v.arr)
+        return jnp.asarray(_decode(v.arr, extdir))
+    if isinstance(v, _Ext):
+        return np.load(extdir / v.name, mmap_mode="r")
     if isinstance(v, tuple):
-        return tuple(_decode(x) for x in v)
+        return tuple(_decode(x, extdir) for x in v)
     if isinstance(v, list):
-        return [_decode(x) for x in v]
+        return [_decode(x, extdir) for x in v]
     if isinstance(v, dict):
-        return {k: _decode(x) for k, x in v.items()}
+        return {k: _decode(x, extdir) for k, x in v.items()}
     return v
 
 
@@ -150,9 +174,26 @@ def save_tree_prep(prep: dict, path) -> bool:
     body = _persistable(prep)
     try:
         path.parent.mkdir(parents=True, exist_ok=True)
+        sink: list = []
+        enc = _encode(body, sink)
+        # sidecar dir first (np.save streams straight from the arrays —
+        # no pickle memcpy), then the pickle: a load that finds the pickle
+        # always finds its sidecars; a crash in between leaves the old
+        # pickle pointing at the old (still complete) dir or a fresh dir
+        # with a stale pickle — both consistent
+        extdir = path.with_suffix(".d")
+        tmpdir = path.with_suffix(f".d.tmp{os.getpid()}")
+        if sink:
+            tmpdir.mkdir(exist_ok=True)
+            for name, arr in sink:
+                np.save(tmpdir / name, arr)
+            if extdir.exists():
+                import shutil
+                shutil.rmtree(extdir)
+            os.replace(tmpdir, extdir)
         tmp = path.with_suffix(f".tmp{os.getpid()}")
         with open(tmp, "wb") as f:
-            pickle.dump(_encode(body), f, protocol=pickle.HIGHEST_PROTOCOL)
+            pickle.dump(enc, f, protocol=pickle.HIGHEST_PROTOCOL)
         os.replace(tmp, path)
     except Exception as e:
         logger.warning("tree prep cache: save failed (%s)", e)
@@ -171,16 +212,18 @@ def load_tree_prep(path) -> Optional[dict]:
     try:
         with open(path, "rb") as f:
             body = pickle.load(f)
+        prep = _decode(body, path.with_suffix(".d"))
     except Exception as e:
         logger.warning("tree prep cache: dropping unreadable %s (%s)",
                        path.name, e)
         try:
             path.unlink()
+            import shutil
+            shutil.rmtree(path.with_suffix(".d"), ignore_errors=True)
         except OSError:
             pass
         return None
     import jax.numpy as jnp
-    prep = _decode(body)
     prep["_tree"] = None
     # re-upload the tile table; classes/windows rebuild lazily (drivers
     # call _ensure_far_classes; window/packed builders detect absence)

@@ -97,7 +97,7 @@ def shrink_sphere_center(pos, weights=None, mask=None,
                          min_particles: int = 100,
                          max_iter: int = 200,
                          coarse_stride: int = 1,
-                         coarse_backoff: int = 3):
+                         coarse_backoff: int = 5):
     """Shrinking-sphere center (Power et al. 2003), pynbody-compatible loop.
 
     Start from the (masked) COM with the bounding-sphere radius, then
@@ -121,6 +121,12 @@ def shrink_sphere_center(pos, weights=None, mask=None,
     handful of full passes over N remain.  (An explicit compaction stage
     was measured SLOWER on the v5e: cumsum/scatter/gather at 10M each cost
     ~37 ms — more than the full passes they would save.)
+
+    ``coarse_backoff`` default 5: on the adversarial clumpy fixture
+    (satellite + subclumps, ``make_adversarial_galaxy``) backoff 3 with
+    stride 8 converged 0.012 kpc (2e-5·r0) off the exact loop; backoff 5
+    is bit-exact there at the cost of ~2 extra full passes (~0.6 ms at
+    10M) per stage (``tests/test_golden_adversarial.py``).
 
     Validated against the exact loop on seeded galaxies
     (``tests/test_center_modes.py``).

@@ -8,7 +8,8 @@ from .snapshot import Snapshot, ParticleView, SnapLike, derived_field
 from . import derived as _derived  # noqa: F401  (registers built-in derived fields)
 from .halos import HaloCatalog
 from .gadget_binary import load_gadget_binary, save_gadget_binary
-from .loaders import load_gadget_hdf5, make_test_galaxy, save_gadget_hdf5
+from .loaders import (load_gadget_hdf5, make_adversarial_galaxy,
+                      make_test_galaxy, save_gadget_hdf5)
 from .pynbody_adapter import from_pynbody, load_via_pynbody
 from .subfind import SubfindCatalog, load_subfind_hdf5
 
@@ -27,4 +28,5 @@ __all__ = [
     "load_via_pynbody",
     "save_gadget_hdf5",
     "make_test_galaxy",
+    "make_adversarial_galaxy",
 ]

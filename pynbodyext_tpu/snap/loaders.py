@@ -16,7 +16,8 @@ import numpy as np
 from ..quantity import QArray
 from .snapshot import Snapshot
 
-__all__ = ["load_gadget_hdf5", "save_gadget_hdf5", "make_test_galaxy"]
+__all__ = ["load_gadget_hdf5", "save_gadget_hdf5", "make_test_galaxy",
+           "make_adversarial_galaxy"]
 
 # Gadget PartType conventions
 _PARTTYPE_FAMILY = {0: "gas", 1: "dm", 4: "star", 5: "bh"}
@@ -278,6 +279,135 @@ def make_test_galaxy(n_star: int = 20_000, n_gas: int = 30_000,
     fields = {}
     for name in all_fields:
         proto = next(v for d in fam.values() for k, v in d.items() if k == name)
+        out = np.zeros((start,) + proto.shape[1:], dtype=dtype)
+        for f in order:
+            if name in fam[f]:
+                out[slices[f]] = fam[f][name]
+        fields[name] = QArray(out, units.get(name))
+    props = {"time": 13.8, "a": 1.0, "h": 0.7,
+             "boxsize": QArray(boxsize, "kpc")}
+    return Snapshot(fields, slices, props)
+
+
+def make_adversarial_galaxy(n_star: int = 6_000, n_gas: int = 5_000,
+                            n_dm: int = 14_000, seed: int = 7,
+                            boxsize: float = 500.0,
+                            dtype=np.float32) -> Snapshot:
+    """Adversarial synthetic system for golden-value tests.
+
+    Stresses everything the smooth :func:`make_test_galaxy` does not
+    (the reference pins its goldens on a real, messy snapshot —
+    ``tests/property_test.py:20-44`` — and real galaxies are clumpy,
+    multi-halo, and rarely box-centered):
+
+    * the MAIN galaxy sits at (15, 487, 250) so the wrapped positions
+      straddle both the x = 0 and y = boxsize periodic seams — any
+      centering/radius computed without WrapBox is grossly wrong;
+    * a SATELLITE galaxy (~30 % of the stellar+dm mass) orbits 140 kpc
+      out, so the global center of mass lies tens of kpc from the main
+      density peak: ssc ≠ com grossly, and the shrinking sphere must
+      actually *choose* the main peak;
+    * the dm halo carries 6 dense subclumps at 25–90 kpc (clumpy
+      substructure the stride-ladder ssc must not latch onto);
+    * the stellar disk is kinematically hot (v_c 140 km/s, σ 85 km/s,
+      thick) → κ_rot lands mid-range instead of ≈1.
+
+    Deterministic for a given seed; all randomness drawn in f64 and cast
+    once at the end.
+    """
+    rng = np.random.default_rng(seed)
+    main_center = np.asarray([15.0, 487.0, 250.0])
+    main_vsys = np.asarray([60.0, -30.0, 10.0])
+    sat_dir = np.asarray([1.0, 1.0, 0.35])
+    sat_dir /= np.linalg.norm(sat_dir)
+    sat_center = main_center + 140.0 * sat_dir
+    sat_vsys = main_vsys + np.asarray([-80.0, 40.0, 20.0])
+
+    def disk(n, rd, zd, vc, sigma, center, vsys):
+        r = rng.exponential(rd, n)
+        phi = rng.uniform(0, 2 * np.pi, n)
+        z = rng.laplace(0.0, zd, n)
+        pos = np.stack([r * np.cos(phi), r * np.sin(phi), z], axis=1)
+        vmag = vc * r / np.sqrt(r * r + 2.0 ** 2)
+        vel = np.stack([-vmag * np.sin(phi), vmag * np.cos(phi),
+                        np.zeros(n)], axis=1)
+        vel += rng.normal(0.0, sigma, (n, 3))
+        return pos + center, vel + vsys
+
+    def sphere(n, a_scale, sigma_v, center, vsys):
+        u = rng.uniform(0.001, 0.82, n)
+        r = a_scale * np.sqrt(u) / (1 - np.sqrt(u))
+        vec = rng.normal(size=(n, 3))
+        vec /= np.linalg.norm(vec, axis=1, keepdims=True)
+        return (vec * r[:, None] + center,
+                rng.normal(0.0, sigma_v, (n, 3)) + vsys)
+
+    # main galaxy: hot disk + clumpy halo
+    n_star_m = int(n_star * 0.75)
+    n_gas_m = int(n_gas * 0.8)
+    n_dm_m = int(n_dm * 0.55)
+    n_dm_cl = int(n_dm * 0.15)
+    spos_m, svel_m = disk(n_star_m, 3.5, 1.2, 140.0, 85.0,
+                          main_center, main_vsys)
+    gpos_m, gvel_m = disk(n_gas_m, 6.0, 0.8, 140.0, 30.0,
+                          main_center, main_vsys)
+    dpos_m, dvel_m = sphere(n_dm_m, 25.0, 110.0, main_center, main_vsys)
+    # 6 dense dm subclumps at 25-90 kpc from the main center
+    ncl = 6
+    per = n_dm_cl // ncl
+    cl_pos, cl_vel = [], []
+    for i in range(ncl):
+        vec = rng.normal(size=3)
+        vec /= np.linalg.norm(vec)
+        c = main_center + vec * rng.uniform(25.0, 90.0)
+        v = main_vsys + rng.normal(0.0, 90.0, 3)
+        p, w = sphere(per, rng.uniform(0.8, 2.5), 30.0, c, v)
+        cl_pos.append(p)
+        cl_vel.append(w)
+    # satellite: compact disk + halo
+    n_star_s = n_star - n_star_m
+    n_gas_s = n_gas - n_gas_m
+    n_dm_s = n_dm - n_dm_m - per * ncl
+    spos_s, svel_s = disk(n_star_s, 1.5, 0.3, 90.0, 25.0,
+                          sat_center, sat_vsys)
+    gpos_s, gvel_s = disk(n_gas_s, 2.5, 0.4, 90.0, 15.0,
+                          sat_center, sat_vsys)
+    dpos_s, dvel_s = sphere(n_dm_s, 8.0, 70.0, sat_center, sat_vsys)
+
+    spos = np.concatenate([spos_m, spos_s])
+    svel = np.concatenate([svel_m, svel_s])
+    gpos = np.concatenate([gpos_m, gpos_s])
+    gvel = np.concatenate([gvel_m, gvel_s])
+    dpos = np.concatenate([dpos_m] + cl_pos + [dpos_s])
+    dvel = np.concatenate([dvel_m] + cl_vel + [dvel_s])
+
+    fam = {
+        "gas": {"pos": gpos, "vel": gvel,
+                "mass": np.full(len(gpos), 1.2e6),
+                "rho": 1.0e7 / (1.0 + np.linalg.norm(
+                    gpos - main_center, axis=1)) ** 2,
+                "temp": np.full(len(gpos), 1.2e4)},
+        "dm": {"pos": dpos, "vel": dvel,
+               "mass": np.full(len(dpos), 1.1e7)},
+        "star": {"pos": spos, "vel": svel,
+                 "mass": np.full(len(spos), 2.4e6),
+                 "tform": rng.uniform(0.5, 13.0, len(spos))},
+    }
+    for d in fam.values():
+        d["pos"] = np.mod(d["pos"], boxsize)  # wrap-straddling on purpose
+
+    units = {"pos": "kpc", "vel": "km s**-1", "mass": "Msol",
+             "rho": "Msol kpc**-3", "temp": "K", "tform": "Gyr"}
+    order = ["gas", "dm", "star"]
+    slices, start = {}, 0
+    for f in order:
+        slices[f] = slice(start, start + len(fam[f]["pos"]))
+        start += len(fam[f]["pos"])
+    all_fields = sorted({k for d in fam.values() for k in d})
+    fields = {}
+    for name in all_fields:
+        proto = next(v for d in fam.values()
+                     for k, v in d.items() if k == name)
         out = np.zeros((start,) + proto.shape[1:], dtype=dtype)
         for f in order:
             if name in fam[f]:
