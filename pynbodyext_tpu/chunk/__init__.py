@@ -19,8 +19,10 @@ on-device:
 from .stream import (ChunkedSnapshot, ChunkStore, ChunkView, ChunkedMask,
                      HDF5ChunkStore, SnapshotChunkStore, StreamingArray,
                      is_streaming_array)
+from .executor import PrefetchStore, shard_put
 from .profile import StreamingProfile
 
 __all__ = ["ChunkedSnapshot", "ChunkStore", "ChunkView", "ChunkedMask",
-           "HDF5ChunkStore", "SnapshotChunkStore", "StreamingArray",
-           "StreamingProfile", "is_streaming_array"]
+           "HDF5ChunkStore", "PrefetchStore", "SnapshotChunkStore",
+           "StreamingArray", "StreamingProfile", "is_streaming_array",
+           "shard_put"]

@@ -429,11 +429,12 @@ class ChunkView:
 
     mask = None  # chunk views carry no row mask (selection composes outside)
 
-    def __init__(self, store: ChunkStore, i: int):
+    def __init__(self, store: ChunkStore, i: int, put=None):
         self._store = store
         self._i = i
         self._lo, self._hi = store.chunk_bounds(i)
         self._cache: Dict[str, QArray] = {}
+        self._put = jnp.asarray if put is None else put
 
     def __len__(self) -> int:
         return self._hi - self._lo
@@ -462,7 +463,7 @@ class ChunkView:
             return got
         try:
             info = self._store.field_info(key)
-            q = QArray(jnp.asarray(self._store.load_chunk(key, self._i)),
+            q = QArray(self._put(self._store.load_chunk(key, self._i)),
                        info.units)
         except KeyError:
             from ..snap.snapshot import _DERIVED_REGISTRY
@@ -519,7 +520,7 @@ class ChunkedSnapshot:
     """
 
     def __init__(self, source, chunk_size: int = 1_000_000,
-                 family: Optional[str] = None):
+                 family: Optional[str] = None, mesh=None):
         if isinstance(source, ChunkStore):
             self.store = source
         elif isinstance(source, Snapshot):
@@ -531,6 +532,45 @@ class ChunkedSnapshot:
                             f"{type(source).__name__}")
         self._family = family
         self._extra_mask: Optional[Callable[[int], jnp.ndarray]] = None
+        self._mesh = mesh
+
+    # -- execution resources -------------------------------------------------
+    def _put(self, x):
+        """Host chunk → device: mesh-sharded when one is attached."""
+        if self._mesh is None:
+            return jnp.asarray(x)
+        from .executor import shard_put
+        return shard_put(x, self._mesh)
+
+    def sharded(self, mesh) -> "ChunkedSnapshot":
+        """View whose chunk uploads split the particle axis over ``mesh``
+        (>HBM streaming × multi-device compute; see
+        :func:`.executor.shard_put`)."""
+        view = ChunkedSnapshot(self.store, family=self._family, mesh=mesh)
+        view._extra_mask = self._extra_mask
+        return view
+
+    def prefetched(self, workers: int = 2, depth: int = 2,
+                   mp_context: str = "spawn") -> "ChunkedSnapshot":
+        """View whose chunk loads run ahead in worker processes
+        (:class:`.executor.PrefetchStore`; the reference ships pickled
+        chunks to dask workers, ``chunk/chunk.py:124-151``).  Call
+        ``.store.close()`` (or use as a context manager) when done."""
+        from .executor import PrefetchStore
+        view = ChunkedSnapshot(
+            PrefetchStore(self.store, workers=workers, depth=depth,
+                          mp_context=mp_context),
+            family=self._family, mesh=self._mesh)
+        view._extra_mask = self._extra_mask
+        return view
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        close = getattr(self.store, "close", None)
+        if close is not None:
+            close()
 
     # -- metadata ------------------------------------------------------------
     def __len__(self) -> int:
@@ -557,7 +597,7 @@ class ChunkedSnapshot:
     # -- family views ------------------------------------------------------------
     def families(self, name: str) -> "ChunkedSnapshot":
         fam = FAMILY_ALIASES.get(name, name)
-        view = ChunkedSnapshot(self.store, family=fam)
+        view = ChunkedSnapshot(self.store, family=fam, mesh=self._mesh)
         view._extra_mask = self._extra_mask
         return view
 
@@ -580,14 +620,14 @@ class ChunkedSnapshot:
         sl = self.store.family_slices.get(self._family)
         lo, hi = self.store.chunk_bounds(i)
         if sl is None:
-            return jnp.zeros(hi - lo, jnp.float32)
-        idx = jnp.arange(lo, hi)
-        return jnp.logical_and(idx >= sl.start, idx < sl.stop)
+            return self._put(np.zeros(hi - lo, bool))
+        idx = np.arange(lo, hi)
+        return self._put((idx >= sl.start) & (idx < sl.stop))
 
     # -- engine integration -----------------------------------------------------
     def chunk_view(self, i: int) -> ChunkView:
         """Chunk-local snapshot facade (filters/derived fields run on it)."""
-        return ChunkView(self.store, i)
+        return ChunkView(self.store, i, put=self._put)
 
     def make_chunk_mask(self, fn: Callable[[int], jnp.ndarray]) -> ChunkedMask:
         return ChunkedMask(self.store, fn)
@@ -606,7 +646,7 @@ class ChunkedSnapshot:
     @property
     def base(self) -> "ChunkedSnapshot":
         """Unrestricted snapshot over the same store (Snapshot protocol)."""
-        return ChunkedSnapshot(self.store)
+        return ChunkedSnapshot(self.store, mesh=self._mesh)
 
     def where(self, filt) -> ChunkedMask:
         """Chunked mask of a standalone filter (``snap[filt]`` support)."""
@@ -632,7 +672,10 @@ class ChunkedSnapshot:
                     lambda i: _DERIVED_REGISTRY[name](self.chunk_view(i)).value,
                     probe.units, tuple(probe.shape[1:]), name)
                 return self._restrict(arr, name)
-        arr = StreamingArray.from_field(self.store, name)
+        info = self.store.field_info(name)
+        arr = StreamingArray(
+            self.store, lambda i: self._put(self.store.load_chunk(name, i)),
+            info.units, info.shape_tail, name)
         return self._restrict(arr, name)
 
     def _getitem_nonstr(self, key):
@@ -672,7 +715,8 @@ class ChunkedSnapshot:
         """Snapshot view restricted by a per-chunk boolean mask function
         (the chunked analogue of ``snap[filter]``); composes with any
         existing restriction."""
-        view = ChunkedSnapshot(self.store, family=self._family)
+        view = ChunkedSnapshot(self.store, family=self._family,
+                               mesh=self._mesh)
         prev = self._extra_mask
         if prev is None:
             view._extra_mask = mask_chunk_fn
