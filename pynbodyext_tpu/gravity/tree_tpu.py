@@ -50,6 +50,33 @@ _FAR = 1e15
 #: distinguishable from the BENCH artifact alone).
 EVAL_INFO: dict = {}
 
+#: intra-leg phase timers (dispatch vs device-sync vs readback vs host
+#: scatter, plus chunk counts) for the last eval — merged into EVAL_INFO
+#: so the BENCH artifact shows WHERE a leg's time went (relay round-trips
+#: vs device compute vs host phases).
+_PH: dict = {}
+
+
+def _ph(key: str, t0: float) -> float:
+    """Accumulate ``now - t0`` seconds under ``key``; return now."""
+    now = _time.perf_counter()
+    _PH[key] = round(_PH.get(key, 0.0) + (now - t0), 3)
+    return now
+
+
+def _sync_tail(res) -> None:
+    """Force completion of a device computation chain with a 1-element
+    host readback (block_until_ready can return early under the axon
+    relay — CLAUDE.md)."""
+    float(np.asarray(res.reshape(-1)[0]))
+
+
+def _ph_leg(info: dict, key: str, t0: float) -> float:
+    """Record a per-leg wall time into the EVAL_INFO dict; return now."""
+    now = _time.perf_counter()
+    info[key] = round(now - t0, 3)
+    return now
+
 
 def _pad_lists(counts, ids, fill):
     """Concatenated ragged lists → (n_blocks, Lmax) padded matrix
@@ -1182,6 +1209,81 @@ def _ptiles_blocked(prep, R: int, K: int):
     return prep[key]
 
 
+@partial(jax.jit, donate_argnums=(0,))
+def _duset(buf, res, start):
+    """buf[start:start+len(res)] = res with a TRACED offset (one compile
+    per res shape; donation makes it an in-place row write — the staging
+    buffer for chunked device results)."""
+    return jax.lax.dynamic_update_slice(buf, res, (start[0], 0, 0))
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _duadd(buf, res, start, nvalid):
+    """buf[start:start+nvalid] += res[:nvalid] with traced offset/count
+    (rows ≥ nvalid of a banded chunk hold the NEXT chunk's window sums —
+    the fixed W-window fetch pads past the chunk's group range — and must
+    not be accumulated)."""
+    m = (jax.lax.broadcasted_iota(jnp.int32, (res.shape[0], 1, 1), 0)
+         < nvalid[0])
+    res = jnp.where(m, res, 0.0)
+    cur = jax.lax.dynamic_slice(buf, (start[0], 0, 0), res.shape)
+    return jax.lax.dynamic_update_slice(buf, cur + res, (start[0], 0, 0))
+
+
+#: packed-tile fan-in shared by the diag/packed engines and the combine
+#: index builder (K consecutive leaves per dense cap-lane tile).
+_PACK_K = 5
+
+
+def _ensure_combine_idx(prep):
+    """Device index vectors for the ON-DEVICE leg combine (original-order
+    particle → flat packed-tile lane / flat leaf-space lane).  Built once
+    per prep on the host (cheap: two scatters) and uploaded (~80 MB at
+    10M); they let the whole eval read back ONE (n, rows) array instead
+    of ~3× per-chunk partials + host scatters — the measured wall (relay
+    readback ran at ~10–20 MB/s while band+remainder compute was ~3 s)."""
+    if "_combine_idx" in prep:
+        return prep["_combine_idx"]
+    n, cap, nb = prep["n"], prep["cap"], prep["n_blocks"]
+    pk = _pack_dense_tiles(prep, _PACK_K)
+    idx = _range_index_matrix(pk["pstarts"], pk["pcounts"], cap,
+                              fill=n).reshape(-1)
+    valid = idx < n
+    ppos = np.empty(n, np.int32)
+    ppos[prep["orig_index"][idx[valid]]] = \
+        np.nonzero(valid)[0].astype(np.int32)
+    lstarts, lcounts = prep["lstarts"], prep["lcounts"]
+    leafof = np.repeat(np.arange(nb, dtype=np.int64), lcounts)
+    lane = np.arange(n, dtype=np.int64) - np.repeat(lstarts, lcounts)
+    flidx = np.empty(n, np.int32)
+    flidx[prep["orig_index"]] = (leafof * cap + lane).astype(np.int32)
+    prep["_combine_idx"] = (jnp.asarray(ppos), jnp.asarray(flidx))
+    return prep["_combine_idx"]
+
+
+@partial(jax.jit, static_argnames=("rows", "nb"))
+def _combine_device(nearbuf, farleaf_cat, fl_inv, fargrp_cat, fg_inv,
+                    ppos, flidx, rows: int, nb: int):
+    """Fuse the three legs ON DEVICE and gather to original particle
+    order: the caller reads back one (n, rows) array.
+
+    nearbuf: (npt_pad, rows, cap) packed-tile partials (band + remainder
+    already summed); farleaf_cat/fargrp_cat: class-chunk concatenations
+    in dispatch order with fl_inv/fg_inv the inverse row permutations
+    (leaf/group id → cat row); ppos/flidx: per-particle flat lane indices
+    from :func:`_ensure_combine_idx`."""
+    cap = nearbuf.shape[2]
+    nearT = jnp.moveaxis(nearbuf, 1, 2).reshape(-1, rows)
+    out = jnp.take(nearT, ppos, axis=0)
+    fl = jnp.take(farleaf_cat, fl_inv, axis=0)  # (nb, cap[, 3]) rows
+    far = fl.reshape(nb * cap, rows)
+    if fargrp_cat is not None:
+        fg = jnp.take(fargrp_cat, fg_inv, axis=0)
+        far = far + fg.reshape(-1, rows)[:nb * cap]
+    out = out + jnp.take(far, flidx, axis=0)
+    return out
+
+
 def _scatter_packed(prep, pk, out_packed, accel: bool):
     """(npt, rows, cap) packed-tile results → per-particle original order."""
     n = prep["n"]
@@ -1355,14 +1457,21 @@ def _build_diag_band(prep, K: int, SB: int, nb2: int, R: int):
     return out
 
 
-def _near_diag(prep, kern, interpret, accel, K: int = 5, SB: int = 8,
+def _near_diag(prep, kern, interpret, accel, K: int = _PACK_K, SB: int = 8,
                nb2: int = 9, R: int = 4, w_budget: int = 16384,
-               gcap: int = 4096, mesh=None, accel_form: str = "diff"):
+               gcap: int = 4096, mesh=None, accel_form: str = "diff",
+               device_out: bool = False):
     """Diagonal-band near field over DENSE packed tiles: the in-band
     majority of pairs runs through a FULLY grid-indexed kernel (no
     per-window scalar-prefetch fetch stall — see _near_diag_kernel);
     out-of-band pairs keep the packed-window path.  Exactness matches
-    near_engine='packed' (same pair set, split two ways)."""
+    near_engine='packed' (same pair set, split two ways).
+
+    ``device_out``: return the (≥npt, rows, cap) packed-tile partials as
+    a DEVICE array (band chunks staged via :func:`_duset`, remainder
+    chunks accumulated via :func:`_duadd`) for the on-device combine —
+    per-chunk host readback measured ~10–20 MB/s through the relay,
+    ~17 s of a 20 s 10M near leg."""
     from .tree_pallas import near_field_diag_chunk
     cap = prep["cap"]
     pk = _pack_dense_tiles(prep, K)
@@ -1372,30 +1481,73 @@ def _near_diag(prep, kern, interpret, accel, K: int = 5, SB: int = 8,
     call = partial(near_field_diag_chunk, kernel=kern, accel=accel,
                    interpret=interpret, K=K, SB=SB, NO=NO, G=G, cap=cap,
                    accel_form=accel_form)
+    rows = 3 if accel else 1
+    rem_info = None
+    if d["rem"] is not None:
+        gf, wblk, bits, wcounts = d["rem"]
+        w_budget = _clamp_w_budget(w_budget, wcounts, R)
+        woffs = np.concatenate([[0], np.cumsum(wcounts)]).astype(np.int64)
+        gcap_r = min(gcap, npt)
+        ranges = _banded_ranges(woffs, npt, gcap_r, w_budget)
+        rem_info = (gf, wblk, bits, wcounts, woffs, gcap_r, ranges)
+
+    def rem_dispatch(gcap_r, ranges):
+        rpend = _dispatch_banded(ranges, rem_info[4], rem_info[0],
+                                 rem_info[1], rem_info[2], pk["ptiles"],
+                                 _ptiles_blocked(prep, R, K), kern, accel,
+                                 interpret, R, 1, gcap_r, cap, w_budget, K,
+                                 mesh, accel_form=accel_form)
+        _PH["near.rem_chunks"] = len(rpend)
+        _PH["near.rem_windows"] = int(rem_info[3].sum())
+        return rpend
+
+    if device_out:
+        size = npt_pad
+        if rem_info is not None:
+            size = max(size, max(gs for gs, _ in rem_info[6])
+                       + rem_info[5])
+        t0 = _time.perf_counter()
+        buf = jnp.zeros((size, rows, cap), jnp.float32)
+        for gs in range(0, npt_pad, G):
+            gs32 = jnp.asarray([gs], np.int32)
+            buf = _duset(buf, call(d["bits"], gs32, d["tgt"], d["src"]),
+                         gs32)
+        _PH["near.band_chunks"] = npt_pad // G
+        t0 = _ph("near.band_dispatch_s", t0)
+        if rem_info is not None:
+            for s, e, res in rem_dispatch(rem_info[5], rem_info[6]):
+                buf = _duadd(buf, res, jnp.asarray([s], np.int32),
+                             jnp.asarray([e - s], np.int32))
+            _ph("near.rem_dispatch_s", t0)
+        return buf
+
+    t0 = _time.perf_counter()
     pending = []
     for gs in range(0, npt_pad, G):
         res = call(d["bits"], jnp.asarray([gs], np.int32), d["tgt"],
                    d["src"])
         pending.append((gs, res))
-    rows = 3 if accel else 1
+    _PH["near.band_chunks"] = len(pending)
+    t0 = _ph("near.band_dispatch_s", t0)
+    _sync_tail(pending[-1][1])
+    t0 = _ph("near.band_compute_s", t0)
     out_p = thp_zeros((npt, rows, cap), np.float32)
     for gs, res in pending:
         ge = min(gs + G, npt)
         if ge > gs:
             out_p[gs:ge] = np.asarray(res)[:ge - gs]
-    if d["rem"] is not None:
-        gf, wblk, bits, wcounts = d["rem"]
-        w_budget = _clamp_w_budget(w_budget, wcounts, R)
-        woffs = np.concatenate([[0], np.cumsum(wcounts)]).astype(np.int64)
-        ranges = _banded_ranges(woffs, npt, min(gcap, npt), w_budget)
-        rpend = _dispatch_banded(ranges, woffs, gf, wblk, bits,
-                                 pk["ptiles"], _ptiles_blocked(prep, R, K),
-                                 kern, accel, interpret, R, 1,
-                                 min(gcap, npt), cap, w_budget, K, mesh,
-                                 accel_form=accel_form)
+    t0 = _ph("near.band_readback_s", t0)
+    if rem_info is not None:
+        rpend = rem_dispatch(rem_info[5], rem_info[6])
+        t0 = _ph("near.rem_dispatch_s", t0)
+        _sync_tail(rpend[-1][2])
+        t0 = _ph("near.rem_compute_s", t0)
         for s, e, res in rpend:
             out_p[s:e] += np.asarray(res)[:e - s]
-    return _scatter_packed(prep, pk, out_p, accel)
+        t0 = _ph("near.rem_readback_s", t0)
+    out = _scatter_packed(prep, pk, out_p, accel)
+    _ph("near.scatter_s", t0)
+    return out
 
 
 def _near_banded(prep, kern, interpret, accel, R: int = 4, Gn: int = 1,
@@ -1486,7 +1638,9 @@ def _build_classes(counts, flat_ids, min_width: int, fill: int, targets,
         if _native.lib is not None and payload.dtype == np.float32 \
                 and payload.flags.c_contiguous:
             native = _native
+    from .tree import _stage
     for w in np.unique(widths):
+        _tw = _time.perf_counter()
         sel = np.nonzero(widths == w)[0]
         c = counts[sel]
         if payload is not None:
@@ -1515,8 +1669,12 @@ def _build_classes(counts, flat_ids, min_width: int, fill: int, targets,
                 mat = np.where(valid, flat_ids[idx], np.int32(fill))
                 gat = payload[mat]  # (ns, w, P) contiguous row gather
                 tr = np.ascontiguousarray(np.moveaxis(gat, 2, 1))
+            _stage("classes.gather" if native is not None
+                   else "classes.gather_numpy", _tw)
+            _tw = _time.perf_counter()
             entry = [int(w), sel, jnp.asarray(tr),
                      jnp.asarray(sel.astype(np.int32))]
+            _stage("classes.upload", _tw)
         else:
             lane = np.arange(int(w), dtype=np.int64)
             idx = starts[sel][:, None] + lane[None, :]
@@ -1667,8 +1825,26 @@ def _far_call(prep, accel, interpret, pallas_far, pre, order, B, tp, li,
     return raw
 
 
+def _cat_pending(pending, n_rows: int, key, prep):
+    """Concatenate far class-chunk results on DEVICE and return the
+    inverse row permutation (id → cat row, device int32, cached on the
+    prep): the device-combine path's replacement for per-chunk host
+    readback + fancy scatter."""
+    cat = (jnp.concatenate([r for _, _, r in pending], axis=0)
+           if len(pending) > 1 else pending[0][2])
+    if key not in prep:
+        inv = np.empty(n_rows, np.int32)
+        base = 0
+        for s_idx, cnt, r in pending:
+            inv[s_idx] = base + np.arange(cnt, dtype=np.int32)
+            base += r.shape[0]
+        prep[key] = jnp.asarray(inv)
+    return cat, prep[key]
+
+
 def _far_eval(prep, accel: bool, interpret: bool, far_chunk: int = 8192,
-              row_slice=slice(0, 1), far_engine: str = "auto", mesh=None):
+              row_slice=slice(0, 1), far_engine: str = "auto", mesh=None,
+              device_out: bool = False):
     """Chunked far field over the prebuilt width classes.
 
     ``far_engine``: "auto" uses the row-batched Pallas kernel when the
@@ -1678,7 +1854,6 @@ def _far_eval(prep, accel: bool, interpret: bool, far_chunk: int = 8192,
     nb = prep["n_blocks"]
     order = prep["order"]
     tb = prep["cap"]
-    out = thp_zeros((nb, tb, 3) if accel else (nb, tb), np.float32)
     pre = prep.get("far_pre", False)
     # interpret-mode pallas pays per-grid-step python cost — tests use XLA
     # interpret-mode pallas pays per-grid-step python cost — auto mode
@@ -1695,6 +1870,7 @@ def _far_eval(prep, accel: bool, interpret: bool, far_chunk: int = 8192,
                          "node payload (within budget) and a compiled "
                          "(non-interpret) backend")
     ndev = mesh.devices.size if mesh is not None else 1
+    t0 = _time.perf_counter()
     pending = []
     classes, tgt_all = prep["far_classes"]
     for w, sel, li_dev, sel_dev in classes:
@@ -1708,14 +1884,24 @@ def _far_eval(prep, accel: bool, interpret: bool, far_chunk: int = 8192,
                             _take_rows(li_dev, lo32, la32, rows),
                             mesh, mxu=mxu)
             pending.append((sel[lo:hi], hi - lo, res))
+    _PH["fleaf.chunks"] = len(pending)
+    t0 = _ph("fleaf.dispatch_s", t0)
+    if device_out:
+        return _cat_pending(pending, nb, ("farinv", far_chunk, ndev), prep)
+    if pending:
+        _sync_tail(pending[-1][2])
+    t0 = _ph("fleaf.compute_s", t0)
+    out = thp_zeros((nb, tb, 3) if accel else (nb, tb), np.float32)
     for s_idx, cnt, res in pending:
         out[s_idx] = np.asarray(res)[:cnt]
+    _ph("fleaf.readback_s", t0)
     return out
 
 
 def _group_far_eval(prep, accel: bool, group_chunk: int = 1024,
                     interpret: bool = False,
-                    far_engine: str = "auto", mesh=None) -> np.ndarray:
+                    far_engine: str = "auto", mesh=None,
+                    device_out: bool = False):
     """Group-level far field → per-leaf-block (nb, cap[, 3]) array.
 
     Each group's shared node list is gathered once and evaluated against
@@ -1732,10 +1918,9 @@ def _group_far_eval(prep, accel: bool, group_chunk: int = 1024,
                        or far_engine in ("pallas", "mxu", "mxu_t")))
     mxu = (far_engine if far_engine in ("mxu", "mxu_t") and order < 2
            else False)
-    res = thp_zeros((ng, G * cap, 3) if accel else (ng, G * cap),
-                    np.float32)
     budget = group_chunk * 1024 * 8 // G
     ndev = mesh.devices.size if mesh is not None else 1
+    t0 = _time.perf_counter()
     pending = []
     classes, tgt_all = prep["gfar_classes"]
     for w, sel, li_dev, sel_dev in classes:
@@ -1749,8 +1934,19 @@ def _group_far_eval(prep, accel: bool, group_chunk: int = 1024,
                             _take_rows(li_dev, lo32, la32, rows),
                             mesh, mxu=mxu)
             pending.append((sel[lo:hi], hi - lo, out))
+    _PH["fgrp.chunks"] = len(pending)
+    t0 = _ph("fgrp.dispatch_s", t0)
+    if device_out:
+        return _cat_pending(pending, ng, ("gfarinv", group_chunk, ndev),
+                            prep)
+    if pending:
+        _sync_tail(pending[-1][2])
+    t0 = _ph("fgrp.compute_s", t0)
+    res = thp_zeros((ng, G * cap, 3) if accel else (ng, G * cap),
+                    np.float32)
     for s_idx, cnt, out in pending:
         res[s_idx] = np.asarray(out)[:cnt]
+    _ph("fgrp.readback_s", t0)
     res = res.reshape(ng * G, cap, -1)[:nb]
     return res[..., 0] if not accel else res
 
@@ -1787,6 +1983,40 @@ def _eval_tree_legs(prep, kern, interpret, accel, far_chunk, far_engine,
     ncols = 3 if accel else 1
     info = {"near_engine": near_engine, "far_engine": far_engine,
             "accel": accel}
+    _PH.clear()
+    if mesh is None and near_engine == "diag":
+        # single-device diag path: all legs stay ON DEVICE and fuse in
+        # _combine_device — ONE (n, ncols) readback instead of ~3× the
+        # volume in per-chunk partials + host scatters (the relay reads
+        # back at ~10–20 MB/s; this was ~17 s of a 20 s 10M near leg)
+        t0 = _time.perf_counter()
+        fl_cat, fl_inv = _far_eval(prep, accel=accel, interpret=interpret,
+                                   far_chunk=far_chunk,
+                                   far_engine=far_engine, device_out=True)
+        t0 = _ph_leg(info, "t_far_leaf_s", t0)
+        fg_cat = fg_inv = None
+        if "gfar_classes" in prep:
+            fg_cat, fg_inv = _group_far_eval(prep, accel=accel,
+                                             interpret=interpret,
+                                             far_engine=far_engine,
+                                             device_out=True)
+        t0 = _ph_leg(info, "t_far_group_s", t0)
+        nearbuf = _near_diag(prep, kern, interpret, accel=accel,
+                             device_out=True)
+        t0 = _ph_leg(info, "t_near_s", t0)
+        ppos, flidx = _ensure_combine_idx(prep)
+        dev = _combine_device(nearbuf, fl_cat, fl_inv, fg_cat, fg_inv,
+                              ppos, flidx, rows=ncols,
+                              nb=prep["n_blocks"])
+        t0 = _ph("combine.dispatch_s", t0)
+        out = np.asarray(dev)
+        _ph("combine.readback_s", t0)
+        info["t_scatter_s"] = round(_PH.get("combine.dispatch_s", 0.0)
+                                    + _PH.get("combine.readback_s", 0.0), 3)
+        info["phases"] = dict(_PH)
+        EVAL_INFO.clear()
+        EVAL_INFO.update(info)
+        return out[:, 0] if ncols == 1 else out
     t0 = _time.perf_counter()
     far_all = _far_eval(prep, accel=accel, interpret=interpret,
                         far_chunk=far_chunk, row_slice=slice(0, ncols),
@@ -1819,6 +2049,7 @@ def _eval_tree_legs(prep, kern, interpret, accel, far_chunk, far_engine,
         total = np.asarray(near) + far_all
         out = _scatter_leaf_blocks(prep, total, ncols)
     info["t_scatter_s"] = round(_time.perf_counter() - t0, 3)
+    info["phases"] = dict(_PH)
     EVAL_INFO.clear()
     EVAL_INFO.update(info)
     return out
