@@ -48,10 +48,15 @@ __all__ = ["tree_prep_fingerprint", "save_tree_prep", "load_tree_prep",
 #: was 329 s), while the host-side rebuild is seconds.  The loader
 #: re-uploads the tile table; drivers lazily rebuild classes/windows.
 _SKIP_PREFIXES = ("tiles_blk", "ptiles_blk", "tgt_blk", "banded", "pwin",
-                  "diag")
+                  "diag", "farinv", "gfarinv")
 _SKIP_KEYS = {"_tree", "_gtt_np", "gtt_tiles", "far_classes",
               "gfar_classes", "tiles", "tgt_tiles", "tgt_pos",
-              "near_classes", "gnear_classes"}
+              "near_classes", "gnear_classes",
+              # device gather indices for the on-device leg combine —
+              # rebuilt per process (host rebuild is two cheap scatters;
+              # persisting would hand numpy mmaps to the jitted combine,
+              # re-uploading ~80 MB per eval at 10M)
+              "_combine_idx"}
 
 _FORMAT_VERSION = 6  # v6: Hilbert-ordered DFS default (leaf seq changed)
 

@@ -2188,8 +2188,11 @@ def _prepare_at_points(tree: Octree, prep, targets, target_soft=None):
     com = np.asarray(prep["node_com"], np.float64)
     nmass = np.asarray(prep["node_mass"], np.float64)
     parts = [com, nmass[:, None]]
-    if prep["order"] > 0:
-        parts.append(np.asarray(prep["node_moments"], np.float64))
+    if prep["order"] >= 2:
+        # COMPACT moment columns (|n| ≥ 2 only) — the pre-payload
+        # evaluators read canonical moment index p at row p (M_000 ==
+        # mass, COM dipoles identically zero; see _far_potentials_pre)
+        parts.append(np.asarray(prep["node_moments"], np.float64)[:, 4:])
     payload = np.concatenate(parts, axis=1).astype(np.float32)
     far_classes = _build_classes(far_counts.astype(np.int64), far_flat, 128,
                                  len(nmass) - 1, tiles_dev, payload=payload)
