@@ -475,12 +475,31 @@ def _far_accelerations_pre(tgt_tiles, payload, order: int):
     return jax.vmap(one_block)(tgt_tiles, payload)
 
 
-# pre-gathered far payload budget (DEVICE-resident class bytes:
-# far_rows · pcols · 4); above it fall back to device gathers.  ~1 GB at
-# 10M order 0, ~5.3 GB at 10M order 3 (compact moments) — fine in 16 GB
-# HBM next to the ~1 GB tile table.  The host keeps one more copy of the
-# same bytes transiently during the class build (125 GB host RAM).
-_FAR_PREGATHER_BUDGET = 6_000_000_000
+# pre-gathered far payload budget (DEVICE-resident class bytes, EXACT
+# padded Σ class_rows·pcols·width·4 — see _padded_slots); above it fall
+# back to device gathers.  ~1.7 GB at 10M order 0, ~8.8 GB at 10M
+# order 3 (compact moments) — next to the ~1 GB tile table and <1 GB of
+# eval chunk buffers in v5e's 16 GB HBM.  The host keeps one more copy
+# of the same bytes transiently during the class build (125 GB host RAM).
+_FAR_PREGATHER_BUDGET = 9_500_000_000
+
+
+def _class_widths(counts, min_width: int = 128):
+    """Power-of-two width class per block — the same rule
+    :func:`_build_classes` applies, exposed so prep can compute the
+    EXACT padded class footprint before committing to pre-gathering."""
+    counts = np.asarray(counts, np.int64)
+    lmax = int(counts.max()) if len(counts) else 1
+    lmax4 = -(-max(lmax, 1) // 4) * 4
+    expo = np.ceil(np.log2(np.maximum(counts, 1) / min_width))
+    widths = min_width * (2 ** np.clip(expo, 0, None)).astype(np.int64)
+    return np.minimum(np.maximum(widths, min_width),
+                      max(lmax4, min_width))
+
+
+def _padded_slots(counts, min_width: int = 128) -> int:
+    """Total padded (row × width) slots the class matrices will hold."""
+    return int(_class_widths(counts, min_width).sum())
 
 
 def prepare_tree_pallas(tree: Octree, theta: float = 0.7, cap: int = 128,
@@ -582,9 +601,9 @@ def prepare_tree_pallas(tree: Octree, theta: float = 0.7, cap: int = 128,
     # so only |n| ≥ 2 moments ship — canonical index p lives at row p.
     mom_cols = moments[:, 4:] if order >= 2 else None
     pcols = 4 + (mom_cols.shape[1] if mom_cols is not None else 0)
-    far_rows = int(node_counts.sum()) + (int(gl["gnode_counts"].sum())
-                                         if gl is not None else 0)
-    far_pre = far_rows * pcols * 4 <= _FAR_PREGATHER_BUDGET
+    far_slots = _padded_slots(node_counts) + (
+        _padded_slots(gl["gnode_counts"]) if gl is not None else 0)
+    far_pre = far_slots * pcols * 4 <= _FAR_PREGATHER_BUDGET
     if far_pre:
         payload_np = np.concatenate(
             [com, nmass[:, None]]
@@ -1617,12 +1636,7 @@ def _build_classes(counts, flat_ids, min_width: int, fill: int, targets,
     counts = np.asarray(counts, np.int64)
     flat_ids = np.asarray(flat_ids, np.int32)
     starts = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
-    lmax = int(counts.max()) if len(counts) else 1
-    lmax4 = -(-max(lmax, 1) // 4) * 4  # widths stay multiples of fan-in k
-    # vectorized width class per block
-    expo = np.ceil(np.log2(np.maximum(counts, 1) / min_width))
-    widths = min_width * (2 ** np.clip(expo, 0, None)).astype(np.int64)
-    widths = np.minimum(np.maximum(widths, min_width), max(lmax4, min_width))
+    widths = _class_widths(counts, min_width)  # shared with _padded_slots
     out = []
     targets_dev = (targets if isinstance(targets, jnp.ndarray)
                    else jnp.asarray(np.ascontiguousarray(targets)))

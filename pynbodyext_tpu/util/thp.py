@@ -1,13 +1,23 @@
-"""Transparent-hugepage-backed numpy buffers for this host's slow faults.
+"""Pre-populated numpy buffers for this host's slow page faults.
 
-MEASURED (this environment, single-core firecracker VM): anonymous 4 KB
-page faults cost ~150 µs each, so FIRST-TOUCH of a fresh 1 GB numpy
-buffer runs at ~27 MB/s (40 s!) while warmed memory writes at ~6 GB/s.
-THP is in ``madvise`` mode, and an mmap + ``madvise(MADV_HUGEPAGE)``
-region faults 2 MB pages in ~20 µs: pre-faulting one byte per 2 MB takes
-~10 ms/GB and the subsequent fill runs at ~1.4 GB/s — a ~50× speedup on
-every large allocate-and-write (tile tables, far-class payload matrices,
-eval scatter outputs).
+MEASURED (this environment, single-core firecracker VM): anonymous
+first-touch page faults cost ~6–150 µs EACH depending on the window, so
+FIRST-TOUCH of a fresh 1 GB numpy buffer runs anywhere from 0.55 GB/s
+down to ~27 MB/s (40 s!) while warmed memory writes at ~6 GB/s.  The
+fix is ``MAP_POPULATE``: the kernel zeroes and maps every page inside
+the one mmap syscall (~0.6 s/GB, no per-page user↔kernel round trips),
+after which the first full write streams at ~5 GB/s regardless of the
+fault-cost weather.
+
+Rejected alternatives (measured here):
+* ``MADV_HUGEPAGE`` + 1-byte-per-2MB prefault on ``mmap.mmap(-1, n)``
+  — Python's anonymous mmap defaults to ``MAP_SHARED`` and madvise-mode
+  THP only applies to PRIVATE anonymous VMAs, so this never created a
+  single huge page (AnonHugePages stayed 0); the first fill still paid
+  every 4 KB fault.
+* ``MAP_PRIVATE`` + ``MADV_HUGEPAGE`` prefault — huge pages DO appear,
+  but each 2 MB huge fault pays direct compaction (~25 ms!) on this
+  VM: 12.9 s/GB to prefault, strictly worse than 4 KB faults.
 
 The reference never hits this (its Rust buffers are reused in-process,
 ``crates/gravity/src/tree.rs:1443`` writes into caller-provided numpy
@@ -17,7 +27,6 @@ allocator is load-bearing.
 
 from __future__ import annotations
 
-import ctypes
 import mmap
 import sys
 
@@ -25,42 +34,36 @@ import numpy as np
 
 __all__ = ["thp_empty", "thp_zeros"]
 
-_MADV_HUGEPAGE = 14
-_HUGE = 1 << 21  # 2 MB
+_HUGE = 1 << 21  # 2 MB: below ~4 of these, plain np.empty is fine
 
-_libc = None
+_FLAGS = 0
 if sys.platform.startswith("linux"):
-    try:
-        _libc = ctypes.CDLL("libc.so.6", use_errno=True)
-    except OSError:  # pragma: no cover
-        _libc = None
+    _FLAGS = mmap.MAP_PRIVATE | mmap.MAP_ANONYMOUS | getattr(
+        mmap, "MAP_POPULATE", 0x8000)
 
 
 def thp_empty(shape, dtype) -> np.ndarray:
-    """np.empty equivalent backed by a THP-madvised anonymous mapping.
+    """np.empty equivalent backed by a pre-populated anonymous mapping.
 
-    Pre-faults one byte per 2 MB so the caller's first full write streams
-    at memory speed instead of page-fault speed.  Falls back to
-    ``np.empty`` off Linux / on tiny sizes / on mmap failure.  The mmap
-    stays alive through the array's ``base`` chain.
+    ``MAP_POPULATE`` faults in (and zeroes) every page inside the mmap
+    syscall so the caller's first full write streams at memory speed
+    instead of page-fault speed.  Falls back to ``np.empty`` off Linux /
+    on tiny sizes / on mmap failure.  The mmap stays alive through the
+    array's ``base`` chain.
     """
     dtype = np.dtype(dtype)
     nbytes = int(np.prod(shape, dtype=np.int64)) * dtype.itemsize
-    if _libc is None or nbytes < (_HUGE * 4):
+    if not _FLAGS or nbytes < (_HUGE * 4):
         return np.empty(shape, dtype)
     try:
-        buf = mmap.mmap(-1, nbytes)
+        buf = mmap.mmap(-1, nbytes, flags=_FLAGS)
     except (OSError, ValueError):  # pragma: no cover
         return np.empty(shape, dtype)
-    addr = ctypes.addressof(ctypes.c_char.from_buffer(buf))
-    _libc.madvise(ctypes.c_void_p(addr), ctypes.c_size_t(nbytes),
-                  _MADV_HUGEPAGE)
     flat = np.frombuffer(buf, np.uint8)
-    flat[::_HUGE] = 0  # pre-fault 2 MB pages (~10 ms/GB)
     return flat.view(dtype)[: nbytes // dtype.itemsize].reshape(shape)
 
 
 def thp_zeros(shape, dtype) -> np.ndarray:
-    """np.zeros equivalent on a THP-backed buffer (fresh mmap = zeroed;
-    only the 2 MB pre-fault touches it, writing zeros)."""
-    return thp_empty(shape, dtype)  # anonymous mmap is zero-filled
+    """np.zeros equivalent on a pre-populated buffer (anonymous mmap is
+    zero-filled; MAP_POPULATE materializes the zeroed pages up front)."""
+    return thp_empty(shape, dtype)
