@@ -25,6 +25,8 @@ def main():
     pos = vt * rt[:, None]
     mass = rng.uniform(0.5, 2.0, N)
 
+    from pynbodyext_tpu.gravity.tree import stage_records
+    stage_records()
     t0 = time.perf_counter()
     tree = Octree(pos, mass, leaf_capacity=128, multipole_order=3)
     print(f"build: {time.perf_counter() - t0:.1f}s", flush=True)
@@ -32,6 +34,10 @@ def main():
     prep = tt.prepare_tree_pallas(tree, theta=0.7, group_leaves=8)
     print(f"prep: {time.perf_counter() - t0:.1f}s  far_pre="
           f"{prep['far_pre']}", flush=True)
+    agg = {}
+    for lbl, s in stage_records():
+        agg[lbl] = round(agg.get(lbl, 0.0) + s, 2)
+    print(f"  stages: {agg}", flush=True)
     # device-resident class payload accounting
     tot = 0
     for lbl in ("far_classes", "gfar_classes"):

@@ -65,5 +65,11 @@ def thp_empty(shape, dtype) -> np.ndarray:
 
 def thp_zeros(shape, dtype) -> np.ndarray:
     """np.zeros equivalent on a pre-populated buffer (anonymous mmap is
-    zero-filled; MAP_POPULATE materializes the zeroed pages up front)."""
+    zero-filled; MAP_POPULATE materializes the zeroed pages up front).
+    Small buffers below the mmap threshold are np.zeros — callers such
+    as the packed-tile builders rely on zeroed padding lanes."""
+    dtype = np.dtype(dtype)
+    nbytes = int(np.prod(shape, dtype=np.int64)) * dtype.itemsize
+    if not _FLAGS or nbytes < (_HUGE * 4):
+        return np.zeros(shape, dtype)
     return thp_empty(shape, dtype)
