@@ -51,6 +51,7 @@ _SKIP_PREFIXES = ("tiles_blk", "ptiles_blk", "tgt_blk", "banded", "pwin",
                   "diag", "farinv", "gfarinv")
 _SKIP_KEYS = {"_tree", "_gtt_np", "gtt_tiles", "far_classes",
               "gfar_classes", "tiles", "tgt_tiles", "tgt_pos",
+              "_payload_dev",  # rebuilt from _payload_np on first use
               "near_classes", "gnear_classes",
               # device gather indices for the on-device leg combine —
               # rebuilt per process (host rebuild is two cheap scatters;

@@ -24,6 +24,7 @@ compact, so list lengths are similar across blocks.
 
 from __future__ import annotations
 
+import os
 import time as _time
 from functools import partial
 from typing import Optional
@@ -385,39 +386,6 @@ def _eval_accelerations(prep_tgt_pos, prep_tgt_soft, tgt_orig, node_ids,
 # ---------------------------------------------------------------------------
 
 @partial(jax.jit, static_argnames=("order",))
-def _far_potentials(tgt_pos, node_ids, node_com, node_mass, node_moments,
-                    order: int):
-    def one_block(tpos, nids):
-        ncom = node_com[nids]
-        nm = node_mass[nids]
-        d = tpos[:, None, :] - ncom[None, :, :]
-        if order == 0:
-            r = jnp.sqrt(jnp.sum(d * d, axis=-1) + _TINY2)
-            return -jnp.sum(nm[None, :] / r, axis=1)
-        M = node_moments[nids]
-        return -jnp.sum(_phi_multipole_jnp(d, M[None, :, :], order), axis=1)
-    return jax.vmap(one_block)(tgt_pos, node_ids)
-
-
-@partial(jax.jit, static_argnames=("order",))
-def _far_accelerations(tgt_pos, node_ids, node_com, node_mass, node_moments,
-                       order: int):
-    def one_block(tpos, nids):
-        ncom = node_com[nids]
-        nm = node_mass[nids]
-        if order == 0:
-            d = ncom[None, :, :] - tpos[:, None, :]
-            r2 = jnp.sum(d * d, axis=-1) + _TINY2
-            invr = jax.lax.rsqrt(r2)
-            g = nm[None, :] * invr * invr * invr
-            return jnp.sum(d * g[:, :, None], axis=1)
-        M = node_moments[nids]
-        dt = tpos[:, None, :] - ncom[None, :, :]
-        return jnp.sum(_acc_multipole_jnp(dt, M[None, :, :], order), axis=1)
-    return jax.vmap(one_block)(tgt_pos, node_ids)
-
-
-@partial(jax.jit, static_argnames=("order",))
 def _far_potentials_pre(tgt_tiles, payload, order: int):
     """Far potentials from PRE-GATHERED node payload (rows, P, w): rows
     x, y, z, mass[, moments |n|≥2] — no device gathers, 2-D component
@@ -475,13 +443,29 @@ def _far_accelerations_pre(tgt_tiles, payload, order: int):
     return jax.vmap(one_block)(tgt_tiles, payload)
 
 
+@partial(jax.jit, static_argnames=("order", "accel"))
+def _far_gather_pre(tgt_tiles, node_ids, payload_dev, order: int,
+                    accel: bool):
+    """Over-budget far path: row-gather the compact (n_nodes+1, P) node
+    payload ON DEVICE per chunk and run the 2-D component ``_pre``
+    evaluators on the gathered (rows, P, w) matrix — one jit, so the
+    gather feeds the fused elementwise→reduce chain directly.  Replaces
+    the 3-D-broadcast gather evaluators whose (tb, w, 3)/(tb, w, nmom)
+    intermediates XLA materialized at order ≥ 1 (ResourceExhausted at
+    10M order 3; reference far math: multipole.rs:1352-1535)."""
+    pay = jnp.moveaxis(jnp.take(payload_dev, node_ids, axis=0), 2, 1)
+    fn = _far_accelerations_pre if accel else _far_potentials_pre
+    return fn(tgt_tiles, pay, order=order)
+
+
 # pre-gathered far payload budget (DEVICE-resident class bytes, EXACT
 # padded Σ class_rows·pcols·width·4 — see _padded_slots); above it fall
 # back to device gathers.  ~1.7 GB at 10M order 0, ~8.8 GB at 10M
 # order 3 (compact moments) — next to the ~1 GB tile table and <1 GB of
 # eval chunk buffers in v5e's 16 GB HBM.  The host keeps one more copy
 # of the same bytes transiently during the class build (125 GB host RAM).
-_FAR_PREGATHER_BUDGET = 9_500_000_000
+_FAR_PREGATHER_BUDGET = int(os.environ.get(
+    "PNX_FAR_PREGATHER_BUDGET", 9_500_000_000))
 
 
 def _class_widths(counts, min_width: int = 128):
@@ -604,24 +588,23 @@ def prepare_tree_pallas(tree: Octree, theta: float = 0.7, cap: int = 128,
     far_slots = _padded_slots(node_counts) + (
         _padded_slots(gl["gnode_counts"]) if gl is not None else 0)
     far_pre = far_slots * pcols * 4 <= _FAR_PREGATHER_BUDGET
-    if far_pre:
-        payload_np = np.concatenate(
-            [com, nmass[:, None]]
-            + ([mom_cols] if mom_cols is not None else []),
-            axis=1).astype(np.float32)  # (n, P) node-major: 4P B row gathers
-        payload_np = np.ascontiguousarray(payload_np)
-    else:
-        payload_np = None
+    # compact (n_nodes+1, P) node-major payload is built EITHER WAY (it is
+    # ~MBs): pre-gathered into padded class matrices when within budget,
+    # else kept device-resident for in-jit per-chunk row gathers (the old
+    # over-budget path fed (C, TB, 3) positions to 3-D-broadcast gather
+    # evaluators whose (tb, w, 3) intermediates XLA left unfused at
+    # order ≥ 1 — 12.9 GB workspaces / ResourceExhausted at 10M order 3)
+    payload_np = np.concatenate(
+        [com, nmass[:, None]]
+        + ([mom_cols] if mom_cols is not None else []),
+        axis=1).astype(np.float32)  # (n, P) node-major: 4P B row gathers
+    payload_np = np.ascontiguousarray(payload_np)
     _stage("prep.payload", _t0); _t0 = _time.perf_counter()
     prep["far_pre"] = far_pre
     # row-batched pallas far kernel (any order: the batched kernel carries
     # the |n| ≥ 2 moment contraction): amortizes the ~3 µs per-step fixed
     # cost the one-row-per-step schedules pay
     prep["far_pallas"] = far_pre
-    # pre-gathered paths (pallas kernel AND the XLA pre evaluators) take
-    # (C, 8, TB) tile targets; the gather path takes (C, TB, 3) positions
-    if not far_pre:
-        prep["_tgt_pos_np"] = np.moveaxis(tiles[:n_leaves, 0:3, :], 1, 2)
     prep["_dummy_node"] = dummy_node
     # raw far lists + payload stay in prep (host, compact) so cached preps
     # can rebuild the device class structures without the octree
@@ -660,37 +643,29 @@ def _ensure_far_classes(prep) -> None:
     tiles_j = prep["tiles"]
     node_counts, node_ids = prep["_far_lists"]
     prep["far_classes"] = _build_classes(
-        node_counts, node_ids, 128, dummy_node,
-        tiles_j[:n_leaves] if far_pre else prep["_tgt_pos_np"],
-        payload=payload_np)  # (entries, shared device targets)
+        node_counts, node_ids, 128, dummy_node, tiles_j[:n_leaves],
+        payload=payload_np if far_pre else None)
+    if not far_pre and "_payload_dev" not in prep:
+        # over-budget configs gather payload rows ON DEVICE per chunk
+        # (in-jit, fused with the component kernels — _far_gather_pre)
+        prep["_payload_dev"] = jnp.asarray(payload_np)
     _stage("prep.far_classes.leaf", _t0); _t0 = _time.perf_counter()
     if "_gfar_lists" in prep:
         ng = prep["n_groups"]
-        if far_pre:
-            # device reshape of the resident tile table (no host copy)
-            nl_pad = -(-n_leaves // G) * G
-            pad_rows = nl_pad - n_leaves
-            tj = tiles_j[:n_leaves]
-            if pad_rows:
-                tj = jnp.concatenate(
-                    [tj, jnp.broadcast_to(tiles_j[-1],
-                                          (pad_rows, 8, cap))])
-            g_targets = (tj.reshape(ng, G, 8, cap).transpose(0, 2, 1, 3)
-                         .reshape(ng, 8, G * cap))
-        else:
-            nl_pad = ng * G
-            pad_rows = nl_pad - n_leaves
-            tp_np = prep["_tgt_pos_np"]
-            if pad_rows:
-                tp_np = np.concatenate(
-                    [tp_np, np.broadcast_to(
-                        np.asarray(prep["_sentinel"], np.float32),
-                        (pad_rows, cap, 3))], axis=0)
-            g_targets = tp_np.reshape(ng, G * cap, 3)
+        # device reshape of the resident tile table (no host copy)
+        nl_pad = -(-n_leaves // G) * G
+        pad_rows = nl_pad - n_leaves
+        tj = tiles_j[:n_leaves]
+        if pad_rows:
+            tj = jnp.concatenate(
+                [tj, jnp.broadcast_to(tiles_j[-1],
+                                      (pad_rows, 8, cap))])
+        g_targets = (tj.reshape(ng, G, 8, cap).transpose(0, 2, 1, 3)
+                     .reshape(ng, 8, G * cap))
         gn_counts, gn_ids = prep["_gfar_lists"]
         prep["gfar_classes"] = _build_classes(
             gn_counts, gn_ids, 128, dummy_node, g_targets,
-            payload=payload_np)
+            payload=payload_np if far_pre else None)
         _stage("prep.far_classes.group", _t0)
 
 
@@ -1822,16 +1797,15 @@ def _far_call(prep, accel, interpret, pallas_far, pre, order, B, tp, li,
         call = partial(fn, order=order)
         extra, especs = (), ()
     else:
-        fn = _far_accelerations if accel else _far_potentials
-        call = partial(fn, order=order)
-        extra = (prep["node_com"], prep["node_mass"], prep["node_moments"])
+        call = partial(_far_gather_pre, order=order, accel=accel)
+        extra = (prep["_payload_dev"],)
     if mesh is None or mesh.devices.size == 1:
         raw = call(tp, li, *extra)
     else:
         from jax.sharding import PartitionSpec as P
         ax = mesh.axis_names[0]
         if not (pallas_far or pre):
-            especs = (P(None), P(None), P(None))
+            especs = (P(None),)
         raw = _shard_call(mesh, call, (P(ax), P(ax), *especs), P(ax),
                           tp, li, *extra)
     if pallas_far:
@@ -1884,12 +1858,17 @@ def _far_eval(prep, accel: bool, interpret: bool, far_chunk: int = 8192,
                          "node payload (within budget) and a compiled "
                          "(non-interpret) backend")
     ndev = mesh.devices.size if mesh is not None else 1
+    budget = far_chunk * 1024
+    if not pre:
+        # gathered (rows, P, w) chunk payload: keep its bytes at the
+        # order-0 pre-path level (P/4× more columns → P/4× fewer slots)
+        budget = budget * 4 // prep["_payload_np"].shape[1]
     t0 = _time.perf_counter()
     pending = []
     classes, tgt_all = prep["far_classes"]
     for w, sel, li_dev, sel_dev in classes:
         B = _far_batch_B(tb, int(w), len(sel), order)
-        for lo, hi, rows in _class_chunks(w, len(sel), far_chunk * 1024,
+        for lo, hi, rows in _class_chunks(w, len(sel), budget,
                                           multiple=B * ndev):
             lo32, la32 = np.int32(lo), np.int32(hi - 1)
             res = _far_call(prep, accel, interpret, pallas_far, pre, order,
@@ -1933,6 +1912,8 @@ def _group_far_eval(prep, accel: bool, group_chunk: int = 1024,
     mxu = (far_engine if far_engine in ("mxu", "mxu_t") and order < 2
            else False)
     budget = group_chunk * 1024 * 8 // G
+    if not pre:
+        budget = budget * 4 // prep["_payload_np"].shape[1]
     ndev = mesh.devices.size if mesh is not None else 1
     t0 = _time.perf_counter()
     pending = []
