@@ -1301,4 +1301,22 @@ void pnx_gather_payload_t(const float *payload, const int32_t *flat_ids,
   });
 }
 
+// Padded int32 class list matrix: for each block i, copy the contiguous
+// id run flat[starts[i] : starts[i]+counts[i]] into row i of the (ns, w)
+// matrix, fill-padded.  Row copies are memcpy-speed; the numpy
+// lane/idx/where form this replaces built int64 index matrices in
+// freshly-faulted pages (~50 s on the 10M group lists, vs ~1 s here).
+void pnx_pad_lists_i32(const int32_t *flat, const int64_t *starts,
+                       const int64_t *counts, long ns, long w,
+                       int32_t fill, int32_t *out) {
+  parallel_for_impl(ns, 0, [&](long lo, long hi) {
+    for (long i = lo; i < hi; ++i) {
+      int32_t *o = out + i * w;
+      const long c = std::min<long>(counts[i], w);
+      if (c > 0) std::memcpy(o, flat + starts[i], c * sizeof(int32_t));
+      for (long j = c; j < w; ++j) o[j] = fill;
+    }
+  });
+}
+
 }  // extern "C"

@@ -110,6 +110,8 @@ def _load() -> Optional[ctypes.CDLL]:
     dll.pnx_gather_payload_t.argtypes = [fp, ip, i64p, i64p,
                                          ctypes.c_long, ctypes.c_long,
                                          ctypes.c_long, ctypes.c_int64, fp]
+    dll.pnx_pad_lists_i32.argtypes = [ip, i64p, i64p, ctypes.c_long,
+                                      ctypes.c_long, ctypes.c_int32, ip]
     return dll
 
 

@@ -459,13 +459,17 @@ def _far_gather_pre(tgt_tiles, node_ids, payload_dev, order: int,
 
 
 # pre-gathered far payload budget (DEVICE-resident class bytes, EXACT
-# padded Σ class_rows·pcols·width·4 — see _padded_slots); above it fall
-# back to device gathers.  ~1.7 GB at 10M order 0, ~8.8 GB at 10M
-# order 3 (compact moments) — next to the ~1 GB tile table and <1 GB of
-# eval chunk buffers in v5e's 16 GB HBM.  The host keeps one more copy
-# of the same bytes transiently during the class build (125 GB host RAM).
+# padded Σ class_rows·pcols·width·4 — see _padded_slots); above it the
+# compact payload stays device-resident and eval row-gathers it in-jit
+# (_far_gather_pre).  Same-process 10M A/B (benchmarks/far_mode_ab.py,
+# v5e): gather evals match pre to relay noise (pot 6.8 vs 5.8 s, acc
+# 10.9 vs 11.7 s, agreement ≤2.5e-6) while skipping the padded-payload
+# build+upload (~25-50 s of prep) and 4-20× of HBM (0.45 vs 1.8 GB at
+# order 0; order 3's 8.8 GB pre payload OOMed v5e's 16 GB outright).
+# 500 MB keeps ≲3M-particle order-0 preps on the (marginally faster,
+# pallas-far-capable) pre path and routes everything bigger to gather.
 _FAR_PREGATHER_BUDGET = int(os.environ.get(
-    "PNX_FAR_PREGATHER_BUDGET", 9_500_000_000))
+    "PNX_FAR_PREGATHER_BUDGET", 500_000_000))
 
 
 def _class_widths(counts, min_width: int = 128):
@@ -1621,13 +1625,35 @@ def _build_classes(counts, flat_ids, min_width: int, fill: int, targets,
     nflat = len(flat_ids)
     flat_aux_np = (None if flat_aux is None
                    else np.asarray(flat_aux, np.int32))
-    native = None
-    if payload is not None:
-        from . import _native
-        if _native.lib is not None and payload.dtype == np.float32 \
-                and payload.flags.c_contiguous:
-            native = _native
+    from . import _native
+    native = _native if _native.lib is not None else None
+    if payload is not None and (payload.dtype != np.float32
+                                or not payload.flags.c_contiguous):
+        native = None
     from .tree import _stage
+
+    def _pad_mat(flat, st, ct, w, fillv):
+        # padded (ns, w) int32 run matrix: native memcpy rows when
+        # available — the numpy lane/idx/where form pays int64 index
+        # matrices in freshly-faulted pages (~50 s on 10M group lists)
+        ns = len(st)
+        if native is not None:
+            import ctypes
+            i32p = ctypes.POINTER(ctypes.c_int32)
+            i64p = ctypes.POINTER(ctypes.c_int64)
+            st = np.ascontiguousarray(st)
+            ct = np.ascontiguousarray(ct)
+            mat = thp_empty((ns, int(w)), np.int32)
+            native.lib.pnx_pad_lists_i32(
+                flat.ctypes.data_as(i32p), st.ctypes.data_as(i64p),
+                ct.ctypes.data_as(i64p), ns, int(w), np.int32(fillv),
+                mat.ctypes.data_as(i32p))
+            return mat
+        lane = np.arange(int(w), dtype=np.int64)
+        idx = st[:, None] + lane[None, :]
+        valid = lane[None, :] < ct[:, None]
+        np.minimum(idx, len(flat) - 1, out=idx)
+        return np.where(valid, flat[idx], np.int32(fillv))
     for w in np.unique(widths):
         _tw = _time.perf_counter()
         sel = np.nonzero(widths == w)[0]
@@ -1665,20 +1691,15 @@ def _build_classes(counts, flat_ids, min_width: int, fill: int, targets,
                      jnp.asarray(sel.astype(np.int32))]
             _stage("classes.upload", _tw)
         else:
-            lane = np.arange(int(w), dtype=np.int64)
-            idx = starts[sel][:, None] + lane[None, :]
-            valid = lane[None, :] < c[:, None]
-            np.minimum(idx, nflat - 1, out=idx)
-            mat = np.where(valid, flat_ids[idx], np.int32(fill))
+            mat = _pad_mat(flat_ids, starts[sel], c, w, fill)
+            _stage("classes.lists", _tw)
+            _tw = _time.perf_counter()
             entry = [int(w), sel, jnp.asarray(mat),
                      jnp.asarray(sel.astype(np.int32))]
+            _stage("classes.upload", _tw)
         if flat_aux_np is not None:
-            lane = np.arange(int(w), dtype=np.int64)
-            idx = starts[sel][:, None] + lane[None, :]
-            valid = lane[None, :] < c[:, None]
-            np.minimum(idx, nflat - 1, out=idx)
             entry.append(jnp.asarray(
-                np.where(valid, flat_aux_np[idx], np.int32(0))))
+                _pad_mat(flat_aux_np, starts[sel], c, w, 0)))
         out.append(tuple(entry))
     return out, targets_dev
 

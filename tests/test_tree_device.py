@@ -100,6 +100,38 @@ def test_native_tile_packer_matches_numpy(clustered):
         np.testing.assert_array_equal(got, ref, err_msg=f"cap={cap}")
 
 
+def test_native_pad_lists_matches_numpy():
+    """The C++ padded-list builder (pnx_pad_lists_i32) is bit-identical to
+    the numpy lane/idx/where form for ragged contiguous-run lists."""
+    from pynbodyext_tpu.gravity import _native
+    if _native.lib is None:
+        import pytest
+        pytest.skip("native library unavailable")
+    import ctypes
+    rng = np.random.default_rng(3)
+    counts = rng.integers(0, 37, 300).astype(np.int64)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
+    flat = rng.integers(0, 10_000, int(counts.sum())).astype(np.int32)
+    if len(flat) == 0:
+        flat = np.asarray([0], np.int32)
+    fill = np.int32(-7)
+    for w in (1, 16, 64):
+        c = np.minimum(counts, w)
+        lane = np.arange(w, dtype=np.int64)
+        idx = starts[:, None] + lane[None, :]
+        valid = lane[None, :] < c[:, None]
+        np.minimum(idx, len(flat) - 1, out=idx)
+        ref = np.where(valid, flat[idx], fill)
+        got = np.empty((len(counts), w), np.int32)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        _native.lib.pnx_pad_lists_i32(
+            flat.ctypes.data_as(i32p), starts.ctypes.data_as(i64p),
+            counts.ctypes.data_as(i64p), len(counts), w, fill,
+            got.ctypes.data_as(i32p))
+        np.testing.assert_array_equal(got, ref, err_msg=f"w={w}")
+
+
 def test_gravity_api_device_flag(clustered):
     from pynbodyext_tpu.gravity import Gravity
     pos, m, h = clustered
