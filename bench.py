@@ -145,22 +145,30 @@ def main():
             from pynbodyext_tpu.gravity.prep_cache import (load_tree_prep,
                                                            save_tree_prep)
             warm_s = warm_solve_s = warm_rel = None
-            with tempfile.TemporaryDirectory() as td:
-                pth = pathlib.Path(td) / "prep.pkl"
-                if save_tree_prep(prep, pth):
-                    t0 = time.perf_counter()
-                    prep2 = load_tree_prep(pth)
-                    # sync the tile re-upload
-                    float(np.asarray(prep2["tiles"][0, 0, 0]))
-                    warm_s = time.perf_counter() - t0
-                    # first solve on the reloaded prep pays the lazy
-                    # far-class rebuild + upload — the honest end-to-end
-                    # cost a second process sees before its first result
-                    t0 = time.perf_counter()
-                    phi_w = tree_potentials_device_pallas(None, prep=prep2)
-                    warm_solve_s = time.perf_counter() - t0
-                    warm_rel = float(np.max(np.abs((phi_w - phi) / phi)))
-                    del prep2, phi_w  # free the duplicate device buffers
+            warm_err = {}
+            try:
+                with tempfile.TemporaryDirectory() as td:
+                    pth = pathlib.Path(td) / "prep.pkl"
+                    if save_tree_prep(prep, pth):
+                        t0 = time.perf_counter()
+                        prep2 = load_tree_prep(pth)
+                        # sync the tile re-upload
+                        float(np.asarray(prep2["tiles"][0, 0, 0]))
+                        warm_s = time.perf_counter() - t0
+                        # first solve on the reloaded prep pays the lazy
+                        # far-class rebuild + upload — the honest
+                        # end-to-end cost a second process sees before
+                        # its first result
+                        t0 = time.perf_counter()
+                        phi_w = tree_potentials_device_pallas(
+                            None, prep=prep2)
+                        warm_solve_s = time.perf_counter() - t0
+                        warm_rel = float(
+                            np.max(np.abs((phi_w - phi) / phi)))
+                        del prep2, phi_w  # free duplicate device buffers
+            except Exception as e:  # keep the eval/accel numbers
+                warm_err = {"tree10m_warm_error":
+                            f"{type(e).__name__}: {e}"}
             # order-3 multipole far field (reference default operating
             # point: theta=0.7, order 3 — bench_gravity.py:148-166): same
             # particles, order-3 tree + compact moment payload, one warm
@@ -215,6 +223,7 @@ def main():
                 **({"tree10m_warm_solve_s": round(warm_solve_s, 2),
                     "tree10m_warm_rel": warm_rel}
                    if warm_solve_s is not None else {}),
+                **warm_err,
                 "tree10m_particles_per_s": round(n_tree / eval_s),
                 "tree10m_prep_s": round(prep_s, 2),
                 "tree10m_theta": 0.7,

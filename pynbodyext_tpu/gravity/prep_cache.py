@@ -177,6 +177,12 @@ def save_tree_prep(prep: dict, path) -> bool:
     if prep.get("_tiles_np") is None:
         from .tree_tpu import _host_tiles
         _host_tiles(prep)  # materialize the host tile table for the pickle
+    if prep.get("_particles") is None and prep.get("_tree") is not None:
+        # a release_host_buffers'd prep still holds the tree — rebuild the
+        # tree-order particle arrays so the pickle is self-contained (the
+        # packed/diag engines repack device tiles from them on reload)
+        from .tree_tpu import _host_particles
+        _host_particles(prep)
     body = _persistable(prep)
     try:
         path.parent.mkdir(parents=True, exist_ok=True)

@@ -602,6 +602,31 @@ def test_prep_disk_cache_roundtrip(clustered, tmp_path):
     assert tree3 is not None
 
 
+def test_prep_cache_save_after_release(clustered, tmp_path):
+    """A prep whose host buffers were released (the bench's order of
+    operations) still pickles self-contained: save_tree_prep rebuilds the
+    particle arrays from the tree handle, so a reload in a fresh process
+    can repack the packed/diag device tiles (BENCH r4c regression: the
+    reloaded prep raised 'cannot rebuild host tables')."""
+    pos, m, h = clustered
+    from pynbodyext_tpu.gravity import tree_tpu
+    from pynbodyext_tpu.gravity.prep_cache import (load_tree_prep,
+                                                   save_tree_prep)
+    tree = Octree(pos, m, leaf_capacity=128, multipole_order=0,
+                  softenings=h, kernel="plummer")
+    prep = tree_tpu.prepare_tree_pallas(tree, theta=0.5, group_leaves=8)
+    phi1 = tree_tpu.tree_potentials_device_pallas(
+        tree, prep=prep, interpret=True, near_engine="packed")
+    tree_tpu.release_host_buffers(prep)
+    pth = tmp_path / "prep.pkl"
+    assert save_tree_prep(prep, pth)
+    prep2 = load_tree_prep(pth)
+    assert prep2 is not None and prep2["_tree"] is None
+    phi2 = tree_tpu.tree_potentials_device_pallas(
+        None, prep=prep2, interpret=True, near_engine="packed")
+    np.testing.assert_array_equal(phi1, phi2)
+
+
 @pytest.mark.slow
 def test_device_at_points_vs_native(clustered):
     """Device-evaluated tree at arbitrary query points: exact (f32) match
