@@ -4,9 +4,14 @@ Runs everywhere (CPU included); on a TPU host the same code uses the
 accelerator automatically.  Usage: ``python examples/walkthrough.py``.
 """
 
+import pathlib
+import sys
+
 import numpy as np
 
-import pynbodyext_tpu as px
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+import pynbodyext_tpu as px  # noqa: E402
 
 
 def main():
