@@ -1612,6 +1612,7 @@ def _build_classes(counts, flat_ids, min_width: int, fill: int, targets,
 
     Returns ``(entries, targets_dev)`` with entries
     ``[(width, sel_np, lists_or_payload_dev, sel_dev[, aux_dev]), …]``."""
+    from concurrent.futures import Future, ThreadPoolExecutor
     counts = np.asarray(counts, np.int64)
     flat_ids = np.asarray(flat_ids, np.int32)
     starts = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
@@ -1654,6 +1655,15 @@ def _build_classes(counts, flat_ids, min_width: int, fill: int, targets,
         valid = lane[None, :] < ct[:, None]
         np.minimum(idx, len(flat) - 1, out=idx)
         return np.where(valid, flat[idx], np.int32(fillv))
+    # ONE background upload thread pipelines the relay wire against the
+    # host build: the host has a single core, so CPU↔CPU overlap gains
+    # nothing, but `jnp.asarray` of a class matrix blocks on the relay
+    # transfer (classes.upload measured 10–33 s serialized at 10M) while
+    # the next class's native pad/gather sits idle.  Both sides release
+    # the GIL (ctypes call / C++ transfer).  Futures resolve at return so
+    # the entries keep their documented (…, dev_array, …) shape.
+    ex = ThreadPoolExecutor(max_workers=1)
+    _upl = ex.submit  # each submit keeps its host buffer alive via args
     for w in np.unique(widths):
         _tw = _time.perf_counter()
         sel = np.nonzero(widths == w)[0]
@@ -1687,20 +1697,25 @@ def _build_classes(counts, flat_ids, min_width: int, fill: int, targets,
             _stage("classes.gather" if native is not None
                    else "classes.gather_numpy", _tw)
             _tw = _time.perf_counter()
-            entry = [int(w), sel, jnp.asarray(tr),
-                     jnp.asarray(sel.astype(np.int32))]
-            _stage("classes.upload", _tw)
+            entry = [int(w), sel, _upl(jnp.asarray, tr),
+                     _upl(jnp.asarray, sel.astype(np.int32))]
+            _stage("classes.upload_issue", _tw)
         else:
             mat = _pad_mat(flat_ids, starts[sel], c, w, fill)
             _stage("classes.lists", _tw)
             _tw = _time.perf_counter()
-            entry = [int(w), sel, jnp.asarray(mat),
-                     jnp.asarray(sel.astype(np.int32))]
-            _stage("classes.upload", _tw)
+            entry = [int(w), sel, _upl(jnp.asarray, mat),
+                     _upl(jnp.asarray, sel.astype(np.int32))]
+            _stage("classes.upload_issue", _tw)
         if flat_aux_np is not None:
-            entry.append(jnp.asarray(
-                _pad_mat(flat_aux_np, starts[sel], c, w, 0)))
-        out.append(tuple(entry))
+            entry.append(_upl(jnp.asarray,
+                              _pad_mat(flat_aux_np, starts[sel], c, w, 0)))
+        out.append(entry)
+    _tw = _time.perf_counter()
+    out = [tuple(x.result() if isinstance(x, Future) else x for x in e)
+           for e in out]
+    ex.shutdown()
+    _stage("classes.upload_wait", _tw)
     return out, targets_dev
 
 
