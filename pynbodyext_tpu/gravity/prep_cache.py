@@ -141,8 +141,12 @@ def _encode(v: Any, sink) -> Any:
 
 def _decode(v: Any, extdir) -> Any:
     import jax.numpy as jnp
+
+    from ..util.thp import thp_stage
     if isinstance(v, _Dev):
-        return jnp.asarray(_decode(v.arr, extdir))
+        # uploads from a file mmap measured ~9 MB/s through the relay —
+        # stage sidecar-backed payloads through a THP buffer first
+        return jnp.asarray(thp_stage(_decode(v.arr, extdir)))
     if isinstance(v, _Ext):
         return np.load(extdir / v.name, mmap_mode="r")
     if isinstance(v, tuple):
@@ -162,8 +166,8 @@ def _persistable(prep: dict) -> dict:
         if isinstance(k, tuple) and k and k[0] in _SKIP_PREFIXES:
             continue
         if isinstance(k, tuple) and k and k[0] == "packed":
-            # keep the packer's ranges; the device tile table rebuilds
-            # from host particles on first use
+            # keep the packer's ranges + host tile table (sidecar);
+            # only the device copy is dropped (re-uploaded on first use)
             v = {kk: vv for kk, vv in v.items() if kk != "ptiles"}
         out[k] = v
     return out
@@ -183,6 +187,15 @@ def save_tree_prep(prep: dict, path) -> bool:
         # packed/diag engines repack device tiles from them on reload)
         from .tree_tpu import _host_particles
         _host_particles(prep)
+    for k, v in prep.items():
+        # persist the packed tile table itself: a warm process re-uploads
+        # the sidecar instead of re-assembling from mmap'd particles
+        if (isinstance(k, tuple) and k and k[0] == "packed"
+                and isinstance(v, dict) and "ptiles_np" not in v
+                and prep.get("_particles") is not None):
+            from .tree_tpu import _assemble_packed_table
+            v["ptiles_np"] = _assemble_packed_table(
+                prep, v["pstarts"], v["pcounts"], v["sub_of"])
     body = _persistable(prep)
     try:
         path.parent.mkdir(parents=True, exist_ok=True)
@@ -236,10 +249,14 @@ def load_tree_prep(path) -> Optional[dict]:
             pass
         return None
     import jax.numpy as jnp
+
+    from ..util.thp import thp_stage
     prep["_tree"] = None
     # re-upload the tile table; classes/windows rebuild lazily (drivers
-    # call _ensure_far_classes; window/packed builders detect absence)
-    tiles = jnp.asarray(prep["_tiles_np"])
+    # call _ensure_far_classes; window/packed builders detect absence).
+    # The table is sidecar-mmapped: stage it (34.7 s mmap-direct upload
+    # vs ~5 s staged, measured at 10M)
+    tiles = jnp.asarray(thp_stage(prep["_tiles_np"]))
     prep["tiles"] = tiles
     nl = prep["n_blocks"]
     prep["tgt_tiles"] = tiles[:nl]

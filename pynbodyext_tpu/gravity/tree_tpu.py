@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..util.thp import thp_empty, thp_zeros
+from ..util.thp import thp_empty, thp_stage, thp_zeros
 from .kernels import (KERNEL_NONE, kernel_accel_factor,
                       kernel_potential_per_unit_mass)
 from .tree import Octree
@@ -651,8 +651,9 @@ def _ensure_far_classes(prep) -> None:
         payload=payload_np if far_pre else None)
     if not far_pre and "_payload_dev" not in prep:
         # over-budget configs gather payload rows ON DEVICE per chunk
-        # (in-jit, fused with the component kernels — _far_gather_pre)
-        prep["_payload_dev"] = jnp.asarray(payload_np)
+        # (in-jit, fused with the component kernels — _far_gather_pre);
+        # cache-loaded preps hold payload_np as a sidecar mmap — stage it
+        prep["_payload_dev"] = jnp.asarray(thp_stage(payload_np))
     _stage("prep.far_classes.leaf", _t0); _t0 = _time.perf_counter()
     if "_gfar_lists" in prep:
         ng = prep["n_groups"]
@@ -717,6 +718,10 @@ def release_host_buffers(prep) -> None:
     prep["_particles"] = None
     prep["_tiles_np"] = None
     prep.pop("_gtt_np", None)
+    for k, v in prep.items():
+        if isinstance(k, tuple) and k and k[0] == "packed":
+            v.pop("ptiles_np", None)  # ~324 MB at 10M; save_tree_prep
+            #                           reassembles it for the sidecar
 
 
 def _gtt_np(prep):
@@ -1061,9 +1066,12 @@ def _pack_dense_tiles(prep, K: int):
     if key in prep:
         pk = prep[key]
         if "ptiles" not in pk:  # cache-loaded: device table not persisted
-            pk["ptiles"] = jnp.asarray(
-                _assemble_packed_table(prep, pk["pstarts"], pk["pcounts"],
-                                       pk["sub_of"]))
+            ptn = pk.get("ptiles_np")
+            if ptn is None:  # pre-sidecar cache: assemble from particles
+                ptn = _assemble_packed_table(prep, pk["pstarts"],
+                                             pk["pcounts"], pk["sub_of"])
+                pk["ptiles_np"] = ptn
+            pk["ptiles"] = jnp.asarray(thp_stage(ptn))
         return pk
     if K * K > 32:
         raise ValueError("packed tiles need K*K <= 32")
@@ -1099,9 +1107,12 @@ def _pack_dense_tiles(prep, K: int):
     pcounts = np.asarray(pcounts, np.int64)
     npt = len(pstarts)
     pt = _assemble_packed_table(prep, pstarts, pcounts, sub_of)
+    # the host table is kept for the prep cache sidecar (a warm process
+    # re-uploads it instead of re-assembling from mmap'd particles);
+    # release_host_buffers drops it
     out = {"pstarts": pstarts, "pcounts": pcounts, "tile_of": tile_of,
            "sub_of": sub_of, "n_ptiles": npt,
-           "ptiles": jnp.asarray(pt)}
+           "ptiles_np": pt, "ptiles": jnp.asarray(pt)}
     prep[key] = out
     return out
 
@@ -1159,11 +1170,13 @@ def _packed_pairs(prep, K: int):
     return T, u, St, v
 
 
-def _windows_from_pairs(T, u, St, v, ntp: int, npt: int, R: int, K: int):
-    """Aligned R-tile windows + per-slot K×K adjacency bits from packed
-    near pairs (shared by the packed and diag-band builders).  ``ntp``:
-    padded ptile-table rows (window block ids index it); ``npt``: real
-    ptile count (group ids)."""
+def _windows_host(T, u, St, v, ntp: int, npt: int, R: int, K: int):
+    """Host half of the window build: aligned R-tile windows + per-slot
+    K×K adjacency bits from packed near pairs (shared by the packed and
+    diag-band builders).  ``ntp``: padded ptile-table rows (window block
+    ids index it); ``npt``: real ptile count (group ids).  Returns plain
+    numpy ``(wgrp, wblk, bits, wcounts)`` — persistable in the prep
+    cache, so a warm process skips the ~30M-pair scatter math."""
     nwb = ntp // R
     kkey = T * nwb + St // R
     uk = np.unique(kkey)
@@ -1175,13 +1188,25 @@ def _windows_from_pairs(T, u, St, v, ntp: int, npt: int, R: int, K: int):
     np.bitwise_or.at(bits, win * R + St % R,
                      (np.int32(1) << (u * K + v)).astype(np.int32))
     wcounts = np.bincount(wgrp, minlength=npt).astype(np.int64)
+    return wgrp, wblk, bits, wcounts
+
+
+def _windows_upload(host, npt: int, R: int):
+    """Device half: pad + upload a :func:`_windows_host` tuple."""
+    wgrp, wblk, bits, wcounts = (np.asarray(x) for x in host)
     # pad ≥ any chunk budget _clamp_w_budget can allow (see banded builder)
     pad = max(98_304 // (R + 2), int(wcounts.max()) if len(wcounts) else 0)
     gf_dev = jnp.asarray(np.concatenate([wgrp, np.full(pad, npt, np.int32)]))
     blk_dev = jnp.asarray(np.concatenate([wblk, np.zeros(pad, np.int32)]))
     bits_dev = jnp.asarray(np.concatenate([bits,
                                            np.zeros(pad * R, np.int32)]))
-    return gf_dev, blk_dev, bits_dev, wcounts
+    return gf_dev, blk_dev, bits_dev, wcounts.astype(np.int64)
+
+
+def _windows_from_pairs(T, u, St, v, ntp: int, npt: int, R: int, K: int):
+    """Windows straight from pairs (fresh build: host half + upload)."""
+    return _windows_upload(_windows_host(T, u, St, v, ntp, npt, R, K),
+                           npt, R)
 
 
 def _build_packed_windows(prep, R: int, K: int):
@@ -1418,18 +1443,37 @@ def _build_diag_band(prep, K: int, SB: int, nb2: int, R: int):
     G = max(SB, (98_304 // (NO * SB)) // SB * SB)
     G = min(G, -(-npt // SB) * SB)
     npt_pad = -(-npt // G) * G
-    T, u, St, v = _packed_pairs(prep, K)
-    dblk = St // SB - T // SB
-    inb = np.abs(dblk) <= nb2
-    o_idx = (dblk[inb] + nb2) * SB + St[inb] % SB
-    bits = np.zeros(npt_pad * NO * SB, np.int32)
-    np.bitwise_or.at(bits, T[inb] * (NO * SB) + o_idx,
-                     (np.int32(1) << (u[inb] * K + v[inb])).astype(np.int32))
-    rem = None
-    if not inb.all():
-        r = ~inb
-        rem = _windows_from_pairs(T[r], u[r], St[r], v[r],
-                                  pk["ptiles"].shape[0], npt, R, K)
+    # host-side band structures are mirrored under a PERSISTABLE key so a
+    # cache-loaded prep skips the pair-scatter math (~30M-pair repeat /
+    # fancy-index / bitwise_or.at on the single host core — the bulk of
+    # the round-4 53 s first warm solve); mmap-backed mirrors upload
+    # through a THP staging copy
+    np_key = ("diag_np", K, SB, nb2, R)
+    mirror = prep.get(np_key)
+    if mirror is not None:
+        bits = mirror["bits"]
+        band_frac = float(mirror["band_frac"])
+        rem = (None if mirror["rem"] is None
+               else _windows_upload(mirror["rem"], npt, R))
+    else:
+        T, u, St, v = _packed_pairs(prep, K)
+        dblk = St // SB - T // SB
+        inb = np.abs(dblk) <= nb2
+        o_idx = (dblk[inb] + nb2) * SB + St[inb] % SB
+        bits = np.zeros(npt_pad * NO * SB, np.int32)
+        np.bitwise_or.at(
+            bits, T[inb] * (NO * SB) + o_idx,
+            (np.int32(1) << (u[inb] * K + v[inb])).astype(np.int32))
+        band_frac = float(inb.mean()) if len(inb) else 1.0
+        rem_host = None
+        if not inb.all():
+            r = ~inb
+            rem_host = _windows_host(T[r], u[r], St[r], v[r],
+                                     pk["ptiles"].shape[0], npt, R, K)
+        prep[np_key] = {"bits": bits, "rem": rem_host,
+                        "band_frac": band_frac}
+        rem = (None if rem_host is None
+               else _windows_upload(rem_host, npt, R))
     # sentinel-padded target and blocked-source tables (device, one-time)
     sent = np.zeros((1, 8, cap), np.float32)
     sent[0, 0:3] = prep["_sentinel"][:, None]
@@ -1448,9 +1492,9 @@ def _build_diag_band(prep, K: int, SB: int, nb2: int, R: int):
             .reshape(nb2, SB, 8, cap).transpose(0, 2, 1, 3)
             .reshape(nb2, 8, SB * cap))
     src_pad = jnp.concatenate([spad, blocked, spad], axis=0)
-    out = {"bits": jnp.asarray(bits), "tgt": tgt_all, "src": src_pad,
-           "G": G, "NO": NO, "npt_pad": npt_pad, "rem": rem,
-           "band_frac": float(inb.mean()) if len(inb) else 1.0}
+    out = {"bits": jnp.asarray(thp_stage(bits)), "tgt": tgt_all,
+           "src": src_pad, "G": G, "NO": NO, "npt_pad": npt_pad,
+           "rem": rem, "band_frac": band_frac}
     prep[key] = out
     return out
 

@@ -32,7 +32,7 @@ import sys
 
 import numpy as np
 
-__all__ = ["thp_empty", "thp_zeros"]
+__all__ = ["thp_empty", "thp_zeros", "thp_stage"]
 
 _HUGE = 1 << 21  # 2 MB: below ~4 of these, plain np.empty is fine
 
@@ -61,6 +61,22 @@ def thp_empty(shape, dtype) -> np.ndarray:
         return np.empty(shape, dtype)
     flat = np.frombuffer(buf, np.uint8)
     return flat.view(dtype)[: nbytes // dtype.itemsize].reshape(shape)
+
+
+def thp_stage(arr: np.ndarray) -> np.ndarray:
+    """Copy a file-mmap-backed array into a THP-backed anonymous buffer.
+
+    Device uploads straight from a ``np.load(mmap_mode='r')`` array run at
+    file-page-fault granularity through the relay (~9 MB/s measured: the
+    324 MB 10M tile table took 34.7 s vs 4.6 s from a warm host buffer);
+    a sequential memcpy into a pre-populated buffer reads the file at
+    page-cache/readahead speed and the upload then streams at the normal
+    host-buffer rate.  Non-memmap arrays are returned unchanged."""
+    if not isinstance(arr, np.memmap):
+        return arr
+    out = thp_empty(arr.shape, arr.dtype)
+    np.copyto(out, arr)
+    return out
 
 
 def thp_zeros(shape, dtype) -> np.ndarray:

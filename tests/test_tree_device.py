@@ -627,6 +627,35 @@ def test_prep_cache_save_after_release(clustered, tmp_path):
     np.testing.assert_array_equal(phi1, phi2)
 
 
+def test_prep_cache_diag_mirror_roundtrip(clustered, tmp_path):
+    """The diag-band engine's host band structures persist in the cache
+    (("diag_np", …) mirror): a reloaded prep rebuilds the device band
+    WITHOUT re-running the pair-scatter math and solves bit-identically
+    (round-5: the first warm 10M solve spent ~50 s re-deriving windows
+    from ~30M pairs on the single host core)."""
+    pos, m, h = clustered
+    from pynbodyext_tpu.gravity import tree_tpu
+    from pynbodyext_tpu.gravity.prep_cache import (load_tree_prep,
+                                                   save_tree_prep)
+    tree = Octree(pos, m, leaf_capacity=128, multipole_order=0,
+                  softenings=h, kernel="plummer")
+    prep = tree_tpu.prepare_tree_pallas(tree, theta=0.5, group_leaves=8)
+    phi1 = tree_tpu.tree_potentials_device_pallas(
+        tree, prep=prep, interpret=True, near_engine="diag")
+    assert any(isinstance(k, tuple) and k and k[0] == "diag_np"
+               for k in prep)
+    pth = tmp_path / "prep.pkl"
+    assert save_tree_prep(prep, pth)
+    prep2 = load_tree_prep(pth)
+    assert any(isinstance(k, tuple) and k and k[0] == "diag_np"
+               for k in prep2)
+    # the packed table also reloads from its sidecar (no re-assembly)
+    assert "ptiles_np" in prep2[("packed", 5)]
+    phi2 = tree_tpu.tree_potentials_device_pallas(
+        None, prep=prep2, interpret=True, near_engine="diag")
+    np.testing.assert_array_equal(phi1, phi2)
+
+
 @pytest.mark.slow
 def test_device_at_points_vs_native(clustered):
     """Device-evaluated tree at arbitrary query points: exact (f32) match
