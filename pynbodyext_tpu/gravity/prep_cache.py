@@ -166,9 +166,10 @@ def _persistable(prep: dict) -> dict:
         if isinstance(k, tuple) and k and k[0] in _SKIP_PREFIXES:
             continue
         if isinstance(k, tuple) and k and k[0] == "packed":
-            # keep the packer's ranges + host tile table (sidecar);
-            # only the device copy is dropped (re-uploaded on first use)
-            v = {kk: vv for kk, vv in v.items() if kk != "ptiles"}
+            # keep the packer's ranges; the device table is rebuilt by a
+            # device gather from the resident leaf tiles on first use
+            v = {kk: vv for kk, vv in v.items()
+                 if kk not in ("ptiles", "ptiles_np")}
         out[k] = v
     return out
 
@@ -187,15 +188,6 @@ def save_tree_prep(prep: dict, path) -> bool:
         # packed/diag engines repack device tiles from them on reload)
         from .tree_tpu import _host_particles
         _host_particles(prep)
-    for k, v in prep.items():
-        # persist the packed tile table itself: a warm process re-uploads
-        # the sidecar instead of re-assembling from mmap'd particles
-        if (isinstance(k, tuple) and k and k[0] == "packed"
-                and isinstance(v, dict) and "ptiles_np" not in v
-                and prep.get("_particles") is not None):
-            from .tree_tpu import _assemble_packed_table
-            v["ptiles_np"] = _assemble_packed_table(
-                prep, v["pstarts"], v["pcounts"], v["sub_of"])
     body = _persistable(prep)
     try:
         path.parent.mkdir(parents=True, exist_ok=True)
@@ -231,13 +223,19 @@ def save_tree_prep(prep: dict, path) -> bool:
 def load_tree_prep(path) -> Optional[dict]:
     """Reload a persisted prep (host arrays re-uploaded to the device).
     Returns None when absent/unreadable."""
+    import time as _time
+
+    from .tree import _stage
     path = Path(path)
     if not path.exists():
         return None
+    _t0 = _time.perf_counter()
     try:
         with open(path, "rb") as f:
             body = pickle.load(f)
+        _stage("load.pickle", _t0); _t0 = _time.perf_counter()
         prep = _decode(body, path.with_suffix(".d"))
+        _stage("load.decode", _t0); _t0 = _time.perf_counter()
     except Exception as e:
         logger.warning("tree prep cache: dropping unreadable %s (%s)",
                        path.name, e)
@@ -256,7 +254,10 @@ def load_tree_prep(path) -> Optional[dict]:
     # call _ensure_far_classes; window/packed builders detect absence).
     # The table is sidecar-mmapped: stage it (34.7 s mmap-direct upload
     # vs ~5 s staged, measured at 10M)
-    tiles = jnp.asarray(thp_stage(prep["_tiles_np"]))
+    staged = thp_stage(prep["_tiles_np"])
+    _stage("load.tiles_stage", _t0); _t0 = _time.perf_counter()
+    tiles = jnp.asarray(staged)
+    _stage("load.tiles_upload", _t0)
     prep["tiles"] = tiles
     nl = prep["n_blocks"]
     prep["tgt_tiles"] = tiles[:nl]

@@ -718,10 +718,6 @@ def release_host_buffers(prep) -> None:
     prep["_particles"] = None
     prep["_tiles_np"] = None
     prep.pop("_gtt_np", None)
-    for k, v in prep.items():
-        if isinstance(k, tuple) and k and k[0] == "packed":
-            v.pop("ptiles_np", None)  # ~324 MB at 10M; save_tree_prep
-            #                           reassembles it for the sidecar
 
 
 def _gtt_np(prep):
@@ -1066,12 +1062,9 @@ def _pack_dense_tiles(prep, K: int):
     if key in prep:
         pk = prep[key]
         if "ptiles" not in pk:  # cache-loaded: device table not persisted
-            ptn = pk.get("ptiles_np")
-            if ptn is None:  # pre-sidecar cache: assemble from particles
-                ptn = _assemble_packed_table(prep, pk["pstarts"],
-                                             pk["pcounts"], pk["sub_of"])
-                pk["ptiles_np"] = ptn
-            pk["ptiles"] = jnp.asarray(thp_stage(ptn))
+            pk["ptiles"] = _ptiles_on_device(prep, pk["pstarts"],
+                                             pk["pcounts"], pk["tile_of"],
+                                             pk["sub_of"])
         return pk
     if K * K > 32:
         raise ValueError("packed tiles need K*K <= 32")
@@ -1106,15 +1099,70 @@ def _pack_dense_tiles(prep, K: int):
     pstarts = np.asarray(pstarts, np.int64)
     pcounts = np.asarray(pcounts, np.int64)
     npt = len(pstarts)
-    pt = _assemble_packed_table(prep, pstarts, pcounts, sub_of)
-    # the host table is kept for the prep cache sidecar (a warm process
-    # re-uploads it instead of re-assembling from mmap'd particles);
-    # release_host_buffers drops it
     out = {"pstarts": pstarts, "pcounts": pcounts, "tile_of": tile_of,
            "sub_of": sub_of, "n_ptiles": npt,
-           "ptiles_np": pt, "ptiles": jnp.asarray(pt)}
+           "ptiles": _ptiles_on_device(prep, pstarts, pcounts, tile_of,
+                                       sub_of)}
     prep[key] = out
     return out
+
+
+def _ptile_lane_maps(prep, pstarts, pcounts, tile_of, sub_of):
+    """Host lane maps for the DEVICE packed-table build: for every packed
+    tile lane, the flat (leaf·cap + lane) index into the resident leaf
+    tile table (invalid lanes → the dummy leaf's sentinel lane), plus the
+    per-lane sub-leaf id.  ~66 MB of int32/int8 at 10M vs the 324 MB
+    host-assembled table it replaces (the upload wire measured 20–70 MB/s
+    through the relay — the table upload was the bulk of the warm first
+    solve), and no particle-array reads at all."""
+    cap = prep["cap"]
+    nb = prep["n_blocks"]
+    lstarts = np.asarray(prep["lstarts"], np.int64)
+    lcounts = np.asarray(prep["lcounts"], np.int64)
+    pstarts = np.asarray(pstarts, np.int64)
+    tile_of = np.asarray(tile_of, np.int64)
+    sub_of = np.asarray(sub_of, np.int8)
+    npt = len(pstarts)
+    npt_pad = npt + (-npt) % 32
+    dummy_flat = np.int32(nb * cap)  # dummy leaf tile, lane 0
+    lane_map = thp_empty((npt_pad, cap), np.int32)
+    lane_map[:] = dummy_flat
+    sub_map = np.zeros((npt_pad, cap), np.int8)
+    k = np.arange(cap, dtype=np.int64)[None, :]
+    valid = k < lcounts[:, None]                      # (nb, cap)
+    toff = lstarts - pstarts[tile_of]                 # leaf's lane offset
+    dst = (tile_of[:, None] * cap + toff[:, None] + k)[valid]
+    src = (np.arange(nb, dtype=np.int64)[:, None] * cap + k)[valid]
+    lane_map.reshape(-1)[dst] = src.astype(np.int32)
+    sub_map.reshape(-1)[dst] = np.broadcast_to(sub_of[:, None],
+                                               (nb, cap))[valid]
+    return lane_map, sub_map
+
+
+@jax.jit
+def _ptiles_device_build(tiles, lane_map, sub_map, npt_real):
+    """(npt_pad, 8, cap) packed tile table gathered ON DEVICE from the
+    resident leaf tile table (row gathers of contiguous 32 B rows run at
+    ~1.5-2 s per 10M lanes — well under the replaced table upload).
+    Row 6 is 1 on real tiles / 0 on the 32-row pad (dummy) tiles; row 7
+    carries the sub-leaf ids.  Matches :func:`_assemble_packed_table`
+    bit-for-bit (same f32 source values)."""
+    ntl, _, cap = tiles.shape
+    src = tiles.transpose(0, 2, 1).reshape(ntl * cap, 8)
+    npt_pad = lane_map.shape[0]
+    g = jnp.take(src, lane_map.reshape(-1), axis=0)
+    g = g.reshape(npt_pad, cap, 8).transpose(0, 2, 1)
+    real = (jnp.arange(npt_pad) < npt_real).astype(jnp.float32)[:, None]
+    g = g.at[:, 6, :].set(jnp.broadcast_to(real, (npt_pad, cap)))
+    g = g.at[:, 7, :].set(sub_map.astype(jnp.float32))
+    return g
+
+
+def _ptiles_on_device(prep, pstarts, pcounts, tile_of, sub_of):
+    lane_map, sub_map = _ptile_lane_maps(prep, pstarts, pcounts, tile_of,
+                                         sub_of)
+    return _ptiles_device_build(prep["tiles"], jnp.asarray(lane_map),
+                                jnp.asarray(sub_map), len(pstarts))
 
 
 def _assemble_packed_table(prep, pstarts, pcounts, sub_of) -> np.ndarray:

@@ -627,6 +627,21 @@ def test_prep_cache_save_after_release(clustered, tmp_path):
     np.testing.assert_array_equal(phi1, phi2)
 
 
+def test_ptiles_device_build_matches_host(clustered):
+    """The device-gathered packed tile table (_ptiles_on_device: lane-map
+    gather from the resident leaf tiles) is bit-identical to the host
+    reference assembly from particle arrays (_assemble_packed_table)."""
+    pos, m, h = clustered
+    from pynbodyext_tpu.gravity import tree_tpu
+    tree = Octree(pos, m, leaf_capacity=128, multipole_order=0,
+                  softenings=h, kernel="plummer")
+    prep = tree_tpu.prepare_tree_pallas(tree, theta=0.5, group_leaves=8)
+    pk = tree_tpu._pack_dense_tiles(prep, 5)
+    host = tree_tpu._assemble_packed_table(prep, pk["pstarts"],
+                                           pk["pcounts"], pk["sub_of"])
+    np.testing.assert_array_equal(np.asarray(pk["ptiles"]), host)
+
+
 def test_prep_cache_diag_mirror_roundtrip(clustered, tmp_path):
     """The diag-band engine's host band structures persist in the cache
     (("diag_np", …) mirror): a reloaded prep rebuilds the device band
@@ -649,8 +664,9 @@ def test_prep_cache_diag_mirror_roundtrip(clustered, tmp_path):
     prep2 = load_tree_prep(pth)
     assert any(isinstance(k, tuple) and k and k[0] == "diag_np"
                for k in prep2)
-    # the packed table also reloads from its sidecar (no re-assembly)
-    assert "ptiles_np" in prep2[("packed", 5)]
+    # the packed device table rebuilds lazily (device gather from the
+    # resident leaf tiles — no host assembly, no sidecar)
+    assert "ptiles" not in prep2[("packed", 5)]
     phi2 = tree_tpu.tree_potentials_device_pallas(
         None, prep=prep2, interpret=True, near_engine="diag")
     np.testing.assert_array_equal(phi1, phi2)
