@@ -160,9 +160,12 @@ def _decode(v: Any, extdir) -> Any:
 
 def _persistable(prep: dict) -> dict:
     out = {}
+    has_pm = prep.get("_part_mat") is not None
     for k, v in prep.items():
         if k in _SKIP_KEYS:
             continue
+        if k == "_tiles_np" and has_pm:
+            continue  # derivable on device from the particle matrix
         if isinstance(k, tuple) and k and k[0] in _SKIP_PREFIXES:
             continue
         if isinstance(k, tuple) and k and k[0] == "packed":
@@ -179,7 +182,14 @@ def save_tree_prep(prep: dict, path) -> bool:
     rebuilt on load).  Returns False (and logs) on any IO failure —
     caching is best-effort."""
     path = Path(path)
-    if prep.get("_tiles_np") is None:
+    if "_part_mat" in prep:
+        # compact-matrix preps: persist the (n+1, 6) particle matrix and
+        # rebuild the tile table on device at load — never materialize
+        # (or ship) the 324 MB host table
+        if prep.get("_part_mat") is None:
+            from .tree_tpu import _part_matrix
+            _part_matrix(prep)
+    elif prep.get("_tiles_np") is None:
         from .tree_tpu import _host_tiles
         _host_tiles(prep)  # materialize the host tile table for the pickle
     if prep.get("_particles") is None and prep.get("_tree") is not None:
@@ -250,16 +260,28 @@ def load_tree_prep(path) -> Optional[dict]:
 
     from ..util.thp import thp_stage
     prep["_tree"] = None
-    # re-upload the tile table; classes/windows rebuild lazily (drivers
-    # call _ensure_far_classes; window/packed builders detect absence).
-    # The table is sidecar-mmapped: stage it (34.7 s mmap-direct upload
-    # vs ~5 s staged, measured at 10M)
-    staged = thp_stage(prep["_tiles_np"])
-    _stage("load.tiles_stage", _t0); _t0 = _time.perf_counter()
-    tiles = jnp.asarray(staged)
-    _stage("load.tiles_upload", _t0)
-    prep["tiles"] = tiles
+    # rebuild the device tile table; classes/windows rebuild lazily
+    # (drivers call _ensure_far_classes; window/packed builders detect
+    # absence).  Compact-matrix preps upload the staged (n+1, 6) matrix
+    # and gather the table on device; legacy caches re-upload the full
+    # table (sidecar mmaps always staged — mmap-direct uploads measured
+    # ~9 MB/s through the relay)
     nl = prep["n_blocks"]
+    if prep.get("_part_mat") is not None:
+        from .tree_tpu import _leaf_tiles_on_device
+        pm = thp_stage(prep["_part_mat"])
+        prep["_part_mat"] = pm
+        _stage("load.tiles_stage", _t0); _t0 = _time.perf_counter()
+        pad32 = (-(nl + 1)) % 32
+        tiles = _leaf_tiles_on_device(pm, prep["lstarts"], prep["lcounts"],
+                                      nl, pad32, prep["cap"])
+        _stage("load.tiles_upload", _t0)
+    else:
+        staged = thp_stage(prep["_tiles_np"])
+        _stage("load.tiles_stage", _t0); _t0 = _time.perf_counter()
+        tiles = jnp.asarray(staged)
+        _stage("load.tiles_upload", _t0)
+    prep["tiles"] = tiles
     prep["tgt_tiles"] = tiles[:nl]
     prep["_cache_path"] = str(path)
     prep["_cache_keys"] = frozenset(body.keys())

@@ -529,9 +529,12 @@ def prepare_tree_pallas(tree: Octree, theta: float = 0.7, cap: int = 128,
     # The pad rows are requested up front: a post-hoc np.concatenate
     # re-allocated the whole 1 GB table (first-touch faults cost ~15 s/GB
     # on this host — util/thp.py).
+    # The table itself is gathered ON DEVICE from a compact (n+1, 6)
+    # particle matrix: the host C++ pack (8–13 s at 10M) plus the 324 MB
+    # table upload (relay wire measured 20–70 MB/s) become a 240 MB
+    # upload + one jitted row gather (~1.5 s).
     pad32 = (-(n_leaves + 1)) % 32
-    tiles = tree.pack_leaf_tiles(lstarts, lcounts, sentinel, cap,
-                                 pad_rows=pad32)
+    pm = _build_part_matrix(pos, pmass, psoft, orig, sentinel)
     _stage("prep.tiles", _t0); _t0 = _time.perf_counter()
     com, nmass, _ = tree.node_data()
     com = np.vstack([com, sentinel[None, :]])
@@ -543,7 +546,8 @@ def prepare_tree_pallas(tree: Octree, theta: float = 0.7, cap: int = 128,
     nodes_packed[:, 0:3] = com
     nodes_packed[:, 3] = nmass
     _stage("prep.nodes", _t0); _t0 = _time.perf_counter()
-    tiles_j = jnp.asarray(tiles)
+    tiles_j = _leaf_tiles_on_device(pm, lstarts, lcounts, n_leaves, pad32,
+                                    cap)
     _stage("prep.tiles_upload", _t0); _t0 = _time.perf_counter()
     # NOTE: no eager (nb, cap, 3) target-position copy — the only consumer
     # of its layout was .shape[1] (== cap); the eager jnp.moveaxis cost a
@@ -569,7 +573,8 @@ def prepare_tree_pallas(tree: Octree, theta: float = 0.7, cap: int = 128,
         "_tree": tree,
         "_particles": (pos, pmass, psoft, orig),
         "_sentinel": np.asarray(sentinel, np.float64),
-        "_tiles_np": tiles,
+        "_tiles_np": None,  # lazy (numpy pack) — device table is primary
+        "_part_mat": pm,
         "G": G,
         "stats": {"mean_nodes": float(node_counts.mean()),
                   "mean_leaf_tiles": float(leaf_counts.mean()),
@@ -674,6 +679,63 @@ def _ensure_far_classes(prep) -> None:
         _stage("prep.far_classes.group", _t0)
 
 
+def _build_part_matrix(pos, pmass, psoft, orig, sentinel) -> np.ndarray:
+    """(n+1, 6) f32 tree-order particle matrix [x, y, z, m, h, orig] with
+    a trailing sentinel row [sx, sy, sz, 0, 0, -2] — the compact upload
+    the device-side tile builders gather from."""
+    n = len(pmass)
+    pm = thp_empty((n + 1, 6), np.float32)
+    pm[:n, 0:3] = pos
+    pm[:n, 3] = pmass
+    pm[:n, 4] = psoft
+    pm[:n, 5] = orig
+    pm[n, 0:3] = np.asarray(sentinel, np.float64)
+    pm[n, 3:5] = 0.0
+    pm[n, 5] = -2.0
+    return pm
+
+
+def _part_matrix(prep) -> np.ndarray:
+    """The (n+1, 6) particle matrix, rebuilt on demand after
+    ``release_host_buffers`` (cheap column casts from the tree order)."""
+    if prep.get("_part_mat") is None:
+        pos, pmass, psoft, orig = _host_particles(prep)
+        prep["_part_mat"] = _build_part_matrix(pos, pmass, psoft, orig,
+                                               prep["_sentinel"])
+    return prep["_part_mat"]
+
+
+@partial(jax.jit, static_argnames=("cap",))
+def _leaf_tiles_device(pm, lstarts, lcounts, n_leaves, cap: int):
+    """(nt, 8, cap) leaf tile table gathered ON DEVICE from the particle
+    matrix (row layout of :func:`tree_pallas.pack_leaf_tiles` /
+    ``csrc/octree.cpp pnx_tree_pack_leaf_tiles``, bit-identical — see
+    test_leaf_tiles_device_build_matches_native).  ``lstarts``/``lcounts``
+    cover ALL nt rows (dummy + pad rows have count 0 → every lane gathers
+    the sentinel row)."""
+    nt = lstarts.shape[0]
+    n = pm.shape[0] - 1
+    k = jnp.arange(cap, dtype=jnp.int32)[None, :]
+    idx = jnp.where(k < lcounts[:, None], lstarts[:, None] + k, n)
+    g = jnp.take(pm, idx.reshape(-1), axis=0).reshape(nt, cap, 6)
+    g = g.transpose(0, 2, 1)
+    real = (jnp.arange(nt) < n_leaves).astype(jnp.float32)[:, None, None]
+    row6 = jnp.broadcast_to(real, (nt, 1, cap))
+    row7 = jnp.zeros((nt, 1, cap), jnp.float32)
+    return jnp.concatenate([g, row6, row7], axis=1)
+
+
+def _leaf_tiles_on_device(pm, lstarts, lcounts, n_leaves: int, pad32: int,
+                          cap: int):
+    lsp = np.concatenate([np.asarray(lstarts, np.int64),
+                          np.full(1 + pad32, len(pm) - 1,
+                                  np.int64)]).astype(np.int32)
+    lcp = np.concatenate([np.asarray(lcounts, np.int64),
+                          np.zeros(1 + pad32, np.int64)]).astype(np.int32)
+    return _leaf_tiles_device(jnp.asarray(pm), jnp.asarray(lsp),
+                              jnp.asarray(lcp), n_leaves, cap)
+
+
 def _host_particles(prep):
     """Tree-order particle arrays (host), rebuilt from the tree on demand
     after ``release_host_buffers``."""
@@ -717,6 +779,7 @@ def release_host_buffers(prep) -> None:
     are built (first eval) to halve steady-state host RSS."""
     prep["_particles"] = None
     prep["_tiles_np"] = None
+    prep["_part_mat"] = None
     prep.pop("_gtt_np", None)
 
 

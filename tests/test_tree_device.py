@@ -627,6 +627,23 @@ def test_prep_cache_save_after_release(clustered, tmp_path):
     np.testing.assert_array_equal(phi1, phi2)
 
 
+def test_leaf_tiles_device_build_matches_native(clustered):
+    """The device-gathered leaf tile table (gather from the compact
+    (n+1, 6) particle matrix) is bit-identical to the native C++ packer
+    (csrc/octree.cpp pnx_tree_pack_leaf_tiles) including the dummy and
+    %32 pad rows."""
+    pos, m, h = clustered
+    from pynbodyext_tpu.gravity import tree_tpu
+    tree = Octree(pos, m, leaf_capacity=128, multipole_order=0,
+                  softenings=h, kernel="plummer")
+    prep = tree_tpu.prepare_tree_pallas(tree, theta=0.5, group_leaves=8)
+    pad32 = (-(prep["n_blocks"] + 1)) % 32
+    ref = tree.pack_leaf_tiles(prep["lstarts"], prep["lcounts"],
+                               prep["_sentinel"], prep["cap"],
+                               pad_rows=pad32)
+    np.testing.assert_array_equal(np.asarray(prep["tiles"]), ref)
+
+
 def test_ptiles_device_build_matches_host(clustered):
     """The device-gathered packed tile table (_ptiles_on_device: lane-map
     gather from the resident leaf tiles) is bit-identical to the host
