@@ -59,7 +59,7 @@ _SKIP_KEYS = {"_tree", "_gtt_np", "gtt_tiles", "far_classes",
               # re-uploading ~80 MB per eval at 10M)
               "_combine_idx"}
 
-_FORMAT_VERSION = 6  # v6: Hilbert-ordered DFS default (leaf seq changed)
+_FORMAT_VERSION = 7  # v7: compact _part_mat replaces _tiles_np in the pickle
 
 
 def _hash_array(h, arr) -> None:
@@ -182,23 +182,30 @@ def save_tree_prep(prep: dict, path) -> bool:
     rebuilt on load).  Returns False (and logs) on any IO failure —
     caching is best-effort."""
     path = Path(path)
-    if "_part_mat" in prep:
-        # compact-matrix preps: persist the (n+1, 6) particle matrix and
-        # rebuild the tile table on device at load — never materialize
-        # (or ship) the 324 MB host table
-        if prep.get("_part_mat") is None:
-            from .tree_tpu import _part_matrix
-            _part_matrix(prep)
-    elif prep.get("_tiles_np") is None:
-        from .tree_tpu import _host_tiles
-        _host_tiles(prep)  # materialize the host tile table for the pickle
-    if prep.get("_particles") is None and prep.get("_tree") is not None:
-        # a release_host_buffers'd prep still holds the tree — rebuild the
-        # tree-order particle arrays so the pickle is self-contained (the
-        # packed/diag engines repack device tiles from them on reload)
-        from .tree_tpu import _host_particles
-        _host_particles(prep)
-    body = _persistable(prep)
+    try:
+        if "_part_mat" in prep:
+            # compact-matrix preps: persist the (n+1, 6) particle matrix
+            # and rebuild the tile table on device at load — never
+            # materialize (or ship) the 324 MB host table
+            if prep.get("_part_mat") is None:
+                from .tree_tpu import _part_matrix
+                _part_matrix(prep)
+        elif prep.get("_tiles_np") is None:
+            from .tree_tpu import _host_tiles
+            _host_tiles(prep)  # materialize the host table for the pickle
+        if prep.get("_particles") is None and prep.get("_tree") is not None:
+            # a release_host_buffers'd prep still holds the tree — rebuild
+            # the tree-order particle arrays so the pickle is
+            # self-contained (the packed/diag engines repack device tiles
+            # from them on reload)
+            from .tree_tpu import _host_particles
+            _host_particles(prep)
+        body = _persistable(prep)
+    except Exception as e:
+        # best-effort contract: a released prep (host buffers freed) or a
+        # failed rebuild must not escape — caching just doesn't happen
+        logger.warning("tree prep cache: save skipped (%s)", e)
+        return False
     try:
         path.parent.mkdir(parents=True, exist_ok=True)
         sink: list = []

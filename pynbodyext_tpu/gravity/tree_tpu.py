@@ -1819,6 +1819,21 @@ def _build_classes(counts, flat_ids, min_width: int, fill: int, targets,
     # the entries keep their documented (…, dev_array, …) shape.
     ex = ThreadPoolExecutor(max_workers=1)
     _upl = ex.submit  # each submit keeps its host buffer alive via args
+    try:
+        out, targets_dev = _build_classes_inner(
+            counts, flat_ids, fill, targets_dev, flat_aux_np, payload,
+            widths, starts, native, nflat, _pad_mat, _upl, out, _stage)
+    finally:
+        # a failed gather/pad or a re-raised upload error must not leave
+        # queued futures pinning their large host buffers (ADVICE r4)
+        ex.shutdown(wait=True)
+    return out, targets_dev
+
+
+def _build_classes_inner(counts, flat_ids, fill, targets_dev, flat_aux_np,
+                         payload, widths, starts, native, nflat, _pad_mat,
+                         _upl, out, _stage):
+    from concurrent.futures import Future
     for w in np.unique(widths):
         _tw = _time.perf_counter()
         sel = np.nonzero(widths == w)[0]
@@ -1869,7 +1884,6 @@ def _build_classes(counts, flat_ids, min_width: int, fill: int, targets,
     _tw = _time.perf_counter()
     out = [tuple(x.result() if isinstance(x, Future) else x for x in e)
            for e in out]
-    ex.shutdown()
     _stage("classes.upload_wait", _tw)
     return out, targets_dev
 
