@@ -57,7 +57,9 @@ _SKIP_KEYS = {"_tree", "_gtt_np", "gtt_tiles", "far_classes",
               # rebuilt per process (host rebuild is two cheap scatters;
               # persisting would hand numpy mmaps to the jitted combine,
               # re-uploading ~80 MB per eval at 10M)
-              "_combine_idx"}
+              "_combine_idx",
+              # in-flight background warm thread (load_tree_prep)
+              "_warm_future", "_tiles_ready"}
 
 _FORMAT_VERSION = 7  # v7: compact _part_mat replaces _tiles_np in the pickle
 
@@ -237,9 +239,16 @@ def save_tree_prep(prep: dict, path) -> bool:
     return True
 
 
-def load_tree_prep(path) -> Optional[dict]:
+def load_tree_prep(path, background_warm: bool = True) -> Optional[dict]:
     """Reload a persisted prep (host arrays re-uploaded to the device).
-    Returns None when absent/unreadable."""
+    Returns None when absent/unreadable.
+
+    ``background_warm``: start a daemon thread that rebuilds the lazily
+    built engine structures (far classes, diag band tables, combine
+    indices) while the caller's code runs — the class host gathers then
+    overlap the tile-table upload instead of serializing ahead of the
+    first solve (~19 s of the round-4 warm first solve).  Solvers
+    synchronize on it via ``_ensure_far_classes``."""
     import time as _time
 
     from .tree import _stage
@@ -267,29 +276,48 @@ def load_tree_prep(path) -> Optional[dict]:
 
     from ..util.thp import thp_stage
     prep["_tree"] = None
-    # rebuild the device tile table; classes/windows rebuild lazily
-    # (drivers call _ensure_far_classes; window/packed builders detect
-    # absence).  Compact-matrix preps upload the staged (n+1, 6) matrix
-    # and gather the table on device; legacy caches re-upload the full
-    # table (sidecar mmaps always staged — mmap-direct uploads measured
-    # ~9 MB/s through the relay)
-    nl = prep["n_blocks"]
-    if prep.get("_part_mat") is not None:
-        from .tree_tpu import _leaf_tiles_on_device
-        pm = thp_stage(prep["_part_mat"])
-        prep["_part_mat"] = pm
-        _stage("load.tiles_stage", _t0); _t0 = _time.perf_counter()
-        pad32 = (-(nl + 1)) % 32
-        tiles = _leaf_tiles_on_device(pm, prep["lstarts"], prep["lcounts"],
-                                      nl, pad32, prep["cap"])
-        _stage("load.tiles_upload", _t0)
-    else:
-        staged = thp_stage(prep["_tiles_np"])
-        _stage("load.tiles_stage", _t0); _t0 = _time.perf_counter()
-        tiles = jnp.asarray(staged)
-        _stage("load.tiles_upload", _t0)
-    prep["tiles"] = tiles
-    prep["tgt_tiles"] = tiles[:nl]
+    warm_ex = None
+    if background_warm:
+        # start the engine-structure warm NOW: its class host gathers and
+        # uploads overlap the tile-table upload below (the warm thread
+        # blocks on prep["_tiles_ready"] only where it needs the table)
+        import threading
+        from concurrent.futures import ThreadPoolExecutor
+
+        from .tree_tpu import warm_prep_structures
+        prep["_tiles_ready"] = threading.Event()
+        warm_ex = ThreadPoolExecutor(max_workers=1)
+        prep["_warm_future"] = warm_ex.submit(warm_prep_structures, prep)
+        warm_ex.shutdown(wait=False)
+    try:
+        # rebuild the device tile table; windows rebuild lazily
+        # (window/packed builders detect absence).  Compact-matrix preps
+        # upload the staged (n+1, 6) matrix and gather the table on
+        # device; legacy caches re-upload the full table (sidecar mmaps
+        # always staged — mmap-direct uploads measured ~9 MB/s through
+        # the relay)
+        nl = prep["n_blocks"]
+        if prep.get("_part_mat") is not None:
+            from .tree_tpu import _leaf_tiles_on_device
+            pm = thp_stage(prep["_part_mat"])
+            prep["_part_mat"] = pm
+            _stage("load.tiles_stage", _t0); _t0 = _time.perf_counter()
+            pad32 = (-(nl + 1)) % 32
+            tiles = _leaf_tiles_on_device(pm, prep["lstarts"],
+                                          prep["lcounts"],
+                                          nl, pad32, prep["cap"])
+            _stage("load.tiles_upload", _t0)
+        else:
+            staged = thp_stage(prep["_tiles_np"])
+            _stage("load.tiles_stage", _t0); _t0 = _time.perf_counter()
+            tiles = jnp.asarray(staged)
+            _stage("load.tiles_upload", _t0)
+        prep["tiles"] = tiles
+        prep["tgt_tiles"] = tiles[:nl]
+    finally:
+        ev = prep.get("_tiles_ready")
+        if ev is not None:
+            ev.set()  # even on failure: never strand the warm thread
     prep["_cache_path"] = str(path)
     prep["_cache_keys"] = frozenset(body.keys())
     return prep

@@ -1408,7 +1408,7 @@ def near_field_diag_chunk(bits_all, gstart, tgt_all, src_blk_pad,
                           kernel: str = KERNEL_NONE, accel: bool = False,
                           interpret: bool = False, K: int = 5, SB: int = 8,
                           NO: int = 19, G: int = 640, cap: int = 128,
-                          accel_form: str = "diff"):
+                          accel_form: str = "diff", gsrc=None):
     """One chunk of ``G`` packed target tiles through the diag-band
     kernel.  Slices everything on device from the once-uploaded global
     arrays (``gstart`` must be a multiple of SB; tgt_all/bits_all are
@@ -1416,11 +1416,15 @@ def near_field_diag_chunk(bits_all, gstart, tgt_all, src_blk_pad,
     clamp).  ``src_blk_pad``: ((npt_pad+NO-1)//SB… , 8, SB·cap) blocked
     packed tiles with (NO-1)/2 sentinel blocks on each side — local
     source block for (i, o) is ``i//SB + o``, 0-based after the slice.
+    ``gsrc``: optional (1,) GLOBAL tile start for the source slice when
+    bits/tgt are a mesh shard (local coordinates) but the blocked source
+    table stays global (replicated) — the mesh-sharded diag path.
     Returns (G, rows, cap) band-partial sums."""
     gs = gstart[0]
+    ss = gs if gsrc is None else gsrc[0]
     bits = jax.lax.dynamic_slice(bits_all, (gs * NO * SB,), (G * NO * SB,))
     tgt = jax.lax.dynamic_slice(tgt_all, (gs, 0, 0), (G, 8, cap))
-    src = jax.lax.dynamic_slice(src_blk_pad, (gs // SB, 0, 0),
+    src = jax.lax.dynamic_slice(src_blk_pad, (ss // SB, 0, 0),
                                 (G // SB + NO - 1, 8, SB * cap))
     rows = 3 if accel else 1
     kern = functools.partial(_near_diag_kernel, cap=cap, kernel=kernel,

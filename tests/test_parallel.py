@@ -171,7 +171,7 @@ def test_mesh_sharded_device_tree(mesh):
     phi1 = tree_potentials_device_pallas(tree, prep=prep, interpret=True,
                                          near_engine="banded")
     scale = np.abs(phi1).max()
-    for eng in ("banded", "packed"):
+    for eng in ("banded", "packed", "diag"):
         phi8 = tree_potentials_device_pallas(tree, prep=prep,
                                              interpret=True,
                                              near_engine=eng, mesh=mesh)
@@ -180,6 +180,8 @@ def test_mesh_sharded_device_tree(mesh):
     acc1 = tree_accelerations_device_pallas(tree, prep=prep, interpret=True,
                                             near_engine="banded")
     ascale = np.abs(acc1).max()
-    acc8 = tree_accelerations_device_pallas(tree, prep=prep, interpret=True,
-                                            near_engine="packed", mesh=mesh)
-    np.testing.assert_allclose(acc8, acc1, rtol=1e-4, atol=ascale * 1e-5)
+    for eng in ("packed", "diag"):
+        acc8 = tree_accelerations_device_pallas(
+            tree, prep=prep, interpret=True, near_engine=eng, mesh=mesh)
+        np.testing.assert_allclose(acc8, acc1, rtol=1e-4,
+                                   atol=ascale * 1e-5, err_msg=eng)
