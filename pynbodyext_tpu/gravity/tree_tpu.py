@@ -500,9 +500,27 @@ def prepare_tree_pallas(tree: Octree, theta: float = 0.7, cap: int = 128,
     ~``group_leaves``); the per-leaf lists hold only the residual nodes.
     """
     import time as _time
+    from concurrent.futures import ThreadPoolExecutor
     from .tree import _stage
     _t0 = _time.perf_counter()
     G = max(1, int(group_leaves))
+    # particle matrix FIRST (tree order is fixed at build; only the leaf
+    # ENUMERATION below needs the list build), its upload issued on a
+    # background thread: the 10M relay wire cost (~6–20 s) then rides
+    # under the host interaction-list build instead of serializing after
+    # it (round-4 prep spent tiles_upload 6.2 + upload 15.3 s waiting on
+    # exactly this transfer — VERDICT r4 item 4)
+    pos, pmass, psoft, orig = tree.particles_tree_order()
+    n = len(pos)
+    extent = float(np.max(pos.max(0) - pos.min(0))) if n else 1.0
+    sentinel = (pos.mean(0) + 3.0 * max(extent, 1e-3)).astype(np.float64)
+    if n >= (1 << 24):
+        raise ValueError("orig-index-in-f32 packing requires N < 2^24")
+    pm = _build_part_matrix(pos, pmass, psoft, orig, sentinel)
+    _stage("prep.tiles", _t0); _t0 = _time.perf_counter()
+    _ex = ThreadPoolExecutor(max_workers=1)
+    pm_fut = _ex.submit(jnp.asarray, pm)
+    _ex.shutdown(wait=False)
     if G > 1:
         gl = tree.group_lists(theta=theta, group_leaves=G)
         leaf_counts, leaf_idx = gl["lleaf_counts"], gl["lleaf_idx"]
@@ -513,16 +531,10 @@ def prepare_tree_pallas(tree: Octree, theta: float = 0.7, cap: int = 128,
         node_counts, node_ids = lists["node_counts"], lists["node_ids"]
         gl = None
     _stage("prep.lists", _t0); _t0 = _time.perf_counter()
-    pos, pmass, psoft, orig = tree.particles_tree_order()
-    lstarts, lcounts = tree.leaves()
+    lstarts, lcounts = tree.leaves()  # enumerated by the list build
     # kept for the dense-packed near engine (packer rebuilds tile rows)
-    n = len(pos)
     n_leaves = len(lstarts)
     cap = max(cap, int(lcounts.max()) if n_leaves else 1)
-    extent = float(np.max(pos.max(0) - pos.min(0))) if n else 1.0
-    sentinel = (pos.mean(0) + 3.0 * max(extent, 1e-3)).astype(np.float64)
-    if n >= (1 << 24):
-        raise ValueError("orig-index-in-f32 packing requires N < 2^24")
     # pad the tile table to a multiple of 32 rows (all-dummy rows) so the
     # banded engine's (R, 8, cap) window BlockSpec divides it for any
     # R ∈ {4, 8, 16, 32}; leaf ids (incl. the dummy id n_leaves) unchanged.
@@ -534,8 +546,6 @@ def prepare_tree_pallas(tree: Octree, theta: float = 0.7, cap: int = 128,
     # table upload (relay wire measured 20–70 MB/s) become a 240 MB
     # upload + one jitted row gather (~1.5 s).
     pad32 = (-(n_leaves + 1)) % 32
-    pm = _build_part_matrix(pos, pmass, psoft, orig, sentinel)
-    _stage("prep.tiles", _t0); _t0 = _time.perf_counter()
     com, nmass, _ = tree.node_data()
     com = np.vstack([com, sentinel[None, :]])
     nmass = np.concatenate([nmass, [0.0]])
@@ -546,8 +556,8 @@ def prepare_tree_pallas(tree: Octree, theta: float = 0.7, cap: int = 128,
     nodes_packed[:, 0:3] = com
     nodes_packed[:, 3] = nmass
     _stage("prep.nodes", _t0); _t0 = _time.perf_counter()
-    tiles_j = _leaf_tiles_on_device(pm, lstarts, lcounts, n_leaves, pad32,
-                                    cap)
+    tiles_j = _leaf_tiles_on_device(pm_fut.result(), lstarts, lcounts,
+                                    n_leaves, pad32, cap)
     _stage("prep.tiles_upload", _t0); _t0 = _time.perf_counter()
     # NOTE: no eager (nb, cap, 3) target-position copy — the only consumer
     # of its layout was .shape[1] (== cap); the eager jnp.moveaxis cost a
