@@ -103,7 +103,8 @@ class StreamingProfileArray:
 class StreamingProfile:
     """Radial profile over a :class:`ChunkedSnapshot` view."""
 
-    def __init__(self, sim: ChunkedSnapshot, *, bins_by: str = "r",
+    def __init__(self, sim: ChunkedSnapshot, *,
+                 bins_by: Union[str, Callable] = "r",
                  bins_type: str = "lin", nbins: int = 100,
                  bin_min: Optional[float] = None,
                  bin_max: Optional[float] = None,
@@ -111,14 +112,15 @@ class StreamingProfile:
                  weight: Union[str, None] = "mass",
                  source_cls: Optional[type] = None):
         from ..profiles.bins import _BINS_AREA
-        if callable(bins_by) or callable(bins_type):
+        if callable(bins_type):
             raise NotImplementedError(
-                "streaming profiles take registered string bins_by/"
-                "bins_type")
-        if bins_type not in ("lin", "log"):
+                "streaming profiles take a registered string bins_type "
+                "('lin'/'log'/'equaln') — a callable needs the "
+                "materialized bin coordinate")
+        if bins_type not in ("lin", "log", "equaln"):
             raise NotImplementedError(
-                f"streaming profiles support lin/log edges, got "
-                f"{bins_type!r} (equaln needs a global sort)")
+                f"streaming profiles support lin/log/equaln edges, got "
+                f"{bins_type!r}")
         self.sim = sim
         self.bins_by = bins_by
         self.nbins = int(nbins)
@@ -126,17 +128,26 @@ class StreamingProfile:
         self._source_cls = source_cls
         self._moment_cache: Dict[str, Tuple] = {}
 
-        x = sim[bins_by]
-        self._x_units = x.units
-        if bin_min is None:
-            bin_min = float(x.min().value)
-        if bin_max is None:
-            bin_max = float(x.max().value)
-        if bins_type == "log":
-            edges = jnp.logspace(jnp.log10(jnp.maximum(bin_min, 1e-30)),
-                                 jnp.log10(bin_max), nbins + 1)
+        # units come from the first chunk's materialized coordinate —
+        # callable bins_by (BinsSet parity, bins.py _resolve_x) has no
+        # snapshot-level array to ask
+        self._x_units = (self._x_of(sim.chunk_view(0)).units
+                         if sim.n_chunks else dimensionless)
+        if bins_type == "equaln":
+            edges = jnp.asarray(self._equaln_edges(bin_min, bin_max))
         else:
-            edges = jnp.linspace(bin_min, bin_max, nbins + 1)
+            if bin_min is None or bin_max is None:
+                lo, hi = self._stream_minmax(positive=bins_type == "log")
+                if bin_min is None:
+                    bin_min = lo
+                if bin_max is None:
+                    bin_max = hi
+            if bins_type == "log":
+                edges = jnp.logspace(
+                    jnp.log10(jnp.maximum(bin_min, 1e-30)),
+                    jnp.log10(bin_max), nbins + 1)
+            else:
+                edges = jnp.linspace(bin_min, bin_max, nbins + 1)
         self.edges = edges.astype(jnp.float32)
         self.binsize = _BINS_AREA[bins_area](self.edges, self._x_units)
 
@@ -149,10 +160,223 @@ class StreamingProfile:
         self._weight_sums = wsums
 
     # -- streaming passes ------------------------------------------------------
+    def _x_of(self, view):
+        """Materialize the bin coordinate on one chunk view: callable →
+        registered name → plain/derived field (``BinsSet._resolve_x``
+        parity; reference bins.py:521-685)."""
+        by = self.bins_by
+        if callable(by):
+            out = by(view)
+        else:
+            from ..profiles.bins import _BINS_BY
+            if by in _BINS_BY:
+                out = _BINS_BY[by](view)
+            else:
+                return view[by]
+        return out if isinstance(out, QArray) else QArray(out)
+
+    def _stream_minmax(self, positive: bool = False):
+        """Masked (min, max) of the bin coordinate, one chunk resident at
+        a time (``positive`` restricts to x > 0 for log edges)."""
+        lo, hi = np.inf, -np.inf
+        for i in range(self.sim.n_chunks):
+            x = self._x_of(self.sim.chunk_view(i)).value
+            sel = self.sim.chunk_selection(i)
+            m = jnp.ones(x.shape, bool) if sel is None else sel
+            if positive:
+                m = jnp.logical_and(m, x > 0)
+            lo = min(lo, float(jnp.min(jnp.where(m, x, jnp.inf))))
+            hi = max(hi, float(jnp.max(jnp.where(m, x, -jnp.inf))))
+        if not np.isfinite(lo):
+            lo, hi = 0.0, 1.0
+        return lo, hi
+
+    def _equaln_edges(self, bin_min, bin_max, *, B: int = 128,
+                      max_rounds: int = 4, cap: int = 8192) -> np.ndarray:
+        """Equal-count bin edges without materializing the coordinate.
+
+        The interior edges are the k/nbins COUNT quantiles of the bin
+        coordinate under the in-HBM interpolation (``bins.py``
+        ``_edges_equaln`` → :func:`..ops.masked.weighted_quantile` with
+        unit weights: sorted values at cumulative fractions
+        ``(i+1)/N``); the ends are the exact masked extrema (or the
+        given ``bin_min``/``bin_max``).  The reference materializes the
+        dask array to sort it (``proarray.py:316-334``,
+        ``bins.py:720-746``); here the edges come from streamed
+        histogram bisection — every edge keeps a [lo, hi) bracket that a
+        per-round (U, B) count histogram narrows by ~B×, then one
+        collection pass resolves the crossing elements exactly.  Memory
+        stays O(nbins·B) per pass.  Brackets still holding more than
+        ``cap`` elements after ``max_rounds`` (massive value ties) fall
+        back to the bracket midpoint — within ``span/B**rounds`` of the
+        exact answer (documented tolerance).
+        """
+        nb = self.nbins
+        sim = self.sim
+
+        def _stream(fn):
+            for i in range(sim.n_chunks):
+                v = self._x_of(sim.chunk_view(i)).value
+                sel = sim.chunk_selection(i)
+                m = jnp.ones(v.shape, bool) if sel is None else sel
+                if bin_min is not None:
+                    m = jnp.logical_and(m, v >= bin_min)
+                if bin_max is not None:
+                    m = jnp.logical_and(m, v <= bin_max)
+                fn(v, m)
+
+        # pass 1: masked extrema + total count
+        st = {"lo": np.inf, "hi": -np.inf, "n": 0}
+
+        def _mm(v, m):
+            st["lo"] = min(st["lo"],
+                           float(jnp.min(jnp.where(m, v, jnp.inf))))
+            st["hi"] = max(st["hi"],
+                           float(jnp.max(jnp.where(m, v, -jnp.inf))))
+            st["n"] += int(jnp.sum(m))
+
+        _stream(_mm)
+        N, vmin, vmax = st["n"], st["lo"], st["hi"]
+        if N == 0 or not np.isfinite(vmin):
+            lo0 = 0.0 if bin_min is None else float(bin_min)
+            hi0 = 1.0 if bin_max is None else float(bin_max)
+            return np.linspace(lo0, hi0, nb + 1)
+        e0 = vmin if bin_min is None else float(bin_min)
+        e1 = vmax if bin_max is None else float(bin_max)
+        if nb == 1:
+            return np.asarray([e0, e1])
+        # interior targets in absolute cumulative-count units: the in-HBM
+        # interp's CDF knots are (i+1)/N at sorted value v_i, so edge k
+        # needs the elements with cum = ceil(t)−1 and ceil(t)
+        t = np.arange(1, nb) / nb * N
+        nE = nb - 1
+        lo = np.full(nE, vmin, np.float64)
+        hi = np.full(nE, np.nextafter(np.float64(vmax), np.inf))
+        counts_in = np.full(nE, N, np.int64)
+        ti = np.maximum(np.ceil(t - 1e-9), 1.0).astype(np.int64)
+        width = np.maximum(hi - lo, 1e-300)
+        for _ in range(max_rounds):
+            if (counts_in <= cap).all():
+                break
+            ulo, inv = np.unique(lo, return_inverse=True)
+            U = len(ulo)
+            uhi = np.zeros(U)
+            uhi[inv] = hi  # identical lo ⇒ identical hi (same bucket)
+            ulo_j = jnp.asarray(ulo, jnp.float32)
+            uhi_j = jnp.asarray(uhi, jnp.float32)
+            span_j = jnp.asarray(np.maximum(uhi - ulo, 1e-300),
+                                 jnp.float32)
+            hist = jnp.zeros(U * B, jnp.int32)
+            hp = jnp.zeros(U + 1, jnp.int64)
+
+            def _h(v, m):
+                nonlocal hist, hp
+                p = jnp.searchsorted(ulo_j, v, side="right")
+                j = jnp.clip(p - 1, 0, U - 1)
+                inb = m & (p >= 1) & (v < uhi_j[j])
+                b = jnp.clip(((v - ulo_j[j]) / span_j[j]
+                              * B).astype(jnp.int32), 0, B - 1)
+                hist = hist + jax.ops.segment_sum(
+                    inb.astype(jnp.int32), j * B + b, num_segments=U * B)
+                # element v is strictly below bracket u iff u ≥ p:
+                # suffix counts come from one histogram of p
+                hp = hp + jax.ops.segment_sum(
+                    m.astype(jnp.int64), jnp.clip(p, 0, U),
+                    num_segments=U + 1)
+
+            _stream(_h)
+            below_u = np.cumsum(np.asarray(hp))[:U]
+            hg = np.asarray(hist, np.int64).reshape(U, B)
+            cumg = below_u[:, None] + np.cumsum(hg, axis=1)
+            width = np.maximum(uhi - ulo, 1e-300)[inv] / B
+            for k in range(nE):
+                u = inv[k]
+                crossed = cumg[u] >= ti[k]
+                b = int(crossed.argmax()) if crossed.any() else B - 1
+                lo[k] = ulo[u] + b * (width[k])
+                hi[k] = lo[k] + width[k]
+                counts_in[k] = hg[u, b]
+        # collection pass: overlapping slacked brackets merge to disjoint
+        # intervals; each edge resolves from its interval's sorted values
+        lo_c = lo - width
+        hi_c = hi + width
+        order = np.argsort(lo_c)
+        ivs: list = []
+        for k in order:
+            if ivs and lo_c[k] <= ivs[-1][1]:
+                ivs[-1][1] = max(ivs[-1][1], hi_c[k])
+            else:
+                ivs.append([lo_c[k], hi_c[k]])
+        ia = np.asarray([a for a, _ in ivs])
+        ib = np.asarray([b for _, b in ivs])
+        U = len(ivs)
+        ia_j = jnp.asarray(ia, jnp.float32)
+        ib_j = jnp.asarray(ib, jnp.float32)
+        below_iv = np.zeros(U, np.int64)
+        vbelow_iv = np.full(U, -np.inf)
+        coll_j: list = []
+        coll_v: list = []
+
+        def _c(v, m):
+            nonlocal below_iv, vbelow_iv
+            p = jnp.searchsorted(ia_j, v, side="right")
+            j = jnp.clip(p - 1, 0, U - 1)
+            inc = m & (p >= 1) & (v <= ib_j[j])
+            hp = jax.ops.segment_sum(m.astype(jnp.int64),
+                                     jnp.clip(p, 0, U), num_segments=U + 1)
+            below_iv += np.cumsum(np.asarray(hp))[:U]
+            sm = jax.ops.segment_max(jnp.where(m, v, -jnp.inf),
+                                     jnp.clip(p, 0, U), num_segments=U + 1)
+            vbelow_iv = np.maximum(
+                vbelow_iv, np.maximum.accumulate(np.asarray(sm))[:U])
+            mm = np.asarray(inc)
+            idx = np.nonzero(mm)[0]
+            if len(idx):
+                coll_j.append(np.asarray(j)[idx])
+                coll_v.append(np.asarray(v)[idx].astype(np.float64))
+
+        _stream(_c)
+        if coll_j:
+            cj = np.concatenate(coll_j)
+            cv = np.concatenate(coll_v)
+            srt = np.lexsort((cv, cj))
+            cj, cv = cj[srt], cv[srt]
+            starts = np.searchsorted(cj, np.arange(U))
+            ends = np.searchsorted(cj, np.arange(U), side="right")
+        else:
+            cv = np.zeros(0)
+            starts = ends = np.zeros(U, np.int64)
+        interior = np.empty(nE)
+        for k in range(nE):
+            u = int(np.searchsorted(ia, lo_c[k], side="right") - 1)
+            s, e = int(starts[u]), int(ends[u])
+            if counts_in[k] > cap or s == e:
+                interior[k] = 0.5 * (lo[k] + hi[k])  # documented fallback
+                continue
+            pos = int(ti[k] - below_iv[u])  # 1-based within the interval
+            if pos < 1 or pos > e - s:
+                interior[k] = 0.5 * (lo[k] + hi[k])
+                continue
+            v_i = cv[s + pos - 1]
+            if ti[k] <= 1:
+                interior[k] = v_i  # interp clamps left of the first knot
+                continue
+            if pos >= 2:
+                v_prev = cv[s + pos - 2]
+            elif np.isfinite(vbelow_iv[u]):
+                v_prev = vbelow_iv[u]
+            else:
+                interior[k] = 0.5 * (lo[k] + hi[k])
+                continue
+            frac = float(t[k]) - (int(ti[k]) - 1)
+            interior[k] = v_prev + (v_i - v_prev) * min(max(frac, 0.0), 1.0)
+        edges = np.concatenate([[e0], interior, [e1]])
+        return np.maximum.accumulate(edges)  # guard f32 monotonicity
+
     def _chunk_seg(self, i: int):
         """(seg_ids, valid, weight) for chunk i."""
         view = self.sim.chunk_view(i)
-        x = view[self.bins_by].value
+        x = self._x_of(view).value
         seg, in_range = ops.assign_bins(x, self.edges)
         selection = self.sim.chunk_selection(i)
         valid = in_range if selection is None \

@@ -297,3 +297,55 @@ def test_streaming_rank_statistics_match(chunked, centered_snap):
     b = np.asarray(pu_ref["vr"]["p30"].value)
     np.testing.assert_allclose(np.nan_to_num(a), np.nan_to_num(b),
                                rtol=2e-4, atol=2e-4 * scale)
+
+
+def test_streaming_equaln_bins_match(chunked, centered_snap):
+    """Streamed equal-count edges (histogram bisection, no
+    materialization) match the in-HBM equaln profile on a ≥3-chunk
+    snapshot (VERDICT r4 item 6; reference materializes the dask array to
+    sort it — proarray.py:316-334, bins.py:720-746)."""
+    from pynbodyext_tpu.profiles import Profile
+    from pynbodyext_tpu.profiles.bins import BinsSet
+
+    bs = BinsSet(bins_by="r", bins_type="equaln", nbins=10,
+                 bin_min=0.1, bin_max=8.0)
+    pr_ref = Profile(centered_snap, weight="mass", bins_set=bs)
+    pr_str = Profile(chunked, weight="mass", bins_set=bs)
+    assert pr_str.sim.n_chunks >= 3
+    er = np.asarray(pr_ref.bin_edges.value, np.float64)
+    es = np.asarray(pr_str.bin_edges.value, np.float64)
+    np.testing.assert_allclose(es, er, rtol=1e-4, atol=8.0 * 1e-5)
+    # equal-count property: every bin holds ~N/nbins particles
+    counts = np.asarray(pr_str.npart_bins, np.int64)
+    assert counts.sum() == np.asarray(pr_ref.npart_bins).sum()
+    assert np.abs(counts - counts.mean()).max() <= max(3, counts.mean() * 0.02)
+    # statistics computed on those edges agree
+    a = np.asarray(pr_str["vr"].value)
+    b = np.asarray(pr_ref["vr"].value)
+    np.testing.assert_allclose(a, b, rtol=2e-3, atol=1e-3)
+
+
+def test_streaming_callable_bins_by(chunked, centered_snap):
+    """Callable bins_by evaluates per chunk view (BinsSet._resolve_x
+    parity; previously rejected — VERDICT r4 item 6)."""
+    from pynbodyext_tpu.profiles import Profile
+    from pynbodyext_tpu.profiles.bins import BinsSet
+
+    def half_r(view):
+        return view["r"] * 0.5
+
+    bs = BinsSet(bins_by=half_r, bins_type="lin", nbins=8,
+                 bin_min=0.05, bin_max=4.0)
+    pr_ref = Profile(centered_snap, weight="mass", bins_set=bs)
+    pr_str = Profile(chunked, weight="mass", bins_set=bs)
+    np.testing.assert_array_equal(pr_str.npart_bins, pr_ref.npart_bins)
+    np.testing.assert_allclose(np.asarray(pr_str["vr"].value),
+                               np.asarray(pr_ref["vr"].value),
+                               rtol=2e-4, atol=1e-5)
+    # auto min/max (streamed) path with a callable
+    bs2 = BinsSet(bins_by=half_r, bins_type="lin", nbins=8)
+    pr2_ref = Profile(centered_snap, weight="mass", bins_set=bs2)
+    pr2_str = Profile(chunked, weight="mass", bins_set=bs2)
+    np.testing.assert_allclose(
+        np.asarray(pr2_str.bin_edges.value),
+        np.asarray(pr2_ref.bin_edges.value), rtol=1e-5)
