@@ -2562,21 +2562,34 @@ def _prepare_at_points(tree: Octree, prep, targets, target_soft=None):
             "m": m}
 
 
-def _near_at_points(ap, prep, kern, interpret, accel):
+def _near_at_points(ap, prep, kern, interpret, accel, mesh=None):
     from .tree_pallas import near_field_eval
     nt, cap = ap["nt"], ap["cap"]
     out = thp_zeros((nt, 8, cap), np.float32)
     budget = 100_000
+    ndev = mesh.devices.size if mesh is not None else 1
     pending = []
     classes, tt_all = ap["near_classes"]
     for w, sel, li_dev, sel_dev in classes:
-        for lo, hi, rows in _class_chunks(w, len(sel), budget):
+        call = partial(near_field_eval, kernel=kern, accel=accel,
+                       interpret=interpret, k=min(4, w))
+        for lo, hi, rows in _class_chunks(w, len(sel), budget,
+                                          multiple=ndev):
             lo32, la32 = np.int32(lo), np.int32(hi - 1)
-            res = near_field_eval(_take_rows(li_dev, lo32, la32, rows),
-                                  _take_sel_rows(tt_all, sel_dev,
-                                                 lo32, la32, rows),
-                                  prep["tiles"], kernel=kern, accel=accel,
-                                  interpret=interpret, k=min(4, w))
+            li = _take_rows(li_dev, lo32, la32, rows)
+            tp = _take_sel_rows(tt_all, sel_dev, lo32, la32, rows)
+            if ndev == 1:
+                res = call(li, tp, prep["tiles"])
+            else:
+                # query tiles + their lists row-shard over the mesh,
+                # source leaf tiles replicated (reference parity: the
+                # at-points traversal runs on every core — tree.rs:1284,
+                # gravity.rs:447)
+                from jax.sharding import PartitionSpec as P
+                ax = mesh.axis_names[0]
+                res = _shard_call(mesh, call,
+                                  (P(ax), P(ax), P(None)), P(ax),
+                                  li, tp, prep["tiles"])
             pending.append((sel[lo:hi], hi - lo, res))
     for s_idx, cnt, res in pending:
         out[s_idx] = np.asarray(res)[:cnt]
@@ -2587,8 +2600,9 @@ def _near_at_points(ap, prep, kern, interpret, accel):
 
 def _at_points_eval(tree: Octree, targets, prep=None, theta: float = 0.7,
                     target_soft=None, interpret: bool = False,
-                    accel: bool = False, group_leaves: int = 8):
-    if not interpret and jax.devices()[0].platform == "cpu":
+                    accel: bool = False, group_leaves: int = 8,
+                    mesh=None):
+    if not interpret and mesh is None and jax.devices()[0].platform == "cpu":
         interpret = True  # pallas kernels need interpret mode off-TPU
     if prep is None:
         prep = prepare_tree_pallas(tree, theta=theta,
@@ -2598,8 +2612,8 @@ def _at_points_eval(tree: Octree, targets, prep=None, theta: float = 0.7,
     mini = dict(ap["mini"])
     if interpret:
         mini["far_pallas"] = False
-    far = _far_eval(mini, accel=accel, interpret=interpret)
-    near = _near_at_points(ap, prep, kern, interpret, accel)
+    far = _far_eval(mini, accel=accel, interpret=interpret, mesh=mesh)
+    near = _near_at_points(ap, prep, kern, interpret, accel, mesh=mesh)
     tot = near + far
     out_sorted = tot[ap["tidx"], ap["lane"]]
     out = thp_zeros(out_sorted.shape, out_sorted.dtype)
@@ -2610,22 +2624,32 @@ def _at_points_eval(tree: Octree, targets, prep=None, theta: float = 0.7,
 def tree_potentials_at_points_device(tree: Octree, targets, prep=None,
                                      theta: float = 0.7, target_soft=None,
                                      interpret: bool = False,
-                                     group_leaves: int = 8) -> np.ndarray:
-    """BH potentials at arbitrary query points on the device engines."""
+                                     group_leaves: int = 8,
+                                     mesh=None) -> np.ndarray:
+    """BH potentials at arbitrary query points on the device engines.
+
+    ``mesh``: a 1-D :class:`jax.sharding.Mesh` shards the anchored query
+    tiles (near lists + far class rows) over its devices — the same
+    decomposition as the self-set path (reference: parallel at-points
+    traversal, ``tree.rs:1284`` / ``gravity.rs:447``)."""
     return _at_points_eval(tree, targets, prep=prep, theta=theta,
                            target_soft=target_soft, interpret=interpret,
-                           accel=False, group_leaves=group_leaves)
+                           accel=False, group_leaves=group_leaves,
+                           mesh=mesh)
 
 
 def tree_accelerations_at_points_device(tree: Octree, targets, prep=None,
                                         theta: float = 0.7,
                                         target_soft=None,
                                         interpret: bool = False,
-                                        group_leaves: int = 8) -> np.ndarray:
-    """BH accelerations at arbitrary query points on the device engines."""
+                                        group_leaves: int = 8,
+                                        mesh=None) -> np.ndarray:
+    """BH accelerations at arbitrary query points on the device engines.
+    ``mesh``: see :func:`tree_potentials_at_points_device`."""
     return _at_points_eval(tree, targets, prep=prep, theta=theta,
                            target_soft=target_soft, interpret=interpret,
-                           accel=True, group_leaves=group_leaves)
+                           accel=True, group_leaves=group_leaves,
+                           mesh=mesh)
 
 
 def tree_accelerations_device(tree: Octree, theta: float = 0.7,

@@ -185,3 +185,13 @@ def test_mesh_sharded_device_tree(mesh):
             tree, prep=prep, interpret=True, near_engine=eng, mesh=mesh)
         np.testing.assert_allclose(acc8, acc1, rtol=1e-4,
                                    atol=ascale * 1e-5, err_msg=eng)
+    # at-points: anchored query tiles shard over the mesh (tree.rs:1284)
+    from pynbodyext_tpu.gravity.tree_tpu import (
+        tree_potentials_at_points_device)
+    pts = rng.normal(0.0, 3.0, (200, 3))
+    at1 = tree_potentials_at_points_device(tree, pts, prep=prep,
+                                           interpret=True)
+    at8 = tree_potentials_at_points_device(tree, pts, prep=prep,
+                                           interpret=True, mesh=mesh)
+    np.testing.assert_allclose(at8, at1, rtol=1e-5,
+                               atol=np.abs(at1).max() * 1e-6)
