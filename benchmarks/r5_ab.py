@@ -30,11 +30,21 @@ import numpy as np  # noqa: E402
 
 
 def sync(x) -> float:
-    """Relay-safe device sync: block on a 1-element host readback."""
-    import jax.numpy as jnp
+    """Relay-safe device sync: block on a 1-element host readback.
+    Scalar-index (NOT reshape — that compiles a full-buffer copy: a
+    459 MB 'output of copy' allocation per sync at 10M)."""
     if isinstance(x, tuple):
         x = x[0]
-    return float(np.asarray(jnp.reshape(x, (-1,))[0]))
+    return float(np.asarray(x[tuple(0 for _ in x.shape)]))
+
+
+def hbm_gb() -> float:
+    import jax
+    try:
+        return round(jax.devices()[0].memory_stats()
+                     ["bytes_in_use"] / 1e9, 2)
+    except Exception:
+        return -1.0
 
 
 def main() -> None:
@@ -80,6 +90,7 @@ def main() -> None:
                     far_engine=far_engine, device_out=True)
                 sync(fg_cat)
             t["far_group"] = round(time.perf_counter() - t1, 3)
+            t["hbm_far"] = hbm_gb()
             t1 = time.perf_counter()
             nearbuf = tt._near_diag(pp, kern, interp, accel=accel,
                                     nb2=nb2, device_out=True)
@@ -93,6 +104,7 @@ def main() -> None:
             np.asarray(dev)
             t["combine"] = round(time.perf_counter() - t1, 3)
             t["total"] = round(sum(t.values()), 3)
+            t["hbm_gb"] = hbm_gb()
             out.append(t)
             del fl_cat, fg_cat, nearbuf, dev
         return out

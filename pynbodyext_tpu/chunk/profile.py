@@ -19,7 +19,10 @@ resident at a time, no snapshot-scale materialization:
   (:func:`..ops.segment.segment_weighted_quantile`) — the reference
   instead materializes the dask array per profile
   (``proarray.py:316-334``).  Memory stays O(nbins·B) per pass
-  regardless of snapshot size.
+  regardless of snapshot size;
+* ``bins_type='equaln'`` edges via the same streamed histogram
+  bisection over the bin coordinate (``_equaln_edges``), and callable
+  ``bins_by`` evaluated per chunk view (``BinsSet._resolve_x`` parity).
 """
 
 from __future__ import annotations

@@ -1405,6 +1405,32 @@ def _ptiles_blocked(prep, R: int, K: int):
     return prep[key]
 
 
+def _read_back(dev, threads: int = 4, min_bytes: int = 16 << 20):
+    """Host readback of a large device array through the relay with
+    ``threads`` concurrent row-slice transfers.  The relay moves ONE
+    stream at ~13-27 MB/s but parallel streams scale: same-process r5
+    A/B on 126 MB — single 12.9 MB/s, 4 threads 29.6, 16 threads 26.4
+    (f16-cast halves the bytes but reads back SLOWER per byte and drifts
+    3e-2 — rejected).  Each slice is a device op: equal-size chunks keep
+    it to two compiled shapes per (array shape, threads)."""
+    nbytes = int(np.prod(dev.shape)) * dev.dtype.itemsize
+    n = dev.shape[0]
+    if threads <= 1 or n < threads or nbytes < min_bytes:
+        return np.asarray(dev)
+    step = n // threads
+    bounds = [i * step for i in range(threads)] + [n]
+    out = thp_empty(dev.shape, dev.dtype)
+
+    def pull(i):
+        out[bounds[i]:bounds[i + 1]] = \
+            np.asarray(dev[bounds[i]:bounds[i + 1]])
+
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=threads) as ex:
+        list(ex.map(pull, range(threads)))
+    return out
+
+
 @partial(jax.jit, donate_argnums=(0,))
 def _duset(buf, res, start):
     """buf[start:start+len(res)] = res with a TRACED offset (one compile
@@ -1788,7 +1814,7 @@ def _near_diag(prep, kern, interpret, accel, K: int = _PACK_K, SB: int = 8,
         if device_out:
             return buf
         t0 = _time.perf_counter()
-        out_p = np.asarray(buf)[:npt]
+        out_p = _read_back(buf)[:npt]
         t0 = _ph("near.band_readback_s", t0)
         out = _scatter_packed(prep, pk, out_p, accel)
         _ph("near.scatter_s", t0)
@@ -2359,7 +2385,7 @@ def _eval_tree_legs(prep, kern, interpret, accel, far_chunk, far_engine,
                               ppos, flidx, rows=ncols,
                               nb=prep["n_blocks"])
         t0 = _ph("combine.dispatch_s", t0)
-        out = np.asarray(dev)
+        out = _read_back(dev)  # 4 parallel relay streams ≈ 2.4× one
         _ph("combine.readback_s", t0)
         info["t_scatter_s"] = round(_PH.get("combine.dispatch_s", 0.0)
                                     + _PH.get("combine.readback_s", 0.0), 3)
