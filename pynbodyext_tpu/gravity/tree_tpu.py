@@ -1749,14 +1749,21 @@ def _add_band_prefix(buf, rem_cat):
 
 
 def _near_diag(prep, kern, interpret, accel, K: int = _PACK_K, SB: int = 8,
-               nb2: int = 9, R: int = 4, w_budget: int = 16384,
+               nb2: int = 1, R: int = 4, w_budget: int = 16384,
                gcap: int = 4096, mesh=None, accel_form: str = "diff",
                device_out: bool = False):
     """Diagonal-band near field over DENSE packed tiles: the in-band
-    majority of pairs runs through a FULLY grid-indexed kernel (no
-    per-window scalar-prefetch fetch stall — see _near_diag_kernel);
-    out-of-band pairs keep the packed-window path.  Exactness matches
+    pairs run through a FULLY grid-indexed kernel (no per-window
+    scalar-prefetch fetch stall — see _near_diag_kernel); out-of-band
+    pairs keep the packed-window path.  Exactness matches
     near_engine='packed' (same pair set, split two ways).
+
+    ``nb2`` default from the round-5 same-process 10M sweep (near leg,
+    seconds): 13→4.0, 9→3.15, 7→2.73, 5→2.31, 3→1.96, 2→1.75, 1→1.63,
+    0→1.62 — band slots are mostly empty compute and the device-resident
+    window remainder absorbs the displaced pairs more cheaply; nb2=1
+    sits at the flat minimum while keeping self+neighbor blocks (41% of
+    pairs) on the stall-free grid-indexed path.
 
     ``device_out``: return the (≥npt, rows, cap) packed-tile partials as
     a DEVICE array (band chunks staged via :func:`_duset`, remainder
