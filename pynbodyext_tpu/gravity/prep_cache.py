@@ -163,7 +163,8 @@ def _decode(v: Any, extdir) -> Any:
 def _persistable(prep: dict) -> dict:
     out = {}
     has_pm = prep.get("_part_mat") is not None
-    for k, v in prep.items():
+    # snapshot: a background class-build thread may be inserting keys
+    for k, v in list(prep.items()):
         if k in _SKIP_KEYS:
             continue
         if k == "_tiles_np" and has_pm:

@@ -33,6 +33,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..log import logger
 from ..util.thp import thp_empty, thp_stage, thp_zeros
 from .kernels import (KERNEL_NONE, kernel_accel_factor,
                       kernel_potential_per_unit_mass)
@@ -491,13 +492,21 @@ def _padded_slots(counts, min_width: int = 128) -> int:
 
 
 def prepare_tree_pallas(tree: Octree, theta: float = 0.7, cap: int = 128,
-                        group_leaves: int = 8):
+                        group_leaves: int = 8,
+                        background_classes: bool = True):
     """Prep for the Pallas engine: leaf tiles + int32 lists + far data.
 
     ``group_leaves > 1`` uses two-level interaction lists: far nodes
     admissible against a GROUP of consecutive leaves are listed once per
     group (dividing the far-field gather volume, the measured wall, by
     ~``group_leaves``); the per-leaf lists hold only the residual nodes.
+
+    ``background_classes``: build the far width-class structures on a
+    background thread (the prep tail's ~15 s at 10M has nothing left to
+    overlap with on the main thread); solvers synchronize through
+    :func:`_ensure_far_classes` exactly like the warm-reload path, so
+    the cost rides under whatever the caller does between prep and the
+    first solve.
     """
     import time as _time
     from concurrent.futures import ThreadPoolExecutor
@@ -642,9 +651,32 @@ def prepare_tree_pallas(tree: Octree, theta: float = 0.7, cap: int = 128,
         prep["stats"]["mean_gnodes"] = float(gl["gnode_counts"].mean())
         prep["stats"]["gather_rows"] = float(
             gl["gnode_counts"].sum() + node_counts.sum())
-    _ensure_far_classes(prep)
+    if background_classes:
+        ex2 = ThreadPoolExecutor(max_workers=1)
+        prep["_warm_future"] = ex2.submit(_build_classes_bg, prep)
+        ex2.shutdown(wait=False)
+    else:
+        _ensure_far_classes(prep)
     _stage("prep.far_classes", _t0)
     return prep
+
+
+def _build_classes_bg(prep) -> None:
+    """Background far-class build for the cold prep path (same contract
+    as :func:`warm_prep_structures`: failures drop partial state and the
+    solver's lazy build retries on the main thread).  Builds against a
+    snapshot dict and publishes with ONE C-level ``update`` so main-
+    thread readers (``dict(prep)``, ``_persistable``) never observe a
+    half-inserted key set."""
+    try:
+        stage = dict(prep)  # C-level copy: atomic under the GIL
+        _ensure_far_classes(stage, _wait_warm=False)
+        prep.update({k: stage[k] for k in
+                     ("far_classes", "gfar_classes", "_payload_dev")
+                     if k in stage})
+    except Exception as e:  # pragma: no cover - defensive
+        logger.warning("background far-class build failed (%s); will "
+                       "rebuild lazily", e)
 
 
 def warm_prep_structures(prep) -> None:
