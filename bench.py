@@ -119,6 +119,11 @@ def main():
             for lbl, s in stage_records():
                 prep_stages[lbl] = round(prep_stages.get(lbl, 0.0) + s, 2)
             phi = tree_potentials_device_pallas(tree, prep=prep)  # warm
+            # far classes build on a background thread now (r5): their
+            # stages land after the first solve synchronizes on them
+            for lbl, s in stage_records():
+                prep_stages["bg." + lbl] = round(
+                    prep_stages.get("bg." + lbl, 0.0) + s, 2)
             release_host_buffers(prep)
             # relay variance is ±50% on a single rep: median of 3;
             # record every rep + the per-leg split of the last one so

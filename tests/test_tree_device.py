@@ -820,6 +820,54 @@ def test_multipole_eval_matches_tables_f64():
         assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-12
 
 
+def test_multipole_eval_deep_core_f32_no_overflow():
+    """Deep-tree far pairs (node size ~1e-4, ri ≈ 7e3) in f32: the naive
+    ``ri^m`` table form materialized ri¹¹ ≈ 2e42 > f32max — 2551 NaN
+    order-5 potentials at 10M clustered (round-5 measured).  The
+    homogeneous unit-component form caps powers at ri^(order+2); results
+    must be finite and match an f64 reference."""
+    import jax.numpy as jnp
+
+    from pynbodyext_tpu.gravity._multipole_tables import TABLES
+    from pynbodyext_tpu.gravity.multipole_eval import (acc_moments_xyz,
+                                                       multi_indices,
+                                                       phi_moments_xyz)
+    rng = np.random.default_rng(3)
+    size = 1e-4  # deepest-leaf scale at 10M clustered
+    for order in (3, 5):
+        idx = multi_indices(order)
+        x, y, z = rng.normal(0, 1.5 * size, (3, 4, 9))
+        M = np.array([rng.normal(0, size ** sum(n), (4, 9))
+                      for n in idx])
+        M[1:4] = 0.0
+        ri = 1.0 / np.sqrt(x * x + y * y + z * z)
+
+        def D(n):
+            out = 0.0
+            for (a, b, c, m, coef) in TABLES[n]:
+                out = out + coef * x**a * y**b * z**c * ri**m
+            return out
+
+        ref_phi = M[0] * ri
+        for p, n in enumerate(idx):
+            if sum(n) < 2:
+                continue
+            s = -1.0 if sum(n) % 2 else 1.0
+            ref_phi = ref_phi + s * M[p] * D(n)
+        xf, yf, zf, rif = (jnp.asarray(v, jnp.float32)
+                           for v in (x, y, z, ri))
+        Mf = jnp.asarray(M, jnp.float32)
+        got_phi = Mf[0] * rif + phi_moments_xyz(xf, yf, zf, rif,
+                                                lambda p: Mf[p], order)
+        got_acc = acc_moments_xyz(xf, yf, zf, rif, lambda p: Mf[p], order)
+        assert np.isfinite(np.asarray(got_phi)).all(), f"order {order}"
+        for g in got_acc:
+            assert np.isfinite(np.asarray(g)).all(), f"order {order}"
+        rel = (np.abs(np.asarray(got_phi, np.float64) - ref_phi)
+               / np.abs(ref_phi).max())
+        assert rel.max() < 1e-5, f"order {order}: {rel.max()}"
+
+
 def test_far_order3_payload_engines_agree():
     """Order-3 far field: the COMPACT pre-gathered payload (XLA pre and
     the batched Pallas kernel with the in-kernel moment contraction)
