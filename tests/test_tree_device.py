@@ -509,7 +509,7 @@ def test_diag_engine_vs_numpy(clustered):
         for nb2, SB in ((1, 8), (16, 8)):
             got = tree_tpu._near_diag(prep, prep["kernel"], True,
                                       accel=accel, SB=SB, nb2=nb2)
-            d = prep[("diag", 5, SB, nb2, 4)]
+            d = prep[("diag", 5, SB, nb2, 4, 1)]  # trailing 1 = ndev
             if nb2 == 1:
                 assert d["rem"] is not None  # remainder path exercised
             # accel atol: the transposed (4,S)@(S,cap) bundle contraction
