@@ -349,3 +349,32 @@ def test_streaming_callable_bins_by(chunked, centered_snap):
     np.testing.assert_allclose(
         np.asarray(pr2_str.bin_edges.value),
         np.asarray(pr2_ref.bin_edges.value), rtol=1e-5)
+
+
+def test_streaming_equaln_edge_cases(centered_snap):
+    """Streamed equal-N edges under degenerate inputs: massive value
+    ties (documented midpoint tolerance), nbins=1, and an empty
+    selection (lin-edges fallback) must not raise or return NaN."""
+    from pynbodyext_tpu.chunk import ChunkedSnapshot, StreamingProfile
+
+    chunked = ChunkedSnapshot(centered_snap, chunk_size=700)
+    # nbins=1: edges are just the masked extrema
+    p1 = StreamingProfile(chunked, bins_by="r", bins_type="equaln",
+                          nbins=1, weight="mass")
+    e1 = np.asarray(p1.bin_edges.value)
+    assert e1.shape == (2,) and np.isfinite(e1).all() and e1[0] < e1[1]
+    assert int(np.asarray(p1.npart_bins).sum()) > 0
+    # heavy ties: bin on a coordinate quantized to 4 distinct values
+    def quant(view):
+        return (view["r"] * 0.0) + np.float32(1.0)  # all-equal coordinate
+    pq = StreamingProfile(chunked, bins_by=quant, bins_type="equaln",
+                          nbins=4, weight=None)
+    eq = np.asarray(pq.bin_edges.value)
+    assert np.isfinite(eq).all()
+    assert (np.diff(eq) >= 0).all()  # monotone under total ties
+    # empty selection via an impossible range
+    pe = StreamingProfile(chunked, bins_by="r", bins_type="equaln",
+                          nbins=5, bin_min=1e9, bin_max=2e9, weight="mass")
+    ee = np.asarray(pe.bin_edges.value)
+    assert ee.shape == (6,) and np.isfinite(ee).all()
+    assert int(np.asarray(pe.npart_bins).sum()) == 0
