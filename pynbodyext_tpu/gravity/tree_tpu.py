@@ -2388,10 +2388,18 @@ def _resolve_near_engine(prep, near_engine: str, mesh) -> str:
 
 
 def _eval_tree_legs(prep, kern, interpret, accel, far_chunk, far_engine,
-                    near_engine, mesh):
+                    near_engine, mesh, device_out: bool = False):
     """Run the far (leaf + group) and near legs + output scatter, timing
-    each leg into :data:`EVAL_INFO` (engine labels + per-leg seconds)."""
+    each leg into :data:`EVAL_INFO` (engine labels + per-leg seconds).
+
+    ``device_out``: return the combined (n[, 3]) result as a DEVICE
+    array in original particle order (diag engine only) — TPU-resident
+    consumers skip the result readback, the single biggest leg of a 10M
+    solve through the relay (pot 1.8–2.6 s, accel 4.5 s of 8.1)."""
     ncols = 3 if accel else 1
+    if device_out and near_engine != "diag":
+        raise ValueError("device output needs the on-device leg combine "
+                         f"(near_engine='diag'), got {near_engine!r}")
     info = {"near_engine": near_engine, "far_engine": far_engine,
             "accel": accel}
     _PH.clear()
@@ -2424,6 +2432,13 @@ def _eval_tree_legs(prep, kern, interpret, accel, far_chunk, far_engine,
                               ppos, flidx, rows=ncols,
                               nb=prep["n_blocks"])
         t0 = _ph("combine.dispatch_s", t0)
+        if device_out:
+            info["t_scatter_s"] = round(_PH.get("combine.dispatch_s",
+                                                0.0), 3)
+            info["phases"] = dict(_PH)
+            EVAL_INFO.clear()
+            EVAL_INFO.update(info)
+            return dev[:, 0] if ncols == 1 else dev
         out = _read_back(dev)  # 4 parallel relay streams ≈ 2.4× one
         _ph("combine.readback_s", t0)
         info["t_scatter_s"] = round(_PH.get("combine.dispatch_s", 0.0)
@@ -2476,7 +2491,8 @@ def tree_potentials_device_pallas(tree: Octree, theta: float = 0.7,
                                   far_engine: str = "auto",
                                   group_leaves: int = 8,
                                   near_engine: str = "auto",
-                                  mesh=None) -> np.ndarray:
+                                  mesh=None,
+                                  out: str = "host") -> np.ndarray:
     """Device tree with the Pallas near-field engine (original order).
 
     ``near_engine``:
@@ -2492,8 +2508,14 @@ def tree_potentials_device_pallas(tree: Octree, theta: float = 0.7,
     ``mesh``: a 1-D :class:`jax.sharding.Mesh` data-parallelizes the
     solve over its devices (targets/windows chip-local, sources
     replicated; reference parity: the Rust tree runs rayon-parallel over
-    all cores, ``tree.rs:1443-1547``).  Supported with the banded/packed
-    near engines."""
+    all cores, ``tree.rs:1443-1547``).  Supported with the diag/banded/
+    packed near engines.
+
+    ``out='device'`` returns the (n,) result as a DEVICE array in
+    original particle order (diag engine only): TPU-resident consumers
+    skip the relay readback — the largest leg of a 10M solve."""
+    if out not in ("host", "device"):
+        raise ValueError(f"out must be 'host' or 'device', got {out!r}")
     if not interpret and mesh is None and jax.devices()[0].platform == "cpu":
         interpret = True  # pallas kernels need interpret mode off-TPU
     if prep is None:
@@ -2504,7 +2526,8 @@ def tree_potentials_device_pallas(tree: Octree, theta: float = 0.7,
     _ensure_far_classes(prep)  # rebuilds on cache-loaded preps
     return _eval_tree_legs(prep, kern, interpret, accel=False,
                            far_chunk=far_chunk, far_engine=far_engine,
-                           near_engine=near_engine, mesh=mesh)
+                           near_engine=near_engine, mesh=mesh,
+                           device_out=out == "device")
 
 
 def tree_accelerations_device_pallas(tree: Octree, theta: float = 0.7,
@@ -2513,7 +2536,13 @@ def tree_accelerations_device_pallas(tree: Octree, theta: float = 0.7,
                                      far_engine: str = "auto",
                                      group_leaves: int = 8,
                                      near_engine: str = "auto",
-                                     mesh=None) -> np.ndarray:
+                                     mesh=None,
+                                     out: str = "host") -> np.ndarray:
+    """See :func:`tree_potentials_device_pallas` (``out='device'``
+    returns the (n, 3) device array — the accel readback is 3× the pot
+    bytes and was 4.5 s of an 8.1 s 10M solve through the relay)."""
+    if out not in ("host", "device"):
+        raise ValueError(f"out must be 'host' or 'device', got {out!r}")
     if not interpret and mesh is None and jax.devices()[0].platform == "cpu":
         interpret = True  # pallas kernels need interpret mode off-TPU
     if prep is None:
@@ -2531,7 +2560,8 @@ def tree_accelerations_device_pallas(tree: Octree, theta: float = 0.7,
         far_engine = "mxu_t"
     return _eval_tree_legs(prep, kern, interpret, accel=True,
                            far_chunk=far_chunk, far_engine=far_engine,
-                           near_engine=near_engine, mesh=mesh)
+                           near_engine=near_engine, mesh=mesh,
+                           device_out=out == "device")
 
 
 # ---------------------------------------------------------------------------

@@ -942,3 +942,32 @@ def test_order5_pallas_matches_native(clustered):
     aerr = (np.linalg.norm(acc - acc_dir, axis=1) / scale).max()
     naerr = (np.linalg.norm(nacc - acc_dir, axis=1) / scale).max()
     assert aerr <= naerr * 1.5 + 1e-5
+
+
+def test_device_out_matches_host(clustered):
+    """``out='device'`` returns the combined result as a device array in
+    original particle order, identical to the host path minus the
+    readback (round-5 API: TPU-resident consumers skip the wire)."""
+    import jax.numpy as jnp
+
+    from pynbodyext_tpu.gravity import tree_tpu
+    pos, m, h = clustered
+    tree = Octree(pos, m, leaf_capacity=128, multipole_order=0,
+                  softenings=h, kernel="plummer")
+    prep = tree_tpu.prepare_tree_pallas(tree, theta=0.6, group_leaves=8)
+    phi_h = tree_tpu.tree_potentials_device_pallas(
+        tree, prep=prep, interpret=True, near_engine="diag")
+    phi_d = tree_tpu.tree_potentials_device_pallas(
+        tree, prep=prep, interpret=True, near_engine="diag", out="device")
+    assert isinstance(phi_d, jnp.ndarray) and phi_d.shape == (len(pos),)
+    np.testing.assert_array_equal(np.asarray(phi_d), phi_h)
+    acc_d = tree_tpu.tree_accelerations_device_pallas(
+        tree, prep=prep, interpret=True, near_engine="diag", out="device")
+    acc_h = tree_tpu.tree_accelerations_device_pallas(
+        tree, prep=prep, interpret=True, near_engine="diag")
+    assert acc_d.shape == (len(pos), 3)
+    np.testing.assert_array_equal(np.asarray(acc_d), acc_h)
+    with pytest.raises(ValueError, match="device output"):
+        tree_tpu.tree_potentials_device_pallas(
+            tree, prep=prep, interpret=True, near_engine="packed",
+            out="device")
