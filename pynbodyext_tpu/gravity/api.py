@@ -192,44 +192,55 @@ class Gravity:
 
     def tree_potentials(self, targets=None, theta: float = 0.7,
                         threads: int = 0, kernel=None,
-                        device: bool = False):
+                        device: bool = False, mesh=None):
         """Barnes–Hut potentials.  ``device=True`` evaluates the traversal's
         interaction lists on the accelerator (tree_tpu), for the self set
         and at arbitrary query points.  On TPU the self set runs the
         production Pallas engines (packed near field + batched far field);
         on CPU it falls back to the XLA-gather engine (the Pallas path
-        needs interpret mode there — hours at scale)."""
+        needs interpret mode there — hours at scale).
+
+        ``mesh``: a 1-D :class:`jax.sharding.Mesh` runs the device paths
+        data-parallel over its chips (reference parity: the Rust tree
+        solves on every core through the pool knob,
+        ``pynbodyext-rust/src/gravity.rs:87-103``)."""
+        interp = mesh is not None and not _tpu_available()
         if device:
             if targets is None:
-                if _tpu_available():
+                if _tpu_available() or mesh is not None:
                     from .tree_tpu import tree_potentials_device_pallas
                     return tree_potentials_device_pallas(
-                        self.get_tree(), theta=theta,
-                        prep=self._pallas_prep(theta))
+                        self.get_tree(), theta=theta, interpret=interp,
+                        prep=self._pallas_prep(theta), mesh=mesh)
                 from .tree_tpu import tree_potentials_device
                 return tree_potentials_device(self.get_tree(), theta=theta)
             from .tree_tpu import tree_potentials_at_points_device
             return tree_potentials_at_points_device(
-                self.get_tree(), targets, theta=theta)
+                self.get_tree(), targets, theta=theta, interpret=interp,
+                mesh=mesh)
         return self.get_tree().compute_potentials(theta=theta,
                                                   targets=targets,
                                                   threads=threads)
 
     def tree_accelerations(self, targets=None, theta: float = 0.7,
                            threads: int = 0, kernel=None,
-                           device: bool = False):
+                           device: bool = False, mesh=None):
+        """See :meth:`tree_potentials` (``mesh`` shards the device
+        paths over its chips)."""
+        interp = mesh is not None and not _tpu_available()
         if device:
             if targets is None:
-                if _tpu_available():
+                if _tpu_available() or mesh is not None:
                     from .tree_tpu import tree_accelerations_device_pallas
                     return tree_accelerations_device_pallas(
-                        self.get_tree(), theta=theta,
-                        prep=self._pallas_prep(theta))
+                        self.get_tree(), theta=theta, interpret=interp,
+                        prep=self._pallas_prep(theta), mesh=mesh)
                 from .tree_tpu import tree_accelerations_device
                 return tree_accelerations_device(self.get_tree(), theta=theta)
             from .tree_tpu import tree_accelerations_at_points_device
             return tree_accelerations_at_points_device(
-                self.get_tree(), targets, theta=theta)
+                self.get_tree(), targets, theta=theta, interpret=interp,
+                mesh=mesh)
         return self.get_tree().compute_accelerations(theta=theta,
                                                      targets=targets,
                                                      threads=threads)

@@ -195,3 +195,28 @@ def test_mesh_sharded_device_tree(mesh):
                                            interpret=True, mesh=mesh)
     np.testing.assert_allclose(at8, at1, rtol=1e-5,
                                atol=np.abs(at1).max() * 1e-6)
+
+
+@pytest.mark.slow
+def test_gravity_api_mesh(mesh):
+    """Gravity API mesh plumb-through: `tree_potentials(device=True,
+    mesh=...)` runs the sharded device tree (reference parity: the pool
+    knob solves on every core, gravity.rs:87-103)."""
+    from pynbodyext_tpu.gravity import Gravity
+    rng = np.random.default_rng(5)
+    n = 2500
+    pos = rng.normal(0, 3, (n, 3))
+    m = rng.uniform(0.5, 2, n)
+    g = Gravity(pos.astype(np.float32), m.astype(np.float32),
+                force_reference=True)
+    p1 = np.asarray(g.get_tree().compute_potentials(theta=0.6))
+    p8 = np.asarray(g.tree_potentials(theta=0.6, device=True, mesh=mesh))
+    np.testing.assert_allclose(p8, p1, rtol=5e-3,
+                               atol=np.abs(p1).max() * 1e-4)
+    pts = rng.normal(0, 3, (64, 3))
+    at8 = np.asarray(g.tree_potentials(targets=pts, theta=0.6,
+                                       device=True, mesh=mesh))
+    at1 = np.asarray(g.get_tree().compute_potentials(theta=0.6,
+                                                     targets=pts))
+    np.testing.assert_allclose(at8, at1, rtol=5e-3,
+                               atol=np.abs(at1).max() * 1e-4)
