@@ -143,6 +143,21 @@ def main():
                 ats.append(round(time.perf_counter() - t0, 2))
                 accel_legs.append(dict(tree_tpu.EVAL_INFO))
             accel_s = sorted(ats)[1]
+            # compute-only (device-resident output) split: the host-path
+            # remainder over these is the relay result readback — on a
+            # local PCIe TPU it would be negligible (round-5 analysis)
+            devout = {}
+            try:
+                for key, fn in (("pot", tree_potentials_device_pallas),
+                                ("acc", tree_accelerations_device_pallas)):
+                    t0 = time.perf_counter()
+                    d = fn(tree, prep=prep, out="device")
+                    float(np.asarray(d.reshape(-1)[0]))  # sync compute
+                    devout[f"tree10m_{key}_device_out_s"] = round(
+                        time.perf_counter() - t0, 2)
+                    del d
+            except Exception:
+                pass
             # warm-start story: persist the prep and time the disk reload
             # (what a second process pays instead of the host build)
             import tempfile
@@ -273,6 +288,7 @@ def main():
             }
             tree_sidecar = {
                 "tree10m_theta": 0.7,
+                **devout,
                 **({"tree10m_warm_rel": warm_rel}
                    if warm_solve_s is not None else {}),
                 "tree10m_phi0": float(phi[0]),

@@ -73,6 +73,28 @@ def main():
     k_fused = float(kappa_rot_pipeline_from_snapshot(snap))
     print(f"\nfused-jit KappaRot = {k_fused:.4f} (one XLA program)")
 
+    # 7. Out-of-core: the same profile API streams over a chunked
+    #    snapshot — equal-N edges come from histogram bisection, one
+    #    chunk resident at a time (no snapshot-scale materialization)
+    from pynbodyext_tpu.chunk import ChunkedSnapshot
+    ch = ChunkedSnapshot(centered, chunk_size=25_000)
+    pr_s = RadialProfile(ch, ndim=3, weight="mass",
+                         bins_type="equaln", nbins=16, bin_max=150.0)
+    print("\nstreamed equal-N profile: vr median at bin 3 =",
+          float(np.asarray(pr_s["vr"]["med"])[3]))
+
+    # 8. Multi-chip: every device solver takes a 1-D jax.sharding.Mesh
+    #    and shards over its chips (here: all local devices)
+    from pynbodyext_tpu.parallel import make_mesh, ring_direct_potentials
+    mesh = make_mesh()
+    pot_ring = ring_direct_potentials(pos[:4096], mesh=mesh,
+                                      interpret=True)
+    print(f"ring-sharded potentials over {mesh.devices.size} device(s): "
+          f"mean {float(np.asarray(pot_ring).mean()):.3e}")
+    # the Barnes–Hut device tree shards the same way:
+    #   Gravity(pos, m).tree_potentials(device=True, mesh=mesh)
+    #   tree_potentials_device_pallas(tree, prep=prep, mesh=mesh)
+
 
 if __name__ == "__main__":
     main()

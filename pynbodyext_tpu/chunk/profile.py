@@ -270,7 +270,9 @@ class StreamingProfile:
             span_j = jnp.asarray(np.maximum(uhi - ulo, 1e-300),
                                  jnp.float32)
             hist = jnp.zeros(U * B, jnp.int32)
-            hp = jnp.zeros(U + 1, jnp.int64)
+            # int32 on device (x64 is off; counts < 2^31 by the gravity
+            # N < 2^24 packing bound), widened on the host
+            hp = jnp.zeros(U + 1, jnp.int32)
 
             def _h(v, m):
                 nonlocal hist, hp
@@ -284,11 +286,11 @@ class StreamingProfile:
                 # element v is strictly below bracket u iff u ≥ p:
                 # suffix counts come from one histogram of p
                 hp = hp + jax.ops.segment_sum(
-                    m.astype(jnp.int64), jnp.clip(p, 0, U),
+                    m.astype(jnp.int32), jnp.clip(p, 0, U),
                     num_segments=U + 1)
 
             _stream(_h)
-            below_u = np.cumsum(np.asarray(hp))[:U]
+            below_u = np.cumsum(np.asarray(hp), dtype=np.int64)[:U]
             hg = np.asarray(hist, np.int64).reshape(U, B)
             cumg = below_u[:, None] + np.cumsum(hg, axis=1)
             width = np.maximum(uhi - ulo, 1e-300)[inv] / B
@@ -325,9 +327,9 @@ class StreamingProfile:
             p = jnp.searchsorted(ia_j, v, side="right")
             j = jnp.clip(p - 1, 0, U - 1)
             inc = m & (p >= 1) & (v <= ib_j[j])
-            hp = jax.ops.segment_sum(m.astype(jnp.int64),
+            hp = jax.ops.segment_sum(m.astype(jnp.int32),
                                      jnp.clip(p, 0, U), num_segments=U + 1)
-            below_iv += np.cumsum(np.asarray(hp))[:U]
+            below_iv += np.cumsum(np.asarray(hp), dtype=np.int64)[:U]
             sm = jax.ops.segment_max(jnp.where(m, v, -jnp.inf),
                                      jnp.clip(p, 0, U), num_segments=U + 1)
             vbelow_iv = np.maximum(
