@@ -66,6 +66,7 @@ def main() -> None:
     t0 = time.perf_counter()
     tree = Octree(pos, m, leaf_capacity=128, multipole_order=0)
     prep = tt.prepare_tree_pallas(tree, theta=0.7, group_leaves=8)
+    tt._ensure_far_classes(prep)  # classes build in background now
     print(json.dumps({"exp": "prep", "n": n,
                       "prep_s": round(time.perf_counter() - t0, 2),
                       "far_pre": bool(prep.get("far_pre"))}), flush=True)
@@ -144,6 +145,7 @@ def main() -> None:
     tt._FAR_PREGATHER_BUDGET = 4_000_000_000
     t0 = time.perf_counter()
     prep2 = tt.prepare_tree_pallas(tree, theta=0.7, group_leaves=8)
+    tt._ensure_far_classes(prep2)
     print(json.dumps({"exp": "prep_pre", "prep_s":
                       round(time.perf_counter() - t0, 2),
                       "far_pre": bool(prep2.get("far_pre"))}), flush=True)

@@ -34,6 +34,7 @@ def main() -> None:
     t0 = time.perf_counter()
     tree = Octree(pos, m, leaf_capacity=128, multipole_order=0)
     prep = tt.prepare_tree_pallas(tree, theta=0.7, group_leaves=8)
+    tt._ensure_far_classes(prep)  # classes build in background now
     print(json.dumps({"exp": "prep", "n": n,
                       "prep_s": round(time.perf_counter() - t0, 2)}),
           flush=True)
