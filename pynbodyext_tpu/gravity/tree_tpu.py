@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import os
 import time as _time
-from functools import partial
+from functools import lru_cache as _lru_cache, partial
 from typing import Optional
 
 import jax
@@ -1753,11 +1753,28 @@ def _diag_band_mesh(d, call, mesh, rows: int):
     returns the (npt_pad, rows, cap) band partials sharded over tiles.
     Reference parity: the Rust tree's near leg runs on every core
     (``tree.rs:1443-1547``)."""
-    from jax.sharding import PartitionSpec as P
-    ndev = mesh.devices.size
-    ax = mesh.axis_names[0]
     G, npt_pad = d["G"], d["npt_pad"]
-    npt_loc = npt_pad // ndev
+    fn = _mesh_band_fn(mesh, npt_pad // mesh.devices.size, G,
+                       call.keywords["kernel"], call.keywords["accel"],
+                       call.keywords["interpret"], call.keywords["K"],
+                       call.keywords["SB"], call.keywords["NO"],
+                       call.keywords["cap"], call.keywords["accel_form"])
+    return fn(d["bits"], d["tgt"], d["src"])
+
+
+@_lru_cache(maxsize=32)
+def _mesh_band_fn(mesh, npt_loc: int, G: int, kernel, accel, interpret,
+                  K, SB, NO, cap, accel_form):
+    """Cached shard_map-wrapped band body per (mesh, static config) —
+    a fresh closure per eval would retrace the whole unrolled chunk
+    chain every solve."""
+    from jax.sharding import PartitionSpec as P
+
+    from .tree_pallas import near_field_diag_chunk
+    ax = mesh.axis_names[0]
+    call = partial(near_field_diag_chunk, kernel=kernel, accel=accel,
+                   interpret=interpret, K=K, SB=SB, NO=NO, G=G, cap=cap,
+                   accel_form=accel_form)
 
     def body(bits_l, tgt_l, src_full):
         dev = jax.lax.axis_index(ax).astype(jnp.int32)
@@ -1768,8 +1785,15 @@ def _diag_band_mesh(d, call, mesh, rows: int):
             outs.append(call(bits_l, gsl, tgt_l, src_full, gsrc=gsg))
         return outs[0] if len(outs) == 1 else jnp.concatenate(outs, 0)
 
-    return _shard_call(mesh, body, (P(ax), P(ax), P(None)), P(ax),
-                       d["bits"], d["tgt"], d["src"])
+    try:
+        from jax import shard_map
+        kw = {"check_vma": False}
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+        kw = {"check_rep": False}
+    return jax.jit(shard_map(body, mesh=mesh,
+                             in_specs=(P(ax), P(ax), P(None)),
+                             out_specs=P(ax), **kw))
 
 
 @jax.jit
@@ -2116,20 +2140,6 @@ def _class_chunks(width: int, n_in_class: int, rows_budget: int,
         yield i, min(n_in_class, i + rows), rows
 
 
-def _shard_call(mesh, fn, in_specs, out_spec, *args):
-    """shard_map dispatch over the mesh's first axis (pure data parallel:
-    no collectives — each chip evaluates its own rows/chunks; results
-    concatenate along the sharded axis)."""
-    try:
-        from jax import shard_map
-        kw = {"check_vma": False}
-    except ImportError:  # older jax
-        from jax.experimental.shard_map import shard_map
-        kw = {"check_rep": False}
-    return shard_map(fn, mesh=mesh, in_specs=in_specs, out_specs=out_spec,
-                     **kw)(*args)
-
-
 def _dispatch_banded(ranges, woffs, gf, wblk, bits, tgt_blk, src_blk, kern,
                      accel, interpret, R, Gn, gcap, cap, W, packed_K, mesh,
                      accel_form="diff"):
@@ -2150,25 +2160,48 @@ def _dispatch_banded(ranges, woffs, gf, wblk, bits, tgt_blk, src_blk, kern,
                        jnp.asarray([gs], np.int32), tgt_blk, src_blk)
             pending.append((gs, ge, res))
         return pending
-    from jax.sharding import PartitionSpec as P
     ndev = mesh.devices.size
-    ax = mesh.axis_names[0]
-
-    def body(ws, gst, gf_, blk_, bits_, tb_, sb_):
-        return call(gf_, blk_, bits_, ws, gst, tb_, sb_)
-
+    fn = _mesh_banded_fn(mesh, kern, accel, interpret, R, Gn, gcap, cap,
+                         W, packed_K, accel_form)
     for i in range(0, len(ranges), ndev):
         grp = ranges[i:i + ndev]
         padg = grp + [grp[-1]] * (ndev - len(grp))
         ws = jnp.asarray([int(woffs[gs]) for gs, _ in padg], np.int32)
         gst = jnp.asarray([gs for gs, _ in padg], np.int32)
-        res = _shard_call(
-            mesh, body,
-            (P(ax), P(ax), P(None), P(None), P(None), P(None), P(None)),
-            P(ax), ws, gst, gf, wblk, bits, tgt_blk, src_blk)
+        res = fn(ws, gst, gf, wblk, bits, tgt_blk, src_blk)
         for d, (gs, ge) in enumerate(grp):
             pending.append((gs, ge, res[d * gcap:d * gcap + (ge - gs)]))
     return pending
+
+
+@_lru_cache(maxsize=64)
+def _mesh_banded_fn(mesh, kernel, accel, interpret, R, Gn, gcap, cap, W,
+                    packed_K, accel_form):
+    """Cached shard_map-wrapped banded-chunk body per (mesh, static
+    config) — a fresh closure per chunk group would retrace every
+    dispatch (see :func:`_mesh_band_fn`)."""
+    from jax.sharding import PartitionSpec as P
+
+    from .tree_pallas import near_field_banded_chunk
+    ax = mesh.axis_names[0]
+    call = partial(near_field_banded_chunk, kernel=kernel, accel=accel,
+                   interpret=interpret, R=R, Gn=Gn, ng_out=gcap, cap=cap,
+                   W=W, packed_K=packed_K, accel_form=accel_form)
+
+    def body(ws, gst, gf_, blk_, bits_, tb_, sb_):
+        return call(gf_, blk_, bits_, ws, gst, tb_, sb_)
+
+    try:
+        from jax import shard_map
+        kw = {"check_vma": False}
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+        kw = {"check_rep": False}
+    return jax.jit(shard_map(
+        body, mesh=mesh,
+        in_specs=(P(ax), P(ax), P(None), P(None), P(None), P(None),
+                  P(None)),
+        out_specs=P(ax), **kw))
 
 
 def _banded_ranges(woffs, n_groups: int, gcap: int, w_budget: int):
@@ -2205,30 +2238,47 @@ def _far_call(prep, accel, interpret, pallas_far, pre, order, B, tp, li,
               mesh, mxu=False):
     """One far-field chunk evaluation (pallas / XLA-pre / XLA-gather) —
     row-sharded over the mesh when given (node payload replicated)."""
-    if pallas_far:
-        from .tree_pallas import far_payload_batch_eval
-        call = partial(far_payload_batch_eval, accel=accel,
-                       interpret=interpret, B=B, mxu=mxu, order=order)
-        extra, especs = (), ()
-    elif pre:
-        fn = _far_accelerations_pre if accel else _far_potentials_pre
-        call = partial(fn, order=order)
-        extra, especs = (), ()
-    else:
-        call = partial(_far_gather_pre, order=order, accel=accel)
-        extra = (prep["_payload_dev"],)
+    kind = "pallas" if pallas_far else ("pre" if pre else "gather")
+    extra = () if kind != "gather" else (prep["_payload_dev"],)
     if mesh is None or mesh.devices.size == 1:
-        raw = call(tp, li, *extra)
+        raw = _far_fn(kind, accel, interpret, B, mxu, order)(tp, li,
+                                                            *extra)
     else:
-        from jax.sharding import PartitionSpec as P
-        ax = mesh.axis_names[0]
-        if not (pallas_far or pre):
-            especs = (P(None),)
-        raw = _shard_call(mesh, call, (P(ax), P(ax), *especs), P(ax),
-                          tp, li, *extra)
+        raw = _mesh_far_fn(mesh, kind, accel, interpret, B, mxu,
+                           order)(tp, li, *extra)
     if pallas_far:
         return jnp.moveaxis(raw, 1, 2) if accel else raw[:, 0, :]
     return raw
+
+
+def _far_fn(kind: str, accel, interpret, B, mxu, order):
+    if kind == "pallas":
+        from .tree_pallas import far_payload_batch_eval
+        return partial(far_payload_batch_eval, accel=accel,
+                       interpret=interpret, B=B, mxu=mxu, order=order)
+    if kind == "pre":
+        fn = _far_accelerations_pre if accel else _far_potentials_pre
+        return partial(fn, order=order)
+    return partial(_far_gather_pre, order=order, accel=accel)
+
+
+@_lru_cache(maxsize=64)
+def _mesh_far_fn(mesh, kind: str, accel, interpret, B, mxu, order):
+    """Cached shard_map wrapper per (mesh, far config) — see
+    :func:`_mesh_band_fn` for why (per-chunk closures retrace)."""
+    from jax.sharding import PartitionSpec as P
+    ax = mesh.axis_names[0]
+    call = _far_fn(kind, accel, interpret, B, mxu, order)
+    especs = (P(None),) if kind == "gather" else ()
+    try:
+        from jax import shard_map
+        kw = {"check_vma": False}
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+        kw = {"check_rep": False}
+    return jax.jit(shard_map(call, mesh=mesh,
+                             in_specs=(P(ax), P(ax), *especs),
+                             out_specs=P(ax), **kw))
 
 
 def _cat_pending(pending, n_rows: int, key, prep):
@@ -2680,17 +2730,35 @@ def _near_at_points(ap, prep, kern, interpret, accel, mesh=None):
                 # source leaf tiles replicated (reference parity: the
                 # at-points traversal runs on every core — tree.rs:1284,
                 # gravity.rs:447)
-                from jax.sharding import PartitionSpec as P
-                ax = mesh.axis_names[0]
-                res = _shard_call(mesh, call,
-                                  (P(ax), P(ax), P(None)), P(ax),
-                                  li, tp, prep["tiles"])
+                res = _mesh_at_points_fn(mesh, kern, accel, interpret,
+                                         min(4, w))(li, tp, prep["tiles"])
             pending.append((sel[lo:hi], hi - lo, res))
     for s_idx, cnt, res in pending:
         out[s_idx] = np.asarray(res)[:cnt]
     if accel:
         return np.moveaxis(out[:, 0:3, :], 1, 2)
     return out[:, 0, :]
+
+
+@_lru_cache(maxsize=64)
+def _mesh_at_points_fn(mesh, kernel, accel, interpret, k):
+    """Cached shard_map wrapper for the at-points near chunks (see
+    :func:`_mesh_band_fn` — per-chunk closures retrace)."""
+    from jax.sharding import PartitionSpec as P
+
+    from .tree_pallas import near_field_eval
+    ax = mesh.axis_names[0]
+    call = partial(near_field_eval, kernel=kernel, accel=accel,
+                   interpret=interpret, k=k)
+    try:
+        from jax import shard_map
+        kw = {"check_vma": False}
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+        kw = {"check_rep": False}
+    return jax.jit(shard_map(call, mesh=mesh,
+                             in_specs=(P(ax), P(ax), P(None)),
+                             out_specs=P(ax), **kw))
 
 
 def _at_points_eval(tree: Octree, targets, prep=None, theta: float = 0.7,
