@@ -971,3 +971,31 @@ def test_device_out_matches_host(clustered):
         tree_tpu.tree_potentials_device_pallas(
             tree, prep=prep, interpret=True, near_engine="packed",
             out="device")
+
+
+def test_prep_cache_diag_warm_cycle(clustered, tmp_path):
+    """Full diag warm cycle: first solve builds the band (host mirror
+    persisted by refresh); reload starts the BACKGROUND warm thread
+    (classes + diag tables + combine idx) and the first warm solve
+    matches exactly (round-5: load_tree_prep(background_warm=True))."""
+    pos, m, h = clustered
+    from pynbodyext_tpu.gravity import tree_tpu
+    from pynbodyext_tpu.gravity.prep_cache import (
+        cached_prepare_tree_pallas, refresh_tree_prep_cache)
+    kw = dict(leaf_capacity=128, multipole_order=0, kernel="plummer",
+              theta=0.5, group_leaves=8, cache_dir=tmp_path)
+    prep1, tree1 = cached_prepare_tree_pallas(pos, m, h, **kw)
+    phi1 = tree_tpu.tree_potentials_device_pallas(
+        tree1, prep=prep1, interpret=True, near_engine="diag")
+    assert refresh_tree_prep_cache(prep1)  # diag_np mirror persisted
+    assert any(isinstance(k, tuple) and k and k[0] == "diag_np"
+               for k in prep1)
+    prep2, tree2 = cached_prepare_tree_pallas(pos, m, h, **kw)
+    assert tree2 is None
+    assert "_warm_future" in prep2  # background warm in flight
+    phi2 = tree_tpu.tree_potentials_device_pallas(
+        None, prep=prep2, interpret=True, near_engine="diag")
+    np.testing.assert_array_equal(phi1, phi2)
+    acc2 = tree_tpu.tree_accelerations_device_pallas(
+        None, prep=prep2, interpret=True, near_engine="diag")
+    assert np.isfinite(acc2).all()
