@@ -36,11 +36,13 @@ __all__ = ["KernelKind", "TreeOptions", "Gravity", "calculate_potential",
            "DENSE_TREE_CROSSOVER_CPU"]
 
 #: measured dense/tree crossover on a single v5e chip: the dense Pallas
-#: pipe runs 262k in ~0.65 s while the device tree takes ~1.3 s there, but
-#: dense is O(N²) (~9.5 s at 1M) vs the tree's ~O(N) — the curves cross
-#: near 4×10⁵ particles.  ``method="auto"`` picks dense at or below this.
-#: (Reference idiom: the serial/parallel work threshold in direct.rs:115-187.)
-DENSE_TREE_CROSSOVER_TPU = 400_000
+#: pipe runs 262k in ~0.65 s; the round-5 device tree (diag band nb2=1 +
+#: device-resident combine) solves 100k in 0.16 s / 300k in 0.21 s — the
+#: curves now cross near 10⁵ particles (dense 100k ≈ 0.12 s at the
+#: measured 85-106 Gpairs/s).  ``method="auto"`` picks dense at or below
+#: this.  (Reference idiom: the serial/parallel work threshold in
+#: direct.rs:115-187.)
+DENSE_TREE_CROSSOVER_TPU = 131_072
 
 #: host fallback crossover: the native direct sum sustains ~1.2e8 pairs/s
 #: on this one-core host (BASELINE_HOST.json) while the native BH tree

@@ -2417,13 +2417,17 @@ def _group_far_eval(prep, accel: bool, group_chunk: int = 1024,
 def _resolve_near_engine(prep, near_engine: str, mesh) -> str:
     """Resolve/validate the near-engine choice (shared by pot/accel).
 
-    auto: the dense-packed diag band wins at scale on a single device
-    (10M pot 12.05 s vs packed 22.3 s); below ~65k leaves the band's
-    empty slots dominate and packed wins (1M same-run: packed 1.70 s,
-    diag 2.00, classes 3.37).  Mesh execution shards diag (band tiles
-    per chip) / banded / packed (window chunks round-robin)."""
+    auto: the diag band + device-resident combine wins at EVERY measured
+    scale on v5e (round-5 same-run, nb2=1, pot/accel seconds — diag vs
+    packed: 100k 0.16/0.20 vs 0.46/2.06; 300k 0.21/0.38 vs 1.78/3.74;
+    1M 0.57/0.80 vs 2.5/10.9; 10M 3.8/6.5 vs 22/31 r3-era): the packed
+    path's per-chunk host readbacks dominate it at every size once the
+    single-readback combine exists.  The old ≥65k-leaf threshold
+    predates the nb2=1 band and the combine.  Mesh execution shards
+    diag (band tiles per chip) / banded / packed (window chunks
+    round-robin)."""
     if near_engine == "auto":
-        return "diag" if prep["n_blocks"] >= 65536 else "packed"
+        return "diag"
     if near_engine not in ("classes", "dma", "group", "gdma", "banded",
                            "packed", "pdma", "diag"):
         raise ValueError(f"near_engine must be 'classes', 'dma', 'group', "
