@@ -267,6 +267,36 @@ def main():
             except Exception as e:
                 o5_detail = {"tree10m_o5_error":
                              f"{type(e).__name__}: {e}"}
+            # 1M tree point: the diag auto engine now wins at every size
+            # (round-5 A/B) — one small-scale anchor in the artifact
+            t1m_detail, t1m_sidecar = {}, {}
+            try:
+                n1 = 1_000_000
+                tree1 = Octree(pos_t[:n1], m_t[:n1], leaf_capacity=128,
+                               multipole_order=0)
+                prep1 = prepare_tree_pallas(tree1, theta=0.7,
+                                            group_leaves=8)
+                phi1m = tree_potentials_device_pallas(tree1, prep=prep1)
+                release_host_buffers(prep1)
+                r1p, r1a = [], []
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    phi1m = tree_potentials_device_pallas(tree1,
+                                                          prep=prep1)
+                    r1p.append(round(time.perf_counter() - t0, 3))
+                acc1m = tree_accelerations_device_pallas(tree1, prep=prep1)
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    acc1m = tree_accelerations_device_pallas(tree1,
+                                                             prep=prep1)
+                    r1a.append(round(time.perf_counter() - t0, 3))
+                t1m_detail = {"tree1m_eval_s": sorted(r1p)[1],
+                              "tree1m_accel_s": sorted(r1a)[1]}
+                t1m_sidecar = {"tree1m_eval_reps": r1p,
+                               "tree1m_accel_reps": r1a}
+                del prep1, tree1, phi1m, acc1m
+            except Exception as e:
+                t1m_detail = {"tree1m_error": f"{type(e).__name__}: {e}"}
             dense_equiv_s = n_tree * n_tree / pair_rate
             li = accel_legs[-1] if accel_legs else {}
             tree_detail = {
@@ -285,10 +315,12 @@ def main():
                     "far": li.get("far_engine")},
                 **o3_detail,
                 **o5_detail,
+                **t1m_detail,
             }
             tree_sidecar = {
                 "tree10m_theta": 0.7,
                 **devout,
+                **t1m_sidecar,
                 **({"tree10m_warm_rel": warm_rel}
                    if warm_solve_s is not None else {}),
                 "tree10m_phi0": float(phi[0]),
