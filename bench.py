@@ -125,24 +125,25 @@ def main():
                 prep_stages["bg." + lbl] = round(
                     prep_stages.get("bg." + lbl, 0.0) + s, 2)
             release_host_buffers(prep)
-            # relay variance is ±50% on a single rep: median of 3;
-            # record every rep + the per-leg split of the last one so
-            # variance vs misconfiguration is distinguishable post hoc
+            # relay variance is ±50% on a single rep: median of 5 for
+            # the headline legs; record every rep + the per-leg split of
+            # the last one so variance vs misconfiguration is
+            # distinguishable post hoc
             tts, eval_legs = [], []
-            for _ in range(3):
+            for _ in range(5):
                 t0 = time.perf_counter()
                 phi = tree_potentials_device_pallas(tree, prep=prep)
                 tts.append(round(time.perf_counter() - t0, 2))
                 eval_legs.append(dict(tree_tpu.EVAL_INFO))
-            eval_s = sorted(tts)[1]
+            eval_s = sorted(tts)[2]
             acc = tree_accelerations_device_pallas(tree, prep=prep)  # warm
             ats, accel_legs = [], []
-            for _ in range(3):
+            for _ in range(5):
                 t0 = time.perf_counter()
                 acc = tree_accelerations_device_pallas(tree, prep=prep)
                 ats.append(round(time.perf_counter() - t0, 2))
                 accel_legs.append(dict(tree_tpu.EVAL_INFO))
-            accel_s = sorted(ats)[1]
+            accel_s = sorted(ats)[2]
             # compute-only (device-resident output) split: the host-path
             # remainder over these is the relay result readback — on a
             # local PCIe TPU it would be negligible (round-5 analysis)
