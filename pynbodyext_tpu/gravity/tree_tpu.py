@@ -2625,7 +2625,26 @@ def tree_accelerations_device_pallas(tree: Octree, theta: float = 0.7,
 # reuses that leaf's near list and its (residual + group) far list.
 # ---------------------------------------------------------------------------
 
+def _runs_gather(flat, offs, cnts):
+    """Concatenate ``flat[offs[i]:offs[i]+cnts[i]]`` runs, vectorized
+    (a per-run Python slice loop cost seconds at 100k query tiles)."""
+    cnts = np.asarray(cnts, np.int64)
+    total = int(cnts.sum())
+    if total == 0:
+        return np.zeros(0, flat.dtype)
+    base = np.repeat(np.asarray(offs, np.int64), cnts)
+    within = (np.arange(total, dtype=np.int64)
+              - np.repeat(np.cumsum(cnts) - cnts, cnts))
+    return flat[base + within]
+
+
 def _prepare_at_points(tree: Octree, prep, targets, target_soft=None):
+    """Anchor query points to leaves and build their near/far class
+    structures.  Round-5 rework: everything comes from the PREP's stored
+    lists and vectorized numpy — the first version re-ran
+    ``tree.group_lists`` (the 12-25 s host list build!) and 100k-
+    iteration Python tile loops on EVERY call (10M sources / 100k
+    queries measured 84 s per call, almost all of it here)."""
     cap = prep["cap"]
     G = prep["G"]
     pts = np.ascontiguousarray(np.asarray(targets, np.float64))
@@ -2637,71 +2656,96 @@ def _prepare_at_points(tree: Octree, prep, targets, target_soft=None):
     hs = (np.zeros(m) if target_soft is None
           else np.broadcast_to(np.asarray(target_soft, np.float64),
                                (m,))[order])
-    # runs of same leaf → tiles of ≤cap points
+    # runs of same leaf → tiles of ≤cap points (vectorized split)
     change = np.nonzero(np.diff(seq_s))[0] + 1
     run_starts = np.concatenate([[0], change]).astype(np.int64)
     run_ends = np.concatenate([change, [m]]).astype(np.int64)
-    tile_bounds, tile_leaf = [], []
-    for s, e, leaf in zip(run_starts, run_ends, seq_s[run_starts]):
-        for t0 in range(int(s), int(e), cap):
-            tile_bounds.append((t0, min(int(e), t0 + cap)))
-            tile_leaf.append(int(leaf))
-    nt = len(tile_bounds)
-    tile_leaf = np.asarray(tile_leaf, np.int64)
+    run_len = run_ends - run_starts
+    ntile_per_run = -(-run_len // cap)
+    nt = int(ntile_per_run.sum())
+    tile_run = np.repeat(np.arange(len(run_starts)), ntile_per_run)
+    within = (np.arange(nt, dtype=np.int64)
+              - np.repeat(np.cumsum(ntile_per_run) - ntile_per_run,
+                          ntile_per_run))
+    starts_t = run_starts[tile_run] + within * cap
+    ends_t = np.minimum(run_ends[tile_run], starts_t + cap)
+    tile_leaf = seq_s[run_starts][tile_run].astype(np.int64)
     sentinel = prep["_sentinel"]
-    tiles = np.zeros((nt, 8, cap), np.float32)
-    tiles[:, 0:3] = np.asarray(sentinel, np.float32)[None, :, None]
-    tiles[:, 5] = -5.0  # orig id never matches a source → no self-exclusion
-    tidx = np.zeros(m, np.int64)
-    lane = np.zeros(m, np.int64)
-    for t, (a, b) in enumerate(tile_bounds):
-        w = b - a
-        tiles[t, 0:3, :w] = pts_s[a:b].T
-        tiles[t, 4, :w] = hs[a:b]
-        tidx[a:b] = t
-        lane[a:b] = np.arange(w)
-    # near lists: the anchor leaf's list per tile
+    lane_m = np.arange(cap, dtype=np.int64)[None, :]
+    idx = starts_t[:, None] + lane_m
+    valid = idx < ends_t[:, None]
+    idxc = np.minimum(idx, max(m - 1, 0))
+    tiles = thp_zeros((nt, 8, cap), np.float32)
+    sf = np.asarray(sentinel, np.float64)
+    for c in range(3):
+        tiles[:, c, :] = np.where(valid, pts_s[idxc, c], sf[c])
+    tiles[:, 4, :] = np.where(valid, hs[idxc], 0.0)
+    tiles[:, 5, :] = -5.0  # orig never matches a source → no self-excl
+    tidx = np.repeat(np.arange(nt, dtype=np.int64), ends_t - starts_t)
+    lane = np.arange(m, dtype=np.int64) - np.repeat(starts_t,
+                                                    ends_t - starts_t)
+    # near lists: the anchor leaf's list per tile (from the prep)
     near_counts = prep["near_counts"][tile_leaf]
-    offs = prep["near_offsets"][tile_leaf]
-    flat = prep["near_flat"]
-    near_flat = np.concatenate(
-        [flat[o:o + c] for o, c in zip(offs, near_counts)]) \
-        if nt else np.zeros(0, np.int32)
-    # far lists: leaf residual + group-shared lists (exact partition)
-    gl = tree.group_lists(theta=prep["theta"], group_leaves=G)
-    ln_c, ln_i = gl["lnode_counts"], gl["lnode_ids"]
-    gn_c, gn_i = gl["gnode_counts"], gl["gnode_ids"]
+    near_flat = _runs_gather(prep["near_flat"],
+                             prep["near_offsets"][tile_leaf], near_counts)
+    # far lists: leaf residual + group-shared lists (exact partition),
+    # straight from the prep's persisted compact lists — NO tree walk
+    ln_c, ln_i = prep["_far_lists"]
+    lt_c = ln_c[tile_leaf]
     ln_off = np.concatenate([[0], np.cumsum(ln_c)[:-1]])
-    gn_off = np.concatenate([[0], np.cumsum(gn_c)[:-1]])
-    grp = tile_leaf // G
-    far_counts = ln_c[tile_leaf] + gn_c[grp]
-    far_parts = []
-    for leaf, g in zip(tile_leaf, grp):
-        far_parts.append(ln_i[ln_off[leaf]:ln_off[leaf] + ln_c[leaf]])
-        far_parts.append(gn_i[gn_off[g]:gn_off[g] + gn_c[g]])
-    far_flat = (np.concatenate(far_parts).astype(np.int32)
-                if far_parts else np.zeros(0, np.int32))
+    if "_gfar_lists" in prep:
+        gn_c, gn_i = prep["_gfar_lists"]
+        gn_off = np.concatenate([[0], np.cumsum(gn_c)[:-1]])
+        grp = tile_leaf // G
+        gt_c = gn_c[grp]
+    else:  # G=1 preps carry the full lists in _far_lists
+        gn_i = np.zeros(0, np.int32)
+        gn_off = gt_c = np.zeros(len(tile_leaf), np.int64)
+        grp = tile_leaf
+    far_counts = lt_c + gt_c
+    f_off = np.concatenate([[0], np.cumsum(far_counts)[:-1]]).astype(
+        np.int64)
+    far_flat = np.empty(int(far_counts.sum()), np.int32)
+    nA = int(lt_c.sum())
+    posA = (np.repeat(f_off, lt_c)
+            + (np.arange(nA, dtype=np.int64)
+               - np.repeat(np.cumsum(lt_c) - lt_c, lt_c)))
+    far_flat[posA] = _runs_gather(ln_i, ln_off[tile_leaf], lt_c)
+    nB = int(gt_c.sum())
+    if nB:
+        posB = (np.repeat(f_off + lt_c, gt_c)
+                + (np.arange(nB, dtype=np.int64)
+                   - np.repeat(np.cumsum(gt_c) - gt_c, gt_c)))
+        far_flat[posB] = _runs_gather(gn_i, gn_off[grp], gt_c)
     tiles_dev = jnp.asarray(tiles)
     # far payload (com rows + mass [+ moments], dummy node last) — small
-    # host rebuild from the device-resident node tables
+    # host rebuild from the device-resident node tables.  The far field
+    # runs the GATHER path (_far_gather_pre: the (n_nodes+1, P) payload
+    # stays device-resident, each chunk row-gathers it in-jit): every
+    # query tile repeats its anchor GROUP's shared far list, so the
+    # pre-gather materialized ~2 GB of duplicated payload rows per call
+    # at 10M/100k queries — prepare measured 105 s, almost all of it
+    # that gather + upload (round-5).
     com = np.asarray(prep["node_com"], np.float64)
     nmass = np.asarray(prep["node_mass"], np.float64)
     parts = [com, nmass[:, None]]
     if prep["order"] >= 2:
-        # COMPACT moment columns (|n| ≥ 2 only) — the pre-payload
-        # evaluators read canonical moment index p at row p (M_000 ==
-        # mass, COM dipoles identically zero; see _far_potentials_pre)
+        # COMPACT moment columns (|n| ≥ 2 only) — the payload evaluators
+        # read canonical moment index p at row p (M_000 == mass, COM
+        # dipoles identically zero; see _far_potentials_pre)
         parts.append(np.asarray(prep["node_moments"], np.float64)[:, 4:])
     payload = np.concatenate(parts, axis=1).astype(np.float32)
     far_classes = _build_classes(far_counts.astype(np.int64), far_flat, 128,
-                                 len(nmass) - 1, tiles_dev, payload=payload)
+                                 len(nmass) - 1, tiles_dev)
     near_classes = _build_classes(near_counts.astype(np.int64),
                                   near_flat.astype(np.int32), 64,
                                   prep["n_blocks"], tiles_dev)
     mini = {
         "n_blocks": nt, "order": prep["order"], "kernel": prep["kernel"],
         "cap": cap,
-        "far_pre": True, "far_pallas": prep["order"] == 0,
+        "far_pre": False, "far_pallas": False,
+        "_payload_np": payload,
+        "_payload_dev": jnp.asarray(payload),
         "far_classes": far_classes,
         "node_com": prep["node_com"], "node_mass": prep["node_mass"],
         "node_moments": prep["node_moments"],
@@ -2714,7 +2758,8 @@ def _prepare_at_points(tree: Octree, prep, targets, target_soft=None):
 def _near_at_points(ap, prep, kern, interpret, accel, mesh=None):
     from .tree_pallas import near_field_eval
     nt, cap = ap["nt"], ap["cap"]
-    out = thp_zeros((nt, 8, cap), np.float32)
+    rows_used = 3 if accel else 1
+    out = thp_zeros((nt, rows_used, cap), np.float32)
     budget = 100_000
     ndev = mesh.devices.size if mesh is not None else 1
     pending = []
@@ -2736,11 +2781,16 @@ def _near_at_points(ap, prep, kern, interpret, accel, mesh=None):
                 # gravity.rs:447)
                 res = _mesh_at_points_fn(mesh, kern, accel, interpret,
                                          min(4, w))(li, tp, prep["tiles"])
-            pending.append((sel[lo:hi], hi - lo, res))
+            # read back ONLY the used rows: the kernel emits (rows, 8,
+            # cap) but pot needs row 0 / accel rows 0:3 — the full-tile
+            # readback was 8×/2.7× the wire (10M-source at-points
+            # measured 84 s per 100k queries, mostly this)
+            pending.append((sel[lo:hi], hi - lo,
+                            res[:, :rows_used, :]))
     for s_idx, cnt, res in pending:
         out[s_idx] = np.asarray(res)[:cnt]
     if accel:
-        return np.moveaxis(out[:, 0:3, :], 1, 2)
+        return np.moveaxis(out, 1, 2)
     return out[:, 0, :]
 
 
